@@ -1,0 +1,376 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.prep.Prep
+import graft.split.Splits
+
+/** Relational / preprocessing / split queries with DuckDB oracle twins.
+  *
+  * Oracle-parity rules (SURVEY.md §5): identical column names, floats
+  * rounded in both engines, deterministic ORDER BY everywhere,
+  * timestamps exported as epoch seconds or formatted strings.
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- 2.1 relational / preprocessing core -------------------------------
+
+  /** TPC-H Q1 shape: single scan, map-side partial agg, tiny result. */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2).as("sum_charge"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity),2) AS sum_qty,
+      | round(sum(l_extendedprice),2) AS sum_base_price,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+      | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+      | round(avg(l_quantity),4) AS avg_qty,
+      | round(avg(l_extendedprice),4) AS avg_price,
+      | round(avg(l_discount),4) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Star join: facts shuffle on keys, dims (nation/region) broadcast. */
+  def q2RevenueNation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+      .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01")) &&
+        $"o_orderdate" < to_timestamp(lit("1998-01-01")))
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val q2Oracle: String =
+    """SELECT r_name, n_name,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** TPC-H Q3 shape: selective dim filter + agg + top-k (TakeOrdered). */
+  def q3TopOrders(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+    val o = Tables.orders(s, d).filter($"o_orderdate" < to_timestamp(lit("1999-06-01")))
+    val li = Tables.lineitem(s, d).filter($"l_shipdate" > to_timestamp(lit("1999-06-01")))
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .select($"l_orderkey", $"revenue", date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q3Oracle: String =
+    """SELECT l_orderkey,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      | strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1999-06-01'
+      |  AND l_shipdate > TIMESTAMP '1999-06-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Window top-N per group (pandas groupby.head analog). */
+  def q4WindowTopN(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  val q4Oracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      | FROM orders)
+      |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Missing-value normalization over a deterministically dirtied column;
+    * result aggregated by cleaned value (NULLs surfaced as a sentinel so
+    * ordering semantics match across engines).
+    */
+  def qMissingNorm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dirty = when($"event_id" % 7 === 0, lit("  "))
+      .when($"event_id" % 11 === 0, lit("N/A"))
+      .when($"event_id" % 13 === 0, lit("null"))
+      .otherwise($"event_type")
+    Tables.events(s, d)
+      .withColumn("event_type_clean", Prep.normalizeMissingCol(dirty))
+      .groupBy(coalesce($"event_type_clean", lit("<missing>")).as("event_type_clean"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"event_type_clean")
+  }
+
+  val qMissingNormOracle: String =
+    """SELECT coalesce(cleaned, '<missing>') AS event_type_clean, count(*) AS n FROM (
+      | SELECT CASE WHEN trim(dirty) = '' OR dirty IN ('', '<NA>', 'null', '?', 'N/A', 'NAN', 'nan')
+      |             THEN NULL ELSE dirty END AS cleaned
+      | FROM (SELECT CASE WHEN event_id % 7 = 0 THEN '  '
+      |                   WHEN event_id % 11 = 0 THEN 'N/A'
+      |                   WHEN event_id % 13 = 0 THEN 'null'
+      |                   ELSE event_type END AS dirty FROM events))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Dedupe by key keep-latest: one row per user (latest event). */
+  def qDedupPk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Prep.dedupByKeyKeepLatest(
+        Tables.events(s, d), Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
+      .select($"user_id", $"event_id", unix_timestamp($"ts").as("ts_s"), $"event_type",
+        round($"value", 2).as("value"))
+      .orderBy($"user_id")
+  }
+
+  val qDedupPkOracle: String =
+    """SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type,
+      | round(value, 2) AS value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Duplicate-key audit (keys with multiplicity > 1). */
+  def qDupCheck(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Prep.duplicateKeyAudit(Tables.events(s, d), Seq("user_id"))
+      .orderBy($"user_id")
+  }
+
+  val qDupCheckOracle: String =
+    """SELECT user_id, count(*) AS n_rows FROM events
+      |GROUP BY user_id HAVING count(*) > 1 ORDER BY user_id""".stripMargin
+
+  /** Per-column NULL-fraction profile over deterministically dirtied cols. */
+  def qHighNanCols(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val df = Tables.events(s, d)
+      .withColumn("props_dirty",
+        Prep.normalizeMissingCol(when($"event_id" % 3 === 0, lit("")).otherwise($"props")))
+      .withColumn("value_dirty", when($"event_id" % 2 === 0, lit(null)).otherwise($"value"))
+    Prep.nullFractionProfile(df, Seq("props_dirty", "value_dirty", "event_type"), 0.3)
+      .orderBy($"column_name")
+  }
+
+  val qHighNanColsOracle: String =
+    """WITH d AS (
+      | SELECT CASE WHEN event_id % 3 = 0 THEN NULL ELSE props END AS props_dirty,
+      |        CASE WHEN event_id % 2 = 0 THEN NULL ELSE value END AS value_dirty,
+      |        event_type
+      | FROM events)
+      |SELECT column_name, null_frac, CAST(null_frac >= 0.3 AS INT) AS drop_flag FROM (
+      | SELECT 'props_dirty' AS column_name, round(avg(CASE WHEN props_dirty IS NULL THEN 1.0 ELSE 0.0 END),4) AS null_frac FROM d
+      | UNION ALL
+      | SELECT 'value_dirty', round(avg(CASE WHEN value_dirty IS NULL THEN 1.0 ELSE 0.0 END),4) FROM d
+      | UNION ALL
+      | SELECT 'event_type', round(avg(CASE WHEN event_type IS NULL THEN 1.0 ELSE 0.0 END),4) FROM d)
+      |ORDER BY column_name""".stripMargin
+
+  /** Dtype enforcement: timestamp→date string, numeric rollup by cast. */
+  def qTypeCast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(
+        date_format($"ts", "yyyy-MM-dd").as("event_date"),
+        $"value".cast("int").as("value_int"))
+      .groupBy($"event_date")
+      .agg(count(lit(1)).as("n"), sum($"value_int").as("sum_value_int"))
+      .orderBy($"event_date")
+  }
+
+  val qTypeCastOracle: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n,
+      | CAST(sum(CAST(trunc(value) AS INT)) AS BIGINT) AS sum_value_int
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Categorical value mapping (unmapped values pass through). */
+  def qCatMap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mapping = Seq("click" -> "Click", "purchase" -> "Purchase", "signup" -> "Signup")
+    Tables.events(s, d)
+      .withColumn("event_type_mapped", Prep.mapValues($"event_type", mapping))
+      .groupBy($"event_type_mapped")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"event_type_mapped")
+  }
+
+  val qCatMapOracle: String =
+    """SELECT CASE event_type WHEN 'click' THEN 'Click' WHEN 'purchase' THEN 'Purchase'
+      |        WHEN 'signup' THEN 'Signup' ELSE event_type END AS event_type_mapped,
+      | count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Class-label mapping to expressive names. */
+  def qLabelMap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mapping = Seq("O" -> "Open", "F" -> "Fulfilled", "P" -> "Pending")
+    Tables.orders(s, d)
+      .withColumn("status_label", Prep.mapValues($"o_orderstatus", mapping))
+      .groupBy($"status_label")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"status_label")
+  }
+
+  val qLabelMapOracle: String =
+    """SELECT CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Fulfilled'
+      |        WHEN 'P' THEN 'Pending' ELSE o_orderstatus END AS status_label,
+      | count(*) AS n, round(sum(o_totalprice),2) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Class distribution: counts + percentages. */
+  def qClassDist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Prep.classDistribution(Tables.embeddings(s, d), "label").orderBy($"label")
+  }
+
+  val qClassDistOracle: String =
+    """SELECT label, count(*) AS n,
+      | round(100.0 * count(*) / sum(count(*)) OVER (), 2) AS pct
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  // ---- 2.2 splits ---------------------------------------------------------
+
+  /** Time-based split audit: per-split row counts and time bounds. */
+  def qSplitTime(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (train, test) = Splits.timeSplit(Tables.events(s, d), "ts", "2024-01-16 00:00:00")
+    def summary(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n"),
+          min(unix_timestamp($"ts")).as("min_ts_s"),
+          max(unix_timestamp($"ts")).as("max_ts_s"))
+        .select(lit(name).as("split"), $"n", $"min_ts_s", $"max_ts_s")
+    summary(train, "train").unionAll(summary(test, "test")).orderBy($"split")
+  }
+
+  val qSplitTimeOracle: String =
+    """SELECT 'train' AS split, count(*) AS n,
+      | CAST(floor(epoch(min(ts))) AS BIGINT) AS min_ts_s,
+      | CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts_s
+      |FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      |UNION ALL
+      |SELECT 'test', count(*),
+      | CAST(floor(epoch(min(ts))) AS BIGINT),
+      | CAST(floor(epoch(max(ts))) AS BIGINT)
+      |FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |ORDER BY split""".stripMargin
+
+  /** Deterministic hash split with per-class stratification audit. */
+  def qSplitHash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (train, test) = Splits.hashSplit(Tables.events(s, d), "event_id", 10, 8)
+    def byType(df: DataFrame, name: String) =
+      df.groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .select(lit(name).as("split"), $"event_type", $"n")
+    byType(train, "train").unionAll(byType(test, "test")).orderBy($"split", $"event_type")
+  }
+
+  val qSplitHashOracle: String =
+    """SELECT 'train' AS split, event_type, count(*) AS n FROM events
+      |WHERE event_id % 10 < 8 GROUP BY event_type
+      |UNION ALL
+      |SELECT 'test', event_type, count(*) FROM events
+      |WHERE event_id % 10 >= 8 GROUP BY event_type
+      |ORDER BY split, event_type""".stripMargin
+
+  /** Split-disjointness audit: distinct-key overlap between halves. */
+  def qSplitDisjoint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (train, test) = Splits.hashSplit(Tables.events(s, d), "user_id", 10, 8)
+    val overlap = train.select($"user_id").distinct()
+      .join(test.select($"user_id").distinct(), Seq("user_id"), "inner")
+      .agg(count(lit(1)).as("n_overlap"))
+    val nTrain = train.agg(countDistinct($"user_id").as("n_train_keys"))
+    val nTest = test.agg(countDistinct($"user_id").as("n_test_keys"))
+    overlap.crossJoin(nTrain).crossJoin(nTest)
+  }
+
+  val qSplitDisjointOracle: String =
+    """SELECT
+      | (SELECT count(*) FROM
+      |   (SELECT DISTINCT user_id FROM events WHERE user_id % 10 < 8) a
+      |   JOIN (SELECT DISTINCT user_id FROM events WHERE user_id % 10 >= 8) b USING (user_id)
+      | ) AS n_overlap,
+      | (SELECT count(DISTINCT user_id) FROM events WHERE user_id % 10 < 8) AS n_train_keys,
+      | (SELECT count(DISTINCT user_id) FROM events WHERE user_id % 10 >= 8) AS n_test_keys""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q2_revenue_nation" -> q2RevenueNation,
+    "q3_top_orders" -> q3TopOrders,
+    "q4_window_topn" -> q4WindowTopN,
+    "q_missing_norm" -> qMissingNorm,
+    "q_dedup_pk" -> qDedupPk,
+    "q_dup_check" -> qDupCheck,
+    "q_high_nan_cols" -> qHighNanCols,
+    "q_type_cast" -> qTypeCast,
+    "q_cat_map" -> qCatMap,
+    "q_label_map" -> qLabelMap,
+    "q_class_dist" -> qClassDist,
+    "q_split_time" -> qSplitTime,
+    "q_split_hash" -> qSplitHash,
+    "q_split_disjoint" -> qSplitDisjoint
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Oracle,
+    "q2_revenue_nation" -> q2Oracle,
+    "q3_top_orders" -> q3Oracle,
+    "q4_window_topn" -> q4Oracle,
+    "q_missing_norm" -> qMissingNormOracle,
+    "q_dedup_pk" -> qDedupPkOracle,
+    "q_dup_check" -> qDupCheckOracle,
+    "q_high_nan_cols" -> qHighNanColsOracle,
+    "q_type_cast" -> qTypeCastOracle,
+    "q_cat_map" -> qCatMapOracle,
+    "q_label_map" -> qLabelMapOracle,
+    "q_class_dist" -> qClassDistOracle,
+    "q_split_time" -> qSplitTimeOracle,
+    "q_split_hash" -> qSplitHashOracle,
+    "q_split_disjoint" -> qSplitDisjointOracle
+  )
+}

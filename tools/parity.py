@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Dev-only parity harness (mirrors the driver's correctness gate).
+
+NOT part of the library — uses the driver-side python stack (duckdb,
+pyarrow) to check each SparkEntry query's parquet dump against its
+DuckDB oracle before the real driver does.
+
+Usage: after `sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"`:
+    python3 tools/parity.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+def load_spark_result(path):
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    if not files:
+        return None
+    return pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    # canonical: stringify everything, sort rows
+    s = df.astype(str)
+    s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
+    return s
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        spark_df = load_spark_result(os.path.join(out_dir, name))
+        if spark_df is None:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            duck_df = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}"); n_fail += 1; continue
+        a, b = canon(spark_df), canon(duck_df)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}"); n_fail += 1; continue
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); n_fail += 1; continue
+        if not a.equals(b):
+            diff = (a != b).any(axis=1)
+            print(f"FAIL {name}: value mismatch on {diff.sum()} rows; first:")
+            i = diff.idxmax()
+            print("  spark:", a.loc[i].to_dict())
+            print("  duck :", b.loc[i].to_dict())
+            n_fail += 1; continue
+        print(f"PASS {name} ({len(a)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
