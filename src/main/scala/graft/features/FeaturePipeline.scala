@@ -1,0 +1,193 @@
+package graft.features
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fitted feature-engineering pipeline, Spark-first re-expression of the
+  * reference's sklearn `DataPipelineCreator` / `TrainingDataPrep`
+  * (reference: src/feature/utils/data.py:37-259, 262-732).
+  *
+  * Design for 100 TB: `fit` runs ONE aggregation pass per stat family
+  * over the training data and collects O(columns) numbers to the
+  * driver; `transform` re-injects them as literals, so applying the
+  * pipeline to any split is a pure projection (whole-stage codegen, no
+  * shuffle, no join). That is the distributed analog of sklearn's
+  * fit/transform contract — and like sklearn, fitting on train and
+  * transforming valid/test leaks nothing.
+  *
+  * Exact `percentile` is used at test scale for oracle parity; at
+  * 100 TB swap `exactQuantiles=false` to use `approx_percentile`
+  * (single-pass sketch) — the knob exists precisely because exact
+  * quantiles need a full sort-by-column at scale.
+  */
+object Imputation extends Enumeration {
+  val Mean, Median, Mode, Zero = Value
+}
+
+object ScalerKind extends Enumeration {
+  val Standard, MinMax, Robust = Value
+}
+
+final case class ImputerSpec(col: String, strategy: Imputation.Value)
+final case class ScalerSpec(col: String, kind: ScalerKind.Value)
+
+/** One-hot with sklearn semantics: categories sorted, optional
+  * drop-first, categories with relative frequency < minFrequency
+  * grouped into a single "infrequent" bucket
+  * (reference: src/feature/utils/data.py:100-122 OneHotEncoder config).
+  */
+final case class OneHotSpec(col: String, dropFirst: Boolean = true, minFrequency: Double = 0.0)
+
+final case class FeaturePipelineSpec(
+    imputers: Seq[ImputerSpec] = Nil,
+    scalers: Seq[ScalerSpec] = Nil,
+    oneHots: Seq[OneHotSpec] = Nil,
+    varianceThreshold: Option[Double] = None,
+    varianceCols: Seq[String] = Nil,
+    exactQuantiles: Boolean = true
+)
+
+final case class NumStats(mean: Double, std: Double, min: Double, max: Double,
+    q1: Double, median: Double, q3: Double)
+
+final case class FittedFeaturePipeline(
+    spec: FeaturePipelineSpec,
+    numStats: Map[String, NumStats],
+    modes: Map[String, String],
+    categories: Map[String, Seq[String]],     // kept (frequent) categories, sorted
+    infrequent: Map[String, Seq[String]],     // grouped categories, sorted
+    variances: Map[String, Double]
+) {
+
+  /** sklearn-compatible feature-name cleanup
+    * (reference: src/feature/utils/data.py:685-719 clean_up_feature_names).
+    */
+  def cleanName(s: String): String = s.replaceAll("[^A-Za-z0-9]+", "_")
+
+  def imputeExpr(c: ImputerSpec): Column = {
+    val base = col(c.col)
+    val replacement = c.strategy match {
+      case Imputation.Mean   => lit(numStats(c.col).mean)
+      case Imputation.Median => lit(numStats(c.col).median)
+      case Imputation.Mode   => lit(modes(c.col))
+      case Imputation.Zero   => lit(0.0)
+    }
+    coalesce(base, replacement)
+  }
+
+  def scaleExpr(sc: ScalerSpec): Column = {
+    val st = numStats(sc.col)
+    val x = col(sc.col)
+    sc.kind match {
+      case ScalerKind.Standard => (x - lit(st.mean)) / lit(st.std)
+      case ScalerKind.MinMax   => (x - lit(st.min)) / lit(st.max - st.min)
+      case ScalerKind.Robust   => (x - lit(st.median)) / lit(st.q3 - st.q1)
+    }
+  }
+
+  /** One-hot columns for a spec: frequent categories (minus the dropped
+    * first) plus an "<col>_infrequent" bucket when grouping applies.
+    */
+  def oneHotColumns(oh: OneHotSpec): Seq[(String, Column)] = {
+    val cats = categories(oh.col)
+    val kept = if (oh.dropFirst) cats.drop(1) else cats
+    val catCols = kept.map { c =>
+      (cleanName(s"${oh.col}_$c"), when(col(oh.col) === c, 1).otherwise(0))
+    }
+    val infreq = infrequent(oh.col)
+    if (infreq.nonEmpty)
+      catCols :+ (cleanName(s"${oh.col}_infrequent"),
+        when(col(oh.col).isin(infreq: _*), 1).otherwise(0))
+    else catCols
+  }
+
+  /** Columns surviving the variance threshold. */
+  def keptByVariance: Seq[String] =
+    spec.varianceThreshold match {
+      case Some(t) => variances.collect { case (c, v) if v >= t => c }.toSeq.sorted
+      case None    => variances.keys.toSeq.sorted
+    }
+
+  /** Apply the fitted transforms: impute → scale → one-hot. Pure
+    * projection over the input — no shuffle, fully codegen'd.
+    */
+  def transform(df: DataFrame): DataFrame = {
+    val imputed = spec.imputers.foldLeft(df)((d, i) => d.withColumn(i.col, imputeExpr(i)))
+    val scaled = spec.scalers.foldLeft(imputed)((d, sc) => d.withColumn(sc.col, scaleExpr(sc)))
+    spec.oneHots.foldLeft(scaled) { (d, oh) =>
+      oneHotColumns(oh).foldLeft(d) { case (dd, (name, expr)) => dd.withColumn(name, expr) }
+    }
+  }
+}
+
+object FeaturePipeline {
+
+  /** Fit all requested statistics on the training data.
+    *
+    * Cost model: one wide aggregation for numeric stats (single scan,
+    * partial aggregation map-side), one tiny groupBy per mode column,
+    * one groupBy per one-hot column (k rows each). Everything collected
+    * is O(columns + categories), never O(rows).
+    */
+  def fit(train: DataFrame, spec: FeaturePipelineSpec): FittedFeaturePipeline = {
+    val numCols: Seq[String] =
+      (spec.imputers.filter(_.strategy != Imputation.Mode).map(_.col) ++
+        spec.scalers.map(_.col) ++
+        spec.varianceThreshold.toSeq.flatMap(_ => Nil)).distinct
+
+    val pct: String => String =
+      if (spec.exactQuantiles) c => s"percentile(`$c`, array(0.25, 0.5, 0.75))"
+      else c => s"approx_percentile(`$c`, array(0.25, 0.5, 0.75), 10000)"
+
+    val numStats: Map[String, NumStats] =
+      if (numCols.isEmpty) Map.empty
+      else {
+        val aggs = numCols.flatMap { c =>
+          Seq(avg(col(c)).as(s"${c}__mean"), stddev_samp(col(c)).as(s"${c}__std"),
+            min(col(c)).cast("double").as(s"${c}__min"), max(col(c)).cast("double").as(s"${c}__max"),
+            expr(pct(c)).as(s"${c}__q"))
+        }
+        val row = train.agg(aggs.head, aggs.tail: _*).head()
+        numCols.map { c =>
+          val q = row.getAs[scala.collection.Seq[Double]](s"${c}__q")
+          c -> NumStats(row.getAs[Double](s"${c}__mean"), row.getAs[Double](s"${c}__std"),
+            row.getAs[Double](s"${c}__min"), row.getAs[Double](s"${c}__max"),
+            q(0), q(1), q(2))
+        }.toMap
+      }
+
+    // Deterministic mode: highest count, ties broken by smallest value.
+    val modeCols = spec.imputers.filter(_.strategy == Imputation.Mode).map(_.col).distinct
+    val modes: Map[String, String] = modeCols.map { c =>
+      val top = train.filter(col(c).isNotNull).groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col(c).asc).head()
+      c -> top.get(0).toString
+    }.toMap
+
+    // One-hot category inventories with frequency-based infrequent grouping.
+    val catInfo: Map[String, (Seq[String], Seq[String])] = spec.oneHots.map { oh =>
+      val counts = train.filter(col(oh.col).isNotNull)
+        .groupBy(col(oh.col)).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.get(0).toString, r.getAs[Long]("n")))
+      val total = counts.map(_._2).sum.toDouble
+      val (freq, infreq) = counts.partition { case (_, n) => n / total >= oh.minFrequency }
+      oh.col -> ((freq.map(_._1).sorted.toSeq, infreq.map(_._1).sorted.toSeq))
+    }.toMap
+
+    // Variance audit for the selector. Note sklearn's VarianceThreshold
+    // uses population variance; we use var_samp (documented divergence —
+    // it is a near-zero filter, the 1/(n-1) factor is immaterial).
+    val variances: Map[String, Double] =
+      if (spec.varianceCols.isEmpty) Map.empty
+      else {
+        val aggs = spec.varianceCols.map(c => var_samp(col(c)).as(c))
+        val row = train.agg(aggs.head, aggs.tail: _*).head()
+        spec.varianceCols.map(c => c -> row.getAs[Double](c)).toMap
+      }
+
+    FittedFeaturePipeline(spec, numStats, modes,
+      catInfo.map { case (k, v) => k -> v._1 },
+      catInfo.map { case (k, v) => k -> v._2 },
+      variances)
+  }
+}

@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.features._
+
+/** Feature-engineering queries with DuckDB oracle twins (SURVEY.md §2.3).
+  * Each exercises the fitted FeaturePipeline / LabelOps library and
+  * reduces the transformed output to a small, deterministic summary.
+  */
+object FeatureQueries {
+  import CoreQueries.Q
+
+  /** round to 4dp and normalize -0.0 → 0.0 (both engines). */
+  private def r4(c: Column): Column = round(c, 4) + lit(0.0)
+  private def r2(c: Column): Column = round(c, 2) + lit(0.0)
+
+  /** Imputation (median / mean / zero / mode) over deterministically
+    * dirtied lineitem columns; single-row summary of the imputed data.
+    */
+  def qImputeMedian(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.lineitem(s, d)
+      .withColumn("q_med", when($"l_quantity" < 5, lit(null)).otherwise($"l_quantity"))
+      .withColumn("q_mean", $"q_med")
+      .withColumn("q_zero", $"q_med")
+      .withColumn("flag", when($"l_orderkey" % 5 === 0, lit(null)).otherwise($"l_returnflag"))
+    val spec = FeaturePipelineSpec(imputers = Seq(
+      ImputerSpec("q_med", Imputation.Median),
+      ImputerSpec("q_mean", Imputation.Mean),
+      ImputerSpec("q_zero", Imputation.Zero),
+      ImputerSpec("flag", Imputation.Mode)))
+    val fitted = FeaturePipeline.fit(base, spec)
+    val out = fitted.transform(base)
+    out.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when($"l_quantity" < 5, 1L).otherwise(0L)).as("n_null_q"),
+        r2(sum($"q_med")).as("sum_q_median"),
+        r2(sum($"q_mean")).as("sum_q_mean"),
+        r2(sum($"q_zero")).as("sum_q_zero"),
+        sum(when($"flag" === fitted.modes("flag"), 1L).otherwise(0L)).as("n_mode_value"))
+      .withColumn("median_used", r4(lit(fitted.numStats("q_med").median)))
+      .withColumn("mean_used", r4(lit(fitted.numStats("q_mean").mean)))
+      .withColumn("mode_used", lit(fitted.modes("flag")))
+  }
+
+  val qImputeMedianOracle: String =
+    """WITH d AS (
+      | SELECT CASE WHEN l_quantity < 5 THEN NULL ELSE l_quantity END AS q,
+      |        CASE WHEN l_orderkey % 5 = 0 THEN NULL ELSE l_returnflag END AS f
+      | FROM lineitem),
+      |st AS (SELECT quantile_cont(q, 0.5) AS med, avg(q) AS mn FROM d),
+      |md AS (SELECT f AS mode_v FROM d WHERE f IS NOT NULL
+      |       GROUP BY f ORDER BY count(*) DESC, f LIMIT 1)
+      |SELECT count(*) AS n_rows,
+      | CAST(sum(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_q,
+      | round(max(st.med),4) + 0 AS median_used,
+      | round(max(st.mn),4) + 0 AS mean_used,
+      | max(md.mode_v) AS mode_used,
+      | round(sum(coalesce(q, st.med)),2) + 0 AS sum_q_median,
+      | round(sum(coalesce(q, st.mn)),2) + 0 AS sum_q_mean,
+      | round(sum(coalesce(q, 0)),2) + 0 AS sum_q_zero,
+      | CAST(sum(CASE WHEN coalesce(f, md.mode_v) = md.mode_v THEN 1 ELSE 0 END) AS BIGINT) AS n_mode_value
+      |FROM d CROSS JOIN st CROSS JOIN md""".stripMargin
+
+  private def scaleQuery(kind: ScalerKind.Value)(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.customer(s, d).withColumn("x", $"c_acctbal")
+    val fitted = FeaturePipeline.fit(base, FeaturePipelineSpec(scalers = Seq(ScalerSpec("x", kind))))
+    fitted.transform(base)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n"), r4(avg($"x")).as("avg_scaled"),
+        r4(min($"x")).as("min_scaled"), r4(max($"x")).as("max_scaled"))
+      .orderBy($"c_nationkey")
+  }
+
+  def qScaleStandard(s: SparkSession, d: String): DataFrame = scaleQuery(ScalerKind.Standard)(s, d)
+  def qScaleMinMax(s: SparkSession, d: String): DataFrame = scaleQuery(ScalerKind.MinMax)(s, d)
+  def qScaleRobust(s: SparkSession, d: String): DataFrame = scaleQuery(ScalerKind.Robust)(s, d)
+
+  private def scaleOracle(exprSql: String, statsSql: String): String =
+    s"""WITH s AS ($statsSql)
+       |SELECT c_nationkey, count(*) AS n,
+       | round(avg($exprSql),4) + 0 AS avg_scaled,
+       | round(min($exprSql),4) + 0 AS min_scaled,
+       | round(max($exprSql),4) + 0 AS max_scaled
+       |FROM customer CROSS JOIN s
+       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  val qScaleStandardOracle: String = scaleOracle(
+    "(c_acctbal - s.m) / s.sd",
+    "SELECT avg(c_acctbal) AS m, stddev_samp(c_acctbal) AS sd FROM customer")
+
+  val qScaleMinMaxOracle: String = scaleOracle(
+    "(c_acctbal - s.lo) / (s.hi - s.lo)",
+    "SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer")
+
+  val qScaleRobustOracle: String = scaleOracle(
+    "(c_acctbal - s.med) / (s.q3 - s.q1)",
+    "SELECT quantile_cont(c_acctbal, 0.25) AS q1, quantile_cont(c_acctbal, 0.5) AS med, quantile_cont(c_acctbal, 0.75) AS q3 FROM customer")
+
+  /** One-hot (sorted categories, drop-first): column-sum fingerprint. */
+  def qOneHot(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+    val spec = FeaturePipelineSpec(oneHots = Seq(OneHotSpec("o_orderpriority", dropFirst = true)))
+    val fitted = FeaturePipeline.fit(base, spec)
+    val out = fitted.transform(base)
+    val ohCols = fitted.oneHotColumns(spec.oneHots.head).map(_._1)
+    out.agg(count(lit(1)).as("n_rows"),
+      ohCols.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  val qOneHotOracle: String =
+    """SELECT count(*) AS n_rows,
+      | CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority_2_HIGH,
+      | CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority_3_MEDIUM,
+      | CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority_4_NOT_SPECIFIED,
+      | CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority_5_LOW
+      |FROM orders""".stripMargin
+
+  /** One-hot with min-frequency grouping: synthetic rare categories
+    * (2% each, threshold 3%) land in the infrequent bucket.
+    */
+  def qOneHotMinFreq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.events(s, d).withColumn("cat",
+      when($"event_id" % 50 < 2, concat(lit("rare_"), ($"event_id" % 5).cast("string")))
+        .otherwise($"event_type"))
+    val spec = FeaturePipelineSpec(oneHots = Seq(OneHotSpec("cat", dropFirst = false, minFrequency = 0.03)))
+    val fitted = FeaturePipeline.fit(base, spec)
+    val out = fitted.transform(base)
+    val ohCols = fitted.oneHotColumns(spec.oneHots.head).map(_._1)
+    out.agg(count(lit(1)).as("n_rows"), ohCols.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  val qOneHotMinFreqOracle: String =
+    """WITH d AS (SELECT CASE WHEN event_id % 50 < 2
+      |  THEN 'rare_' || CAST(event_id % 5 AS VARCHAR) ELSE event_type END AS cat FROM events)
+      |SELECT count(*) AS n_rows,
+      | CAST(sum(CASE WHEN cat = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cat_click,
+      | CAST(sum(CASE WHEN cat = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS cat_error,
+      | CAST(sum(CASE WHEN cat = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cat_purchase,
+      | CAST(sum(CASE WHEN cat = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS cat_signup,
+      | CAST(sum(CASE WHEN cat = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cat_view,
+      | CAST(sum(CASE WHEN cat IN ('rare_0','rare_1') THEN 1 ELSE 0 END) AS BIGINT) AS cat_infrequent
+      |FROM d""".stripMargin
+
+  /** Near-zero-variance audit (stddev reported — variance spans too many
+    * orders of magnitude for stable fixed-dp rounding across engines).
+    */
+  def qVarianceThreshold(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.lineitem(s, d)
+    val cols = Seq("l_quantity", "l_discount", "l_tax")
+    val fitted = FeaturePipeline.fit(base,
+      FeaturePipelineSpec(varianceThreshold = Some(0.05), varianceCols = cols))
+    val rows = cols.sorted.map { c =>
+      (c, fitted.variances(c))
+    }
+    s.createDataFrame(rows.map { case (c, v) =>
+      (c, BigDecimal(math.sqrt(v)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        if (v >= 0.05) 1 else 0)
+    }).toDF("feature", "stddev", "keep")
+      .withColumn("keep", $"keep".cast("int"))
+      .orderBy($"feature")
+  }
+
+  val qVarianceThresholdOracle: String =
+    """SELECT feature, round(sd,4) AS stddev, CAST(sd*sd >= 0.05 AS INT) AS keep FROM (
+      | SELECT 'l_quantity' AS feature, stddev_samp(l_quantity) AS sd FROM lineitem
+      | UNION ALL SELECT 'l_discount', stddev_samp(l_discount) FROM lineitem
+      | UNION ALL SELECT 'l_tax', stddev_samp(l_tax) FROM lineitem)
+      |ORDER BY feature""".stripMargin
+
+  /** LabelEncoder: sorted distinct labels → dense codes. */
+  def qLabelEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val enc = LabelOps.fitLabelEncoder(docs, "lang")
+    docs.withColumn("code", LabelOps.encodeExpr($"lang", enc))
+      .groupBy($"lang", $"code").agg(count(lit(1)).as("n"))
+      .orderBy($"lang")
+  }
+
+  val qLabelEncodeOracle: String =
+    """SELECT lang, dense_rank() OVER (ORDER BY lang) - 1 AS code, count(*) AS n
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Balanced class weights n/(k*n_c). */
+  def qClassWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    LabelOps.balancedClassWeights(Tables.embeddings(s, d), "label").orderBy($"label")
+  }
+
+  val qClassWeightsOracle: String =
+    """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+      |SELECT label, n,
+      | round(sum(n) OVER () / (count(*) OVER () * n), 4) AS weight
+      |FROM c ORDER BY label""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q_impute_median" -> qImputeMedian,
+    "q_scale_standard" -> qScaleStandard,
+    "q_scale_minmax" -> qScaleMinMax,
+    "q_scale_robust" -> qScaleRobust,
+    "q_onehot" -> qOneHot,
+    "q_onehot_minfreq" -> qOneHotMinFreq,
+    "q_variance_threshold" -> qVarianceThreshold,
+    "q_label_encode" -> qLabelEncode,
+    "q_class_weights" -> qClassWeights
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_impute_median" -> qImputeMedianOracle,
+    "q_scale_standard" -> qScaleStandardOracle,
+    "q_scale_minmax" -> qScaleMinMaxOracle,
+    "q_scale_robust" -> qScaleRobustOracle,
+    "q_onehot" -> qOneHotOracle,
+    "q_onehot_minfreq" -> qOneHotMinFreqOracle,
+    "q_variance_threshold" -> qVarianceThresholdOracle,
+    "q_label_encode" -> qLabelEncodeOracle,
+    "q_class_weights" -> qClassWeightsOracle
+  )
+}
