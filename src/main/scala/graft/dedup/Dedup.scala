@@ -1,0 +1,151 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Deduplication operators for web-scale corpora (SURVEY.md §2.5).
+  *
+  * Scale design:
+  *  - exact dedup = single hash-groupBy shuffle on a 16-byte digest,
+  *    never on the full text;
+  *  - near-dup candidate generation is inverted-index (shingle) or
+  *    LSH-band joins — work is O(candidates), never O(n²);
+  *  - exact Jaccard verification runs only on candidate pairs.
+  */
+object Dedup {
+
+  private val P = 1000000007L
+
+  /** Normalization used before "normalized exact" dedup: lowercase,
+    * collapse whitespace, trim.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Exact-dedup stats over a text column: total rows, distinct digests,
+    * duplicate rows beyond the first occurrence.
+    */
+  def exactDedupStats(df: DataFrame, textCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(md5(col(textCol))).as("n_distinct"),
+      (count(lit(1)) - countDistinct(md5(col(textCol)))).as("n_dup_rows"))
+
+  /** Exact dedup keeping the smallest id per digest. One shuffle on the
+    * digest; at 100 TB this is the canonical "drop exact copies" pass.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__digest", md5(col(textCol)))
+      .groupBy(col("__digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("__digest")
+
+  /** (id, shingles) projection: distinct character n-gram sets. */
+  def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), TextFunctions.shingleSet(col(textCol), n).as("sh"))
+      .withColumn("sh_n", size(col("sh")))
+
+  /** Exact Jaccard similarity join via inverted shingle index: explode
+    * shingles, join on shingle (only co-occurring pairs are generated —
+    * exhaustive for J>0), count shared shingles per pair, compute
+    * J = inter / (|a|+|b|-inter), filter at `threshold`.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def jaccardJoinExact(sh: DataFrame, threshold: Double): DataFrame = {
+    val ex = sh.select(col("id"), col("sh_n"), explode(col("sh")).as("shingle"))
+    val a = ex.select(col("id").as("id_a"), col("sh_n").as("n_a"), col("shingle"))
+    val b = ex.select(col("id").as("id_b"), col("sh_n").as("n_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Deterministic MinHash permutation coefficients from a seed. */
+  def permCoeffs(numPerm: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPerm)((1L + math.abs(rnd.nextLong()) % (P - 1), math.abs(rnd.nextLong()) % P))
+  }
+
+  /** MinHash signature column over a shingle-set column: for each
+    * permutation i, min over shingles of (a_i * h(s) + b_i) mod P,
+    * where h is an md5-derived 60-bit value. Pure expression — the
+    * md5 per shingle is computed once, then 64 cheap affine mins.
+    */
+  def minhashSignature(shCol: Column, coeffs: Seq[(Long, Long)]): Column = {
+    val hashes = transform(shCol, s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P)
+    val perms = array(coeffs.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    transform(perms, p =>
+      array_min(transform(hashes, h => (p.getField("a") * h + p.getField("b")) % P)))
+  }
+
+  /** LSH candidate pairs from banded signatures (r=1: one signature
+    * value per band). Join key is (band index, band value) — balanced
+    * shuffle; distinct pairs with id_a < id_b.
+    */
+  def lshCandidates(sig: DataFrame): DataFrame = {
+    val banded = sig.select(col("id"), posexplode(col("sig")).as(Seq("band", "v")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pipeline: signatures → banded candidates →
+    * exact Jaccard verification (join back to shingle sets) → threshold.
+    * With numPerm bands of r=1, a pair at J≥t is missed with prob
+    * (1-t)^numPerm — at t=0.6, numPerm=64 that is ~1e-26, i.e. the
+    * output equals the exact join for any realistic dataset while the
+    * candidate step stays sub-quadratic on real (non-adversarial) data.
+    */
+  def minhashNearDup(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, numPerm: Int, seed: Long, threshold: Double): DataFrame = {
+    val sh = shingled(df, idCol, textCol, n)
+    val sig = sh.select(col("id"), minhashSignature(col("sh"), permCoeffs(numPerm, seed)).as("sig"))
+    val cands = lshCandidates(sig)
+    val withSets = cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sh_n").as("n_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sh_n").as("n_b")), Seq("id_b"))
+    withSets
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted
+    * by each token's md5-derived hash bit; bit set iff the sum is
+    * non-negative. Returned as a long.
+    */
+  def simhash64(textCol: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(textCol), t =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    // bit b of h == (h % 2^(b+1)) >= 2^b — avoids shiftright's
+    // literal-only bit-count argument (powers of two are exact in
+    // double, so pow().cast(long) is safe for b <= 59).
+    def pow2(b: Column): Column = pow(lit(2.0), b).cast("long")
+    val bits = transform(sequence(lit(0), lit(59)), b =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h % pow2(b + 1) >= pow2(b), 1L).otherwise(-1L)
+      ) >= 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(zip_with(bits, sequence(lit(0), lit(59)), (bit, i) => struct(bit.as("b"), i.as("i"))),
+      lit(0L), (acc, x) => acc + x.getField("b") * pow(lit(2.0), x.getField("i")).cast("long"))
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hammingDist(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextFunctions
+
+/** Text-analysis, dedup, and similarity queries (SURVEY.md §2.5-2.7)
+  * over the documents/embeddings tables, with DuckDB oracle twins.
+  */
+object DocQueries {
+  import CoreQueries.Q
+
+  private def r4(c: Column): Column = round(c, 4) + lit(0.0)
+  private val stop = Seq("the", "a")
+
+  def qTokenCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("tc", TextFunctions.tokenCount($"text"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"tc").as("sum_tokens"), r4(avg($"tc")).as("avg_tokens"))
+      .orderBy($"lang")
+  }
+
+  val qTokenCountOracle: String =
+    """SELECT lang, count(*) AS n_docs,
+      | CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
+      | round(avg(len(string_split_regex(trim(text), '\s+'))),4) + 0 AS avg_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  def qTextQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"source",
+        length($"text").as("len"),
+        TextFunctions.stopwordRatio($"text", stop).as("sr"),
+        TextFunctions.punctRatio($"text").as("pr"),
+        TextFunctions.qualityScore($"text", stop).as("q"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), r4(avg($"len")).as("avg_len"),
+        r4(avg($"sr")).as("avg_stop_ratio"), r4(avg($"pr")).as("avg_punct_ratio"),
+        r4(avg($"q")).as("avg_quality"))
+      .orderBy($"source")
+  }
+
+  val qTextQualityOracle: String =
+    """WITH t AS (
+      | SELECT source, length(text) AS len,
+      |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('the','a'))) AS DOUBLE)
+      |    / len(string_split_regex(trim(text), '\s+')) AS sr,
+      |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS pr,
+      |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) AS ur
+      | FROM documents)
+      |SELECT source, count(*) AS n_docs, round(avg(len),4) + 0 AS avg_len,
+      | round(avg(sr),4) + 0 AS avg_stop_ratio, round(avg(pr),4) + 0 AS avg_punct_ratio,
+      | round(avg(least(len/500.0,1.0)*0.4 + least(sr*10.0,1.0)*0.3
+      |   + (1.0-least(pr*5.0,1.0))*0.2 + (1.0-ur)*0.1),4) + 0 AS avg_quality
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("data", "table"), "en" -> Seq("the", "a"), "es" -> Seq("query", "row"),
+    "fr" -> Seq("join", "merge"), "zh" -> Seq("spark", "hash"))
+
+  def qLangId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("lang_pred", TextFunctions.langId($"text", langProfiles))
+      .groupBy($"lang", $"lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"lang_pred")
+  }
+
+  val qLangIdOracle: String =
+    """WITH t AS (
+      | SELECT lang, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |sc AS (
+      | SELECT lang,
+      |  len(list_filter(tk, x -> x IN ('data','table'))) AS s_de,
+      |  len(list_filter(tk, x -> x IN ('the','a'))) AS s_en,
+      |  len(list_filter(tk, x -> x IN ('query','row'))) AS s_es,
+      |  len(list_filter(tk, x -> x IN ('join','merge'))) AS s_fr,
+      |  len(list_filter(tk, x -> x IN ('spark','hash'))) AS s_zh
+      | FROM t)
+      |SELECT lang,
+      | CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |      WHEN s_fr >= s_zh THEN 'fr'
+      |      ELSE 'zh' END AS lang_pred,
+      | count(*) AS n
+      |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def qFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id", TextFunctions.fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val qFingerprintOracle: String =
+    """SELECT doc_id, list_reduce(
+      |  list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, length(text)+1), i -> CAST(ascii(substring(text,i,1)) AS BIGINT))),
+      |  (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+      |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin
+
+  def qShingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"lang", size(TextFunctions.shingleSet($"text", 3)).as("ns"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), r4(avg($"ns")).as("avg_shingles"))
+      .orderBy($"lang")
+  }
+
+  val qShinglesOracle: String =
+    """SELECT lang, count(*) AS n_docs,
+      | round(avg(len(list_distinct(list_transform(range(1, length(text)-1), i -> substring(text,i,3))))),4) + 0 AS avg_shingles
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  def qDedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDedupStats(Tables.documents(s, d), "text")
+
+  val qDedupExactOracle: String =
+    """SELECT count(*) AS n_rows, count(DISTINCT md5(text)) AS n_distinct,
+      | count(*) - count(DISTINCT md5(text)) AS n_dup_rows
+      |FROM documents""".stripMargin
+
+  def qDedupExactNorm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.exactDedupStats(
+      Tables.documents(s, d).withColumn("text", Dedup.normalizeText($"text")), "text")
+  }
+
+  val qDedupExactNormOracle: String =
+    """SELECT count(*) AS n_rows,
+      | count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct,
+      | count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_dup_rows
+      |FROM documents""".stripMargin
+
+  private val pairOracle: String =
+    """WITH s AS (
+      | SELECT doc_id AS id, list_distinct(list_transform(range(1, length(text)-1), i -> substring(text,i,3))) AS sh
+      | FROM documents WHERE doc_id % 5 = 0)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      | round(CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)
+      |   / (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))),4) + 0 AS jaccard
+      |FROM s a JOIN s b ON a.id < b.id
+      |WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)
+      |   / (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) >= 0.62
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Exact n-gram Jaccard similarity join (inverted shingle index). */
+  def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sub = Tables.documents(s, d).filter($"doc_id" % 5 === 0)
+    Dedup.jaccardJoinExact(Dedup.shingled(sub, "doc_id", "text", 3), 0.62)
+      .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val qNgramJaccardOracle: String = pairOracle
+
+  /** MinHash+LSH near-dup pairs, exact-verified — must equal the exact
+    * join (miss probability ~1e-26 at these parameters; SURVEY.md §2.5).
+    */
+  def qMinhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sub = Tables.documents(s, d).filter($"doc_id" % 5 === 0)
+    Dedup.minhashNearDup(sub, "doc_id", "text", 3, 64, 42L, 0.62)
+      .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val qMinhashPairsOracle: String = pairOracle
+
+  def qEmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sub = Tables.embeddings(s, d).filter($"vec_id" % 5 === 0)
+    Similarity.nearDupPairs(sub, "vec_id", "embedding", 0.35)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val qEmbedNearDupOracle: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 5 = 0)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      | round(list_dot_product(a.e,b.e)/(sqrt(list_dot_product(a.e,a.e))*sqrt(list_dot_product(b.e,b.e))),4) + 0 AS cos
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.e,b.e)/(sqrt(list_dot_product(a.e,a.e))*sqrt(list_dot_product(b.e,b.e))) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+
+  def qCosineTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.embeddings(s, d)
+    val queries = all.filter($"vec_id" % 100 === 0)
+    Similarity.topK(all, queries, "vec_id", "embedding", 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  val qCosineTopKOracle: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS (SELECT * FROM v WHERE vec_id % 100 = 0),
+      |s AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+      |  round(list_dot_product(q.e,v.e)/(sqrt(list_dot_product(q.e,q.e))*sqrt(list_dot_product(v.e,v.e))),4) + 0 AS cos
+      | FROM q JOIN v ON q.vec_id <> v.vec_id)
+      |SELECT query_id, neighbor_id, cos, rank FROM (
+      | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q_token_count" -> qTokenCount,
+    "q_text_quality" -> qTextQuality,
+    "q_lang_id" -> qLangId,
+    "q_fingerprint" -> qFingerprint,
+    "q_shingles" -> qShingles,
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_exact_norm" -> qDedupExactNorm,
+    "q_ngram_jaccard" -> qNgramJaccard,
+    "q_minhash_pairs" -> qMinhashPairs,
+    "q_embed_neardup" -> qEmbedNearDup,
+    "q_cosine_topk" -> qCosineTopK
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_token_count" -> qTokenCountOracle,
+    "q_text_quality" -> qTextQualityOracle,
+    "q_lang_id" -> qLangIdOracle,
+    "q_fingerprint" -> qFingerprintOracle,
+    "q_shingles" -> qShinglesOracle,
+    "q_dedup_exact" -> qDedupExactOracle,
+    "q_dedup_exact_norm" -> qDedupExactNormOracle,
+    "q_ngram_jaccard" -> qNgramJaccardOracle,
+    "q_minhash_pairs" -> qMinhashPairsOracle,
+    "q_embed_neardup" -> qEmbedNearDupOracle,
+    "q_cosine_topk" -> qCosineTopKOracle
+  )
+}

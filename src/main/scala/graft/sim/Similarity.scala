@@ -1,0 +1,90 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY.md §2.6).
+  *
+  * Scale design: brute force is only ever (bounded query set) ×
+  * (distributed corpus scan) — the query side is broadcast, the scan
+  * side streams, per-partition top-k happens before the final window.
+  * Full-corpus all-pairs work goes through LSH buckets (sub-quadratic).
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<float/double> columns.
+    * Elements are cast to double first; the fold is sequential, so the
+    * result is bit-deterministic for a given pair (engine-independent).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded). Queries are broadcast; ranking is
+    * per-query (rounded score desc, id asc — fully deterministic).
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4) + lit(0.0))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** All-pairs near-duplicate vectors above a cosine threshold. The
+    * caller bounds the input (subset / LSH bucket); this is the exact
+    * verifier, not the candidate generator.
+    */
+  def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_raw", cosine(col("va"), col("vb")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), (round(col("cos_raw"), 4) + lit(0.0)).as("cos"))
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bits of dot products with
+    * `nPlanes` seeded hyperplanes packed into a long. Vectors in the
+    * same bucket are ANN candidates — the scale path for full-corpus
+    * kNN (join on bucket, verify exactly within).
+    */
+  def hyperplaneBucket(vecCol: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val vd = vecCol.cast("array<double>")
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val pl = array(p.map(lit): _*)
+      val d = aggregate(zip_with(vd, pl, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: exact top-k within each bucket. Sub-quadratic;
+    * recall depends on nPlanes (fewer planes → bigger buckets → higher
+    * recall, more work).
+    */
+  def annLsh(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nPlanes: Int, seed: Long, k: Int): DataFrame = {
+    val withBucket = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), dim, nPlanes, seed))
+    val a = withBucket.select(col("bucket"), col("id").as("query_id"), col("v").as("qv"))
+    val b = withBucket.select(col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val scored = a.join(b, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4) + lit(0.0))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+}
