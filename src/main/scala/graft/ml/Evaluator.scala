@@ -1,0 +1,125 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed, DataFrame-native binary-classification evaluation —
+  * the Spark re-expression of the reference's evaluator stack
+  * (reference: src/training/evaluation/evaluator.py:546-908
+  * BinaryClassificationEvaluator, src/training/core/optimizer.py:168-263
+  * calc_perf_metrics).
+  *
+  * All metrics are single-pass aggregations over the predictions
+  * DataFrame except rank-based AUC, which needs a global rank (one
+  * sort-shuffle). At 100 TB swap `aucExact` for a fixed-grid binned
+  * approximation — the ECE/lift machinery here already shows the
+  * binned shape.
+  */
+object Evaluator {
+
+  /** Hard prediction from a probability/score column. */
+  def predictAt(score: Column, threshold: Double): Column =
+    (score >= threshold).cast("int")
+
+  /** Confusion-matrix cells as a (label, pred, n) DataFrame. */
+  def confusionMatrix(df: DataFrame, labelCol: String, predCol: String): DataFrame =
+    df.groupBy(col(labelCol), col(predCol)).agg(count(lit(1)).as("n"))
+
+  private def cmAggs(label: Column, pred: Column): Seq[Column] = Seq(
+    sum(when(label === 1 && pred === 1, 1L).otherwise(0L)).as("tp"),
+    sum(when(label === 0 && pred === 1, 1L).otherwise(0L)).as("fp"),
+    sum(when(label === 1 && pred === 0, 1L).otherwise(0L)).as("fn"),
+    sum(when(label === 0 && pred === 0, 1L).otherwise(0L)).as("tn"))
+
+  /** F-beta from confusion cells: (1+b²)tp / ((1+b²)tp + b²fn + fp) —
+    * single formula, no intermediate div-by-zero.
+    */
+  def fbeta(tp: Column, fp: Column, fn: Column, beta: Double): Column = {
+    val b2 = beta * beta
+    (lit(1 + b2) * tp) / (lit(1 + b2) * tp + lit(b2) * fn + fp)
+  }
+
+  /** Accuracy / precision / recall / F1 / F-beta at a threshold, plus
+    * rank-based ROC-AUC (Mann-Whitney with a deterministic total order:
+    * score asc, tiebreak asc).
+    *
+    * Single-row result. `tieBreakCol` must be a unique key.
+    */
+  def binaryMetrics(df: DataFrame, labelCol: String, scoreCol: String,
+      tieBreakCol: String, threshold: Double, beta: Double): DataFrame = {
+    val label = col(labelCol)
+    val pred = predictAt(col(scoreCol), threshold)
+    val w = Window.orderBy(col(scoreCol).asc, col(tieBreakCol).asc)
+    val ranked = df.withColumn("__r", row_number().over(w).cast("long"))
+    val aggsAll = cmAggs(label, pred) ++ Seq(
+      sum(when(label === 1, col("__r")).otherwise(0L)).as("sum_rank_pos"),
+      sum(when(label === 1, 1L).otherwise(0L)).as("npos"),
+      sum(when(label === 0, 1L).otherwise(0L)).as("nneg"))
+    ranked.agg(aggsAll.head, aggsAll.tail: _*)
+      .select(
+        (col("tp") + col("tn")).cast("double") / (col("tp") + col("tn") + col("fp") + col("fn")) as "accuracy",
+        col("tp").cast("double") / (col("tp") + col("fp")) as "precision",
+        col("tp").cast("double") / (col("tp") + col("fn")) as "recall",
+        fbeta(col("tp"), col("fp"), col("fn"), 1.0).as("f1"),
+        fbeta(col("tp"), col("fp"), col("fn"), beta).as("fbeta"),
+        ((col("sum_rank_pos") - col("npos") * (col("npos") + 1) / 2).cast("double") /
+          (col("npos") * col("nneg"))).as("roc_auc"))
+  }
+
+  /** Expected calibration error with `bins` equal-width probability bins
+    * (reference: evaluator.py:818-875 calc_expected_calibration_error).
+    * ECE = Σ_b (n_b/N)·|conf_b − acc_b|. One aggregation pass.
+    */
+  def ece(df: DataFrame, labelCol: String, scoreCol: String, bins: Int): DataFrame = {
+    val bin = least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int")
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"), avg(col(scoreCol)).as("conf"), avg(col(labelCol)).as("acc"))
+      .agg((sum(col("n") * abs(col("conf") - col("acc"))) / sum(col("n"))).as("ece"),
+        sum(col("n")).as("n"))
+  }
+
+  /** Decile lift and cumulative gains (reference: evaluator.py:776-816
+    * cumulative gains / lift curves). ntile over a deterministic total
+    * order (score desc, tiebreak asc).
+    */
+  def liftGains(df: DataFrame, labelCol: String, scoreCol: String,
+      tieBreakCol: String, nTiles: Int): DataFrame = {
+    val w = Window.orderBy(col(scoreCol).desc, col(tieBreakCol).asc)
+    val tiled = df.withColumn("decile", ntile(nTiles).over(w))
+    val perTile = tiled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol)).cast("long").as("n_pos"))
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perTile
+      .withColumn("cum_gain", sum(col("n_pos")).over(wCum).cast("double") / sum(col("n_pos")).over(wAll))
+      .withColumn("lift",
+        (col("n_pos").cast("double") / col("n")) /
+          (sum(col("n_pos")).over(wAll).cast("double") / sum(col("n")).over(wAll)))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_gain"), col("lift"))
+  }
+
+  /** F-beta sweep over a threshold grid — the basis for decision-
+    * threshold tuning (reference: evaluation/champion.py:144-173
+    * tune_decision_threshold). One pass: thresholds explode against the
+    * aggregated-per-row predicate, grouped by threshold.
+    */
+  def thresholdSweep(df: DataFrame, labelCol: String, scoreCol: String,
+      thresholds: Seq[Double], beta: Double): DataFrame = {
+    val tArr = array(thresholds.map(lit): _*)
+    val label = col(labelCol)
+    df.select(label.as("label"), col(scoreCol).as("score"), explode(tArr).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(cmAggs(col("label"), (col("score") >= col("threshold")).cast("int")).head,
+        cmAggs(col("label"), (col("score") >= col("threshold")).cast("int")).tail: _*)
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        fbeta(col("tp"), col("fp"), col("fn"), beta).as("fbeta"))
+  }
+
+  /** Best threshold by F-beta (ties → smaller threshold). */
+  def bestThreshold(df: DataFrame, labelCol: String, scoreCol: String,
+      thresholds: Seq[Double], beta: Double): Double =
+    thresholdSweep(df, labelCol, scoreCol, thresholds, beta)
+      .orderBy(col("fbeta").desc, col("threshold").asc)
+      .head().getAs[Double]("threshold")
+}

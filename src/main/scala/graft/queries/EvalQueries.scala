@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ml.Evaluator
+
+/** Evaluation-metric queries (SURVEY.md §2.4 [Q] rows).
+  *
+  * A model's scores aren't deterministic SQL, so these run the ml
+  * Evaluator library over a deterministic scorer: a fixed rational
+  * function of events columns (no transcendentals — both engines
+  * compute bit-identical doubles). The metric machinery exercised here
+  * is exactly what ml.Trainer uses on real model outputs.
+  */
+object EvalQueries {
+  import CoreQueries.Q
+
+  private def r6(c: Column): Column = round(c, 6) + lit(0.0)
+
+  /** label = value >= 50; score = 0.7·min(value,200)/200 + noise(id). */
+  private def scored(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d).select(
+      $"event_id",
+      when($"value" >= 50, 1).otherwise(0).as("label"),
+      (least($"value", lit(200.0)) / lit(200.0) * lit(0.7) +
+        ($"event_id" % 100).cast("double") / lit(1000.0) * lit(3.0) / lit(10.0)).as("score"))
+  }
+
+  private val scoredSql: String =
+    """SELECT event_id,
+      | CASE WHEN value >= 50 THEN 1 ELSE 0 END AS label,
+      | least(value, 200.0) / 200.0 * 0.7 + CAST(event_id % 100 AS DOUBLE) / 1000.0 * 3.0 / 10.0 AS score
+      |FROM events""".stripMargin
+
+  def qConfusionMatrix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val df = scored(s, d).withColumn("pred", Evaluator.predictAt($"score", 0.5))
+    Evaluator.confusionMatrix(df, "label", "pred").orderBy($"label", $"pred")
+  }
+
+  val qConfusionMatrixOracle: String =
+    s"""WITH sc AS ($scoredSql)
+       |SELECT label, CAST(score >= 0.5 AS INT) AS pred, count(*) AS n
+       |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def qEvalMetrics(s: SparkSession, d: String): DataFrame = {
+    val m = Evaluator.binaryMetrics(scored(s, d), "label", "score", "event_id", 0.5, 0.5)
+    m.select(m.columns.map(c => r6(col(c)).as(c)): _*)
+  }
+
+  val qEvalMetricsOracle: String =
+    s"""WITH sc AS ($scoredSql),
+       |cm AS (SELECT
+       |  sum(CASE WHEN label = 1 AND score >= 0.5 THEN 1 ELSE 0 END) AS tp,
+       |  sum(CASE WHEN label = 0 AND score >= 0.5 THEN 1 ELSE 0 END) AS fp,
+       |  sum(CASE WHEN label = 1 AND score < 0.5 THEN 1 ELSE 0 END) AS fn,
+       |  sum(CASE WHEN label = 0 AND score < 0.5 THEN 1 ELSE 0 END) AS tn
+       | FROM sc),
+       |rk AS (SELECT label, row_number() OVER (ORDER BY score ASC, event_id ASC) AS r FROM sc),
+       |auc AS (SELECT sum(CASE WHEN label = 1 THEN r ELSE 0 END) AS srp,
+       |  sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS npos,
+       |  sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nneg FROM rk)
+       |SELECT
+       | round(CAST(tp + tn AS DOUBLE) / (tp + tn + fp + fn), 6) + 0 AS accuracy,
+       | round(CAST(tp AS DOUBLE) / (tp + fp), 6) + 0 AS "precision",
+       | round(CAST(tp AS DOUBLE) / (tp + fn), 6) + 0 AS recall,
+       | round((2.0 * tp) / (2.0 * tp + 1.0 * fn + fp), 6) + 0 AS f1,
+       | round((1.25 * tp) / (1.25 * tp + 0.25 * fn + fp), 6) + 0 AS fbeta,
+       | round(CAST(srp - npos * (npos + 1) / 2 AS DOUBLE) / (npos * nneg), 6) + 0 AS roc_auc
+       |FROM cm CROSS JOIN auc""".stripMargin
+
+  def qRocAuc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Evaluator.binaryMetrics(scored(s, d), "label", "score", "event_id", 0.5, 0.5)
+      .select(r6($"roc_auc").as("roc_auc"))
+  }
+
+  val qRocAucOracle: String =
+    s"""WITH sc AS ($scoredSql),
+       |rk AS (SELECT label, row_number() OVER (ORDER BY score ASC, event_id ASC) AS r FROM sc)
+       |SELECT round(CAST(sum(CASE WHEN label = 1 THEN r ELSE 0 END)
+       |   - sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) * (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1) / 2 AS DOUBLE)
+       | / (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) * sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)), 6) + 0 AS roc_auc
+       |FROM rk""".stripMargin
+
+  def qEce(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Evaluator.ece(scored(s, d), "label", "score", 10)
+      .select(r6($"ece").as("ece"), $"n")
+  }
+
+  val qEceOracle: String =
+    s"""WITH sc AS ($scoredSql),
+       |b AS (SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+       |  count(*) AS n, avg(score) AS conf, avg(CAST(label AS DOUBLE)) AS acc
+       | FROM sc GROUP BY 1)
+       |SELECT round(sum(n * abs(conf - acc)) / sum(n), 6) + 0 AS ece,
+       | CAST(sum(n) AS BIGINT) AS n
+       |FROM b""".stripMargin
+
+  def qLiftGains(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Evaluator.liftGains(scored(s, d), "label", "score", "event_id", 10)
+      .select($"decile", $"n", $"n_pos", r6($"cum_gain").as("cum_gain"), r6($"lift").as("lift"))
+      .orderBy($"decile")
+  }
+
+  val qLiftGainsOracle: String =
+    s"""WITH sc AS ($scoredSql),
+       |t AS (SELECT label, ntile(10) OVER (ORDER BY score DESC, event_id ASC) AS decile FROM sc),
+       |p AS (SELECT decile, count(*) AS n, CAST(sum(label) AS BIGINT) AS n_pos FROM t GROUP BY 1)
+       |SELECT decile, n, n_pos,
+       | round(CAST(sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |   / sum(n_pos) OVER (), 6) + 0 AS cum_gain,
+       | round((CAST(n_pos AS DOUBLE) / n) / (CAST(sum(n_pos) OVER () AS DOUBLE) / sum(n) OVER ()), 6) + 0 AS lift
+       |FROM p ORDER BY decile""".stripMargin
+
+  private val sweepThresholds: Seq[Double] = (1 to 19).map(_ * 0.05)
+
+  def qThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Evaluator.thresholdSweep(scored(s, d), "label", "score", sweepThresholds, 0.5)
+      .select(r6($"threshold").as("threshold"), $"tp", $"fp", $"fn", $"tn", r6($"fbeta").as("fbeta"))
+      .orderBy($"threshold")
+  }
+
+  val qThresholdSweepOracle: String =
+    s"""WITH sc AS ($scoredSql),
+       |g AS (SELECT CAST(i AS DOUBLE) * 0.05 AS threshold FROM generate_series(1, 19) AS t(i))
+       |SELECT round(threshold, 6) + 0 AS threshold,
+       | CAST(sum(CASE WHEN label = 1 AND score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       | CAST(sum(CASE WHEN label = 0 AND score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       | CAST(sum(CASE WHEN label = 1 AND score < threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       | CAST(sum(CASE WHEN label = 0 AND score < threshold THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       | round((1.25 * sum(CASE WHEN label = 1 AND score >= threshold THEN 1 ELSE 0 END))
+       |  / (1.25 * sum(CASE WHEN label = 1 AND score >= threshold THEN 1 ELSE 0 END)
+       |     + 0.25 * sum(CASE WHEN label = 1 AND score < threshold THEN 1 ELSE 0 END)
+       |     + sum(CASE WHEN label = 0 AND score >= threshold THEN 1 ELSE 0 END)), 6) + 0 AS fbeta
+       |FROM sc CROSS JOIN g GROUP BY threshold ORDER BY threshold""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q_confusion_matrix" -> qConfusionMatrix,
+    "q_eval_metrics" -> qEvalMetrics,
+    "q_roc_auc" -> qRocAuc,
+    "q_ece" -> qEce,
+    "q_lift_gains" -> qLiftGains,
+    "q_threshold_sweep" -> qThresholdSweep
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_confusion_matrix" -> qConfusionMatrixOracle,
+    "q_eval_metrics" -> qEvalMetricsOracle,
+    "q_roc_auc" -> qRocAucOracle,
+    "q_ece" -> qEceOracle,
+    "q_lift_gains" -> qLiftGainsOracle,
+    "q_threshold_sweep" -> qThresholdSweepOracle
+  )
+}
