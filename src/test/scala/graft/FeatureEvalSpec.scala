@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.features._
+import graft.ml.Evaluator
+
+class FeatureEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FeaturePipeline imputes median/mean/mode and scales standard") {
+    val df = Seq(
+      (Some(1.0), Some("a")), (Some(3.0), Some("b")), (None, Some("b")), (Some(5.0), None)
+    ).toDF("x", "c")
+      .withColumn("x_med", $"x").withColumn("x_mean", $"x")
+    val spec = FeaturePipelineSpec(
+      imputers = Seq(ImputerSpec("x_med", Imputation.Median),
+        ImputerSpec("x_mean", Imputation.Mean), ImputerSpec("c", Imputation.Mode)))
+    val fitted = FeaturePipeline.fit(df, spec)
+    assert(fitted.numStats("x_med").median == 3.0)
+    assert(fitted.numStats("x_mean").mean == 3.0)
+    assert(fitted.modes("c") == "b")
+    val out = fitted.transform(df)
+    assert(out.filter($"x_med".isNull || $"x_mean".isNull || $"c".isNull).count() == 0)
+  }
+
+  test("one-hot drops first sorted category and groups infrequent") {
+    val rows = Seq.fill(50)("big1") ++ Seq.fill(48)("big2") ++ Seq("rare1", "rare2")
+    val df = rows.toDF("c")
+    val spec = FeaturePipelineSpec(oneHots = Seq(OneHotSpec("c", dropFirst = true, minFrequency = 0.05)))
+    val fitted = FeaturePipeline.fit(df, spec)
+    assert(fitted.categories("c") == Seq("big1", "big2"))
+    assert(fitted.infrequent("c") == Seq("rare1", "rare2"))
+    val cols = fitted.oneHotColumns(spec.oneHots.head).map(_._1)
+    assert(cols == Seq("c_big2", "c_infrequent"))
+    val sums = fitted.transform(df).agg(sum($"c_big2"), sum($"c_infrequent")).head()
+    assert(sums.getLong(0) == 48 && sums.getLong(1) == 2)
+  }
+
+  test("variance threshold keeps high-variance features only") {
+    val df = Seq((1.0, 100.0), (1.01, 50.0), (0.99, 150.0), (1.0, 0.0)).toDF("low", "high")
+    val fitted = FeaturePipeline.fit(df,
+      FeaturePipelineSpec(varianceThreshold = Some(0.05), varianceCols = Seq("low", "high")))
+    assert(fitted.keptByVariance == Seq("high"))
+  }
+
+  test("label encoder assigns sorted dense codes and decodes back") {
+    val df = Seq("b", "a", "c", "a").toDF("l")
+    val enc = LabelOps.fitLabelEncoder(df, "l")
+    assert(enc == Seq(("a", 0), ("b", 1), ("c", 2)))
+    val out = df.withColumn("code", LabelOps.encodeExpr($"l", enc))
+      .withColumn("back", LabelOps.decodeExpr($"code", enc))
+    assert(out.filter($"l" =!= $"back").count() == 0)
+  }
+
+  test("balanced class weights are n/(k*n_c)") {
+    val df = (Seq.fill(30)("pos") ++ Seq.fill(10)("neg")).toDF("y")
+    val w = LabelOps.balancedClassWeights(df, "y").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(w("pos") - 40.0 / (2 * 30)) < 1e-4)
+    assert(math.abs(w("neg") - 40.0 / (2 * 10)) < 1e-4)
+  }
+
+  test("Evaluator exact metrics on a handcrafted frame") {
+    // 6 rows: scores and labels chosen so tp=2 fp=1 fn=1 tn=2 at 0.5
+    val df = Seq(
+      (1, 1, 0.9), (2, 1, 0.7), (3, 1, 0.2), (4, 0, 0.8), (5, 0, 0.3), (6, 0, 0.1)
+    ).toDF("id", "label", "score")
+    val m = Evaluator.binaryMetrics(df, "label", "score", "id", 0.5, 0.5).head()
+    assert(m.getAs[Double]("accuracy") == 4.0 / 6)
+    assert(m.getAs[Double]("precision") == 2.0 / 3)
+    assert(m.getAs[Double]("recall") == 2.0 / 3)
+    // AUC: pairs (pos, neg) where score_pos > score_neg: (.9,.8)(.9,.3)(.9,.1)(.7,.3)(.7,.1)(.2,.1)=6, (.2,.8)(.2,.3)(.7,.8)=0 → 6/9
+    assert(math.abs(m.getAs[Double]("roc_auc") - 6.0 / 9) < 1e-9)
+  }
+
+  test("best threshold maximizes fbeta on the sweep") {
+    val df = Seq((1, 1, 0.9), (2, 1, 0.8), (3, 0, 0.4), (4, 0, 0.2)).toDF("id", "label", "score")
+    val best = Evaluator.bestThreshold(df, "label", "score", Seq(0.1, 0.5, 0.85), 0.5)
+    assert(best == 0.5) // at 0.5: perfect split → fbeta 1; 0.1 has fp; 0.85 has fn
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextFunctions
+
+class TextDedupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token count and ratios") {
+    val df = Seq("the quick fox", "a b  c   d", "SHOUTING! yes.").toDF("t")
+    val out = df.select(
+      TextFunctions.tokenCount($"t").as("n"),
+      TextFunctions.stopwordRatio($"t", Seq("the", "a")).as("sr"),
+      TextFunctions.punctRatio($"t").as("pr"),
+      TextFunctions.upperRatio($"t").as("ur")).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(3, 4, 2))
+    assert(out(0).getDouble(1) == 1.0 / 3)
+    assert(out(2).getDouble(2) == 2.0 / 14)
+    assert(out(2).getDouble(3) == 8.0 / 14)
+  }
+
+  test("fingerprint matches the reference fold") {
+    def fp(s: String): Long = s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+    val texts = Seq("hello world", "spark graft engine")
+    val out = texts.toDF("t").select(TextFunctions.fingerprint($"t")).collect().map(_.getLong(0))
+    assert(out.toSeq == texts.map(fp))
+  }
+
+  test("char and word ngrams") {
+    val df = Seq("abcd").toDF("t")
+    assert(df.select(TextFunctions.charNgrams($"t", 3)).head().getSeq[String](0) == Seq("abc", "bcd"))
+    val df2 = Seq("w1 w2 w3").toDF("t")
+    assert(df2.select(TextFunctions.wordNgrams($"t", 2)).head().getSeq[String](0) == Seq("w1 w2", "w2 w3"))
+  }
+
+  test("langId picks max-scoring profile with alphabetical tie-break") {
+    val profiles = Seq("en" -> Seq("the"), "de" -> Seq("der"), "fr" -> Seq("le"))
+    val out = Seq("the the der", "le le le", "nothing matches").toDF("t")
+      .select(TextFunctions.langId($"t", profiles)).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "fr", "de")) // zero-score tie → alphabetical min
+  }
+
+  test("exact dedup counts duplicate rows") {
+    val df = Seq("x", "y", "x", "z", "x").toDF("text")
+    val r = Dedup.exactDedupStats(df, "text").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 3L, 2L)))
+    val kept = Dedup.exactDedup(df.withColumn("id", monotonically_increasing_id()), "id", "text")
+    assert(kept.count() == 3)
+  }
+
+  test("jaccard join finds near-dup pair; minhash agrees with exact") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different content here entirely unrelated")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingled(docs, "doc_id", "text", 3)
+    val exact = Dedup.jaccardJoinExact(sh, 0.5).collect()
+    assert(exact.length == 1)
+    assert((exact(0).getLong(0), exact(0).getLong(1)) == ((1L, 2L)))
+    val mh = Dedup.minhashNearDup(docs, "doc_id", "text", 3, 64, 42L, 0.5).collect()
+    assert(mh.length == 1 && mh(0).getLong(0) == 1L && mh(0).getLong(1) == 2L)
+    assert(math.abs(mh(0).getDouble(2) - exact(0).getDouble(2)) < 1e-12)
+  }
+
+  test("simhash: near-identical texts have small hamming distance") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight")
+    ).toDF("id", "text").withColumn("sh", Dedup.simhash64($"text"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+    assert(ham(m(1L), m(2L)) <= 12)
+  }
+
+  test("cosine topK returns exact nearest neighbors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.topK(vecs, vecs.filter($"vec_id" === 1), "vec_id", "embedding", 2)
+      .orderBy($"rank").collect().map(_.getLong(1))
+    assert(out.toSeq == Seq(2L, 3L))
+  }
+
+  test("LSH ANN finds the strong neighbor with coarse buckets") {
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val near = base.map(x => x + 0.01f)
+    val vecs = ((1L, base) +: (2L, near) +: (3 to 40).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))).toDF("id", "v")
+    val out = Similarity.annLsh(vecs, "id", "v", dim = 16, nPlanes = 2, seed = 5L, k = 3)
+    val n1 = out.filter($"query_id" === 1L).collect().map(_.getLong(1))
+    assert(n1.contains(2L), s"neighbors of 1: ${n1.mkString(",")}")
+  }
+
+  test("hyperplane bucket assigns identical vectors identically") {
+    val vecs = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val b = vecs.select(Similarity.hyperplaneBucket($"v", 3, 4, 9L)).collect().map(_.getLong(0))
+    assert(b(0) == b(1))
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.ml.classification.LogisticRegressionModel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ml._
+
+class TrainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Separable synthetic data: two shifted Gaussian blobs, dim 4. */
+  lazy val blobs: DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      val label = i % 2
+      val shift = if (label == 1) 1.5 else -1.5
+      (i.toLong, label.toDouble, Array.fill(4)(rnd.nextGaussian() + shift))
+    }
+    Trainer.withFeaturesFromArray(
+      rows.toDF("id", "label", "arr"), "arr").cache()
+  }
+
+  lazy val trainValid: (DataFrame, DataFrame) = {
+    val t = blobs.filter($"id" % 5 =!= 0)
+    val v = blobs.filter($"id" % 5 === 0)
+    (t, v)
+  }
+
+  test("logistic regression learns a separable problem (AUC > 0.95)") {
+    val (train, valid) = trainValid
+    val m = Trainer.classifier(Trainer.LogReg, Map("regParam" -> 0.01), None).fit(train)
+    assert(Trainer.validationAuc(m, valid) > 0.95)
+  }
+
+  test("random search over RF/GBT spaces returns the best trial") {
+    val (train, valid) = trainValid
+    val res = Trainer.randomSearch(Trainer.GBT,
+      Seq(Trainer.ParamRange("maxDepth", 2, 5), Trainer.ParamRange("maxIter", 3, 8)),
+      train, valid, maxTrials = 2, seed = 42L)
+    assert(res.trials.size == 2)
+    assert(res.bestMetric == res.trials.map(_.metric).max)
+    assert(res.bestMetric > 0.9)
+    val rf = Trainer.randomSearch(Trainer.RandomForest,
+      Seq(Trainer.ParamRange("numTrees", 5, 10), Trainer.ParamRange("maxDepth", 2, 4)),
+      train, valid, maxTrials = 2, seed = 1L)
+    assert(rf.bestMetric > 0.9)
+  }
+
+  test("cross-validated grid search picks a reg param") {
+    val (train, _) = trainValid
+    val cv = Trainer.crossValidateLogReg(train, Seq(0.001, 10.0), folds = 3)
+    assert(cv.avgMetrics.size == 2)
+    // heavy regularization should not win on separable data
+    assert(cv.best.getRegParam == 0.001)
+  }
+
+  test("soft-voting ensemble averages probabilities of members") {
+    val (train, valid) = trainValid
+    val m1 = Trainer.classifier(Trainer.LogReg, Map("regParam" -> 0.01), None).fit(train)
+    val m2 = Trainer.classifier(Trainer.RandomForest, Map("numTrees" -> 5.0), None).fit(train)
+    val out = Trainer.softVote(Seq(m1, m2), valid)
+    assert(out.columns.contains("ens_prob") && out.columns.contains("ens_pred"))
+    val acc = out.filter($"ens_pred" === $"label").count().toDouble / out.count()
+    assert(acc > 0.85, s"ensemble accuracy $acc")
+  }
+
+  test("isotonic calibration reduces ECE of a miscalibrated score") {
+    val (train, valid) = trainValid
+    val m = Trainer.classifier(Trainer.LogReg, Map("regParam" -> 0.01), None).fit(train)
+    // miscalibrate deliberately: shrink probabilities toward 0.35
+    val scored = m.asInstanceOf[LogisticRegressionModel].transform(blobs)
+      .withColumn("raw", Trainer.posProb("probability") * 0.5)
+      .select($"id", $"label", $"raw")
+    val calib = scored.filter($"id" % 3 === 0)
+    val rest = scored.filter($"id" % 3 =!= 0)
+    val iso = Calibration.fitIsotonic(calib, "raw", "label")
+    val calibrated = Calibration.applyCalibration(rest, iso, "raw", "cal")
+    val eceBefore = Evaluator.ece(rest, "label", "raw", 10).head().getAs[Double]("ece")
+    val eceAfter = Evaluator.ece(calibrated, "label", "cal", 10).head().getAs[Double]("ece")
+    assert(eceAfter < eceBefore, s"ece $eceBefore -> $eceAfter")
+  }
+
+  test("threshold tuning, champion selection, persistence, batch predict") {
+    val (train, valid) = trainValid
+    val lr = Trainer.classifier(Trainer.LogReg, Map("regParam" -> 0.01), None).fit(train)
+    val scored = lr.asInstanceOf[LogisticRegressionModel].transform(valid)
+      .withColumn("p", Trainer.posProb("probability"))
+    val (best, sweep) = Calibration.tuneThreshold(scored, "label", "p", 0.5, Seq(0.3, 0.5, 0.7))
+    assert(sweep.count() == 3 && best >= 0.3 && best <= 0.7)
+
+    val aucLr = Trainer.validationAuc(lr, valid)
+    val champ = Champion.select(Seq(
+      Champion.Candidate("logreg", lr, aucLr),
+      Champion.Candidate("dummy", lr, 0.1)), deploymentThreshold = 0.3)
+    assert(champ.exists(_.name == "logreg"))
+    assert(Champion.select(Seq(Champion.Candidate("bad", lr, 0.1)), 0.3).isEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-champ").toString
+    Champion.save(lr, s"$dir/model")
+    val loaded = LogisticRegressionModel.load(s"$dir/model")
+    assert(Trainer.validationAuc(loaded, valid) == aucLr)
+
+    blobs.select($"id", $"label", $"arr").write.mode("overwrite").parquet(s"$dir/in")
+    Champion.batchPredict(spark, loaded, s"$dir/in", s"$dir/out", "arr")
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == blobs.count())
+    assert(out.columns.contains("pos_prob") && out.columns.contains("prediction"))
+  }
+
+  test("feature importance comes back for linear and tree models") {
+    val (train, _) = trainValid
+    val lr = Trainer.classifier(Trainer.LogReg, Map("regParam" -> 0.01), None).fit(train)
+    val rf = Trainer.classifier(Trainer.RandomForest, Map("numTrees" -> 5.0), None).fit(train)
+    assert(Trainer.featureImportance(lr).size == 4)
+    assert(Trainer.featureImportance(rf).size == 4)
+  }
+
+  test("end-to-end: embeddings table trains through the full pipeline") {
+    import graft.features.LabelOps
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("label", ($"label" % 2).cast("double"))
+    val feats = Trainer.withFeaturesFromArray(emb, "embedding")
+    val weights = LabelOps.balancedClassWeights(feats, "label")
+      .withColumnRenamed("label", "wl")
+    val withW = feats.join(broadcast(weights), $"label" === $"wl").drop("wl", "n")
+    val (train, valid) = (withW.filter($"vec_id" % 5 =!= 0), withW.filter($"vec_id" % 5 === 0))
+    val m = Trainer.classifier(Trainer.LogReg,
+      Map("regParam" -> 0.1, "elasticNetParam" -> 0.5), Some("weight")).fit(train)
+    val auc = Trainer.validationAuc(m, valid)
+    assert(auc >= 0.0 && auc <= 1.0) // synthetic labels may be unlearnable; pipeline must run
+  }
+}
