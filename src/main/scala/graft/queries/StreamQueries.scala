@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.streaming.Streams
+
+/** Streaming-semantics and multimodal queries (SURVEY.md §2.8-2.9).
+  * The batch results here are definitionally what the streaming
+  * variants converge to — StreamsSpec asserts that equivalence on
+  * MemoryStream input; these queries gate the shared transforms
+  * against DuckDB.
+  */
+object StreamQueries {
+  import CoreQueries.Q
+
+  private def r2(c: Column): Column = round(c, 2) + lit(0.0)
+  private def r4(c: Column): Column = round(c, 4) + lit(0.0)
+
+  def qStreamWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Streams.windowedAgg(Tables.events(s, d), "1 hour")
+      .select(unix_timestamp($"window_start").as("window_start_s"), $"event_type",
+        $"n", r2($"sum_value").as("sum_value"))
+      .orderBy($"window_start_s", $"event_type")
+  }
+
+  val qStreamWindowOracle: String =
+    """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start_s,
+      | event_type, count(*) AS n, round(sum(value),2) + 0 AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def qSessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Streams.sessionSummary(Tables.events(s, d), 86400L).orderBy($"user_id")
+  }
+
+  val qSessionizeOracle: String =
+    """WITH x AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+      |l AS (SELECT user_id, ts_s,
+      |  lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev FROM x)
+      |SELECT user_id,
+      | CAST(sum(CASE WHEN prev IS NULL OR ts_s - prev > 86400 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      | count(*) AS n_events
+      |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  def qMmMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      .groupBy($"meta.format".as("format"))
+      .agg(count(lit(1)).as("n"), sum(length($"payload")).as("sum_bytes"),
+        r4(avg($"meta.width")).as("avg_width"))
+      .orderBy($"format")
+  }
+
+  val qMmMetaOracle: String =
+    """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+      | count(*) AS n,
+      | CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+      | round(avg(100 + doc_id % 400),4) + 0 AS avg_width
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q_stream_window" -> qStreamWindow,
+    "q_sessionize" -> qSessionize,
+    "q_mm_meta" -> qMmMeta
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_window" -> qStreamWindowOracle,
+    "q_sessionize" -> qSessionizeOracle,
+    "q_mm_meta" -> qMmMetaOracle
+  )
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream (SURVEY.md
+  * §2.8). The batch/stream duality is deliberate: `windowedAgg` is the
+  * SAME declarative transform for a batch frame and a readStream frame
+  * — which is how Structured Streaming is meant to be used, and what
+  * lets the correctness gate check streaming semantics via a batch
+  * oracle.
+  */
+object Streams {
+
+  /** Tumbling-window aggregation: count + sum(value) per (window,
+    * event_type). On a streaming input add `withWatermark` upstream;
+    * state is bounded by the watermark.
+    */
+  def windowedAgg(df: DataFrame, windowDur: String): DataFrame =
+    df.groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming variant with watermark (for readStream inputs). */
+  def streamingWindowedAgg(stream: DataFrame, windowDur: String, watermark: String): DataFrame =
+    windowedAgg(stream.withWatermark("ts", watermark), windowDur)
+
+  /** Batch gap-based sessionization: a new session starts when the gap
+    * to the previous event (per user) exceeds `gapSeconds`. One window
+    * shuffle on user_id; session ids via running sum of boundary flags.
+    */
+  def sessionize(df: DataFrame, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    df.withColumn("__ts_s", unix_timestamp(col("ts")))
+      .withColumn("__prev", lag(col("__ts_s"), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev").isNull || col("__ts_s") - col("__prev") > gapSeconds, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("__new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__ts_s", "__prev", "__new_session")
+  }
+
+  /** Per-user session summary (batch): sessions and events per user. */
+  def sessionSummary(df: DataFrame, gapSeconds: Long): DataFrame =
+    sessionize(df, gapSeconds)
+      .groupBy(col("user_id"))
+      .agg(max(col("session_idx")).cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+
+  final case class SessionState(sessionStartS: Long, lastSeenS: Long, nEvents: Long)
+  final case class SessionOut(userId: Long, nEvents: Long, durationS: Long)
+
+  /** Stateful streaming sessionization via flatMapGroupsWithState:
+    * a session closes when a later event for the key arrives past the
+    * gap, or (with ProcessingTimeTimeout) when the timeout fires.
+    * State per key is O(1). Default NoTimeout keeps emission purely
+    * data-driven (deterministic — what the spec asserts); production
+    * can pass ProcessingTimeTimeout to also flush idle keys.
+    */
+  def statefulSessions(events: Dataset[(Long, Long)], gapSeconds: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), timeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.nEvents, s.lastSeenS - s.sessionStartS))
+          } else {
+            val ts = rows.map(_._2).toSeq.sorted
+            val closed = scala.collection.mutable.Buffer[SessionOut]()
+            var st = state.getOption.getOrElse(SessionState(ts.head, ts.head, 0L))
+            ts.foreach { t =>
+              if (t - st.lastSeenS > gapSeconds) {
+                closed += SessionOut(userId, st.nEvents, st.lastSeenS - st.sessionStartS)
+                st = SessionState(t, t, 1L)
+              } else st = st.copy(lastSeenS = t, nEvents = st.nEvents + 1)
+            }
+            state.update(st)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration(gapSeconds * 1000)
+            closed.iterator
+          }
+      }
+  }
+
+  /** Streaming dedup by key within the watermark window. */
+  def streamDedup(stream: DataFrame, watermark: String, keys: Seq[String]): DataFrame =
+    stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.streaming.Streams
+
+case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long, event_id: Long)
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming windowed agg converges to the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      Ev(t("2024-01-01 00:10:00"), "click", 1.0, 1, 1),
+      Ev(t("2024-01-01 00:50:00"), "click", 2.0, 1, 2),
+      Ev(t("2024-01-01 01:10:00"), "view", 3.0, 2, 3),
+      Ev(t("2024-01-01 01:20:00"), "click", 4.0, 2, 4))
+    val ms = MemoryStream[Ev]
+    val q = Streams.streamingWindowedAgg(ms.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_agg").outputMode("complete").start()
+    ms.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("win_agg")
+      .select($"window_start", $"event_type", $"n", $"sum_value")
+      .orderBy($"window_start", $"event_type").collect().toSeq
+    val batch = Streams.windowedAgg(rows.toDF(), "1 hour")
+      .orderBy($"window_start", $"event_type").collect().toSeq
+    q.stop()
+    assert(streamed == batch)
+    assert(streamed.map(r => (r.getString(1), r.getLong(2))) ==
+      Seq(("click", 2L), ("click", 1L), ("view", 1L)))
+  }
+
+  test("batch sessionization splits on gap") {
+    val rows = Seq(
+      Ev(t("2024-01-01 00:00:00"), "c", 0, 1, 1),
+      Ev(t("2024-01-01 00:10:00"), "c", 0, 1, 2),
+      Ev(t("2024-01-02 12:00:00"), "c", 0, 1, 3), // > 1 day gap → new session
+      Ev(t("2024-01-01 00:00:00"), "c", 0, 2, 4))
+    val out = Streams.sessionSummary(rows.toDF(), 86400L).orderBy($"user_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 3L), (2L, 1L, 1L)))
+  }
+
+  test("stateful streaming sessions close on gap across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    val q = Streams.statefulSessions(ms.toDS(), gapSeconds = 100L)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    ms.addData((1L, 0L), (1L, 10L))
+    q.processAllAvailable()
+    ms.addData((1L, 100000L)) // gap ≫ 100s → closes first session
+    q.processAllAvailable()
+    val out = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    q.stop()
+    assert(out.contains((1L, 2L, 10L)), s"sessions: $out")
+  }
+
+  test("streaming dedup within watermark drops duplicate keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streams.streamDedup(ms.toDF(), "1 hour", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    ms.addData(
+      Ev(t("2024-01-01 00:00:00"), "c", 1.0, 1, 1),
+      Ev(t("2024-01-01 00:00:01"), "c", 1.0, 1, 1),
+      Ev(t("2024-01-01 00:00:02"), "c", 1.0, 1, 2))
+    q.processAllAvailable()
+    val n = spark.table("dedup").count()
+    q.stop()
+    assert(n == 2)
+  }
+
+  test("multimodal extract keeps schema and batch shape through mapPartitions") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val media = Multimodal.mediaFromDocuments(docs)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() == 50)
+    val r = feats.orderBy($"media_id").head()
+    assert(r.getAs[scala.collection.Seq[Float]]("features").size == 8)
+    assert(Seq("jpg", "png", "webp").contains(r.getAs[String]("format")))
+    // payload bytes = utf8 text bytes
+    val expected = docs.select($"doc_id", length($"text")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = feats.select($"media_id", $"n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected)
+  }
+}
