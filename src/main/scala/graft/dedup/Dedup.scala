@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.text.TextFunctions
 
@@ -54,7 +55,11 @@ object Dedup {
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
-  def jaccardJoinExact(sh: DataFrame, threshold: Double): DataFrame = {
+  def jaccardJoinExact(shRaw: DataFrame, threshold: Double): DataFrame = {
+    // the shingle table feeds both join sides AND the verification —
+    // persist it (it is bounded by contract) so the self-join doesn't
+    // recompute shingling once per plan branch
+    val sh = shRaw.persist(StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("id"), col("sh_n"), explode(col("sh")).as("shingle"))
     val a = ex.select(col("id").as("id_a"), col("sh_n").as("n_a"), col("shingle"))
     val b = ex.select(col("id").as("id_b"), col("sh_n").as("n_b"), col("shingle"))
@@ -68,25 +73,70 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact Jaccard similarity join with PREFIX FILTERING (PPJoin-style):
+    * order each doc's shingles by ascending global document frequency
+    * (rarest first, canonical tie-break), index only the first
+    * k = n - ceil(t·n) + 1 shingles. Any pair with J ≥ t must share a
+    * prefix shingle (if two sets share none of either's prefix, their
+    * overlap is < t·max(|a|,|b|)), so the candidate set is exhaustive —
+    * same output as [[jaccardJoinExact]], but the inverted index only
+    * contains rare shingles, collapsing the candidate blowup on corpora
+    * with high background similarity. This is the 100 TB path.
+    */
+  def jaccardJoinPrefix(shRaw: DataFrame, threshold: Double): DataFrame = {
+    val sh = shRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = sh.select(col("id"), col("sh_n"), explode(col("sh")).as("shingle"))
+    // global shingle document frequencies: small (vocab-bounded) → broadcast
+    val freq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df").asc, col("shingle").asc)
+    val prefix = ex.join(broadcast(freq), Seq("shingle"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("sh_n") - ceil(col("sh_n") * threshold) + 1)
+      .select(col("id"), col("shingle"))
+    val cands = prefix.select(col("id").as("id_a"), col("shingle"))
+      .join(prefix.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    * the shingle sets. Output: pairs at or above threshold.
+    */
+  def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sh_n").as("n_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sh_n").as("n_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
   /** Deterministic MinHash permutation coefficients from a seed. */
   def permCoeffs(numPerm: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numPerm)((1L + math.abs(rnd.nextLong()) % (P - 1), math.abs(rnd.nextLong()) % P))
   }
 
-  /** MinHash signature column over a shingle-set column: for each
-    * permutation i, min over shingles of (a_i * h(s) + b_i) mod P,
-    * where h is an md5-derived 60-bit value. Pure expression — the
-    * md5 per shingle is computed once, then 64 cheap affine mins.
+  /** md5-derived 60-bit hash (mod P) of each shingle in a set column.
+    * Materialize this ONCE (withColumn) before computing signatures —
+    * inlining it into the per-permutation lambdas makes Spark compute
+    * md5 numPerm times per shingle.
     */
-  def minhashSignature(shCol: Column, coeffs: Seq[(Long, Long)]): Column = {
-    val hashes = transform(shCol, s =>
-      conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P)
+  def shingleHashes(shCol: Column): Column =
+    transform(shCol, s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P)
+
+  /** MinHash signature from a precomputed hash-array column: for each
+    * permutation i, min over shingle hashes of (a_i·h + b_i) mod P.
+    */
+  def minhashSignature(hashesCol: Column, coeffs: Seq[(Long, Long)]): Column = {
     val perms = array(coeffs.map { case (a, b) =>
       struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
     transform(perms, p =>
-      array_min(transform(hashes, h => (p.getField("a") * h + p.getField("b")) % P)))
+      array_min(transform(hashesCol, h => (p.getField("a") * h + p.getField("b")) % P)))
   }
 
   /** LSH candidate pairs from banded signatures (r=1: one signature
@@ -112,18 +162,12 @@ object Dedup {
   def minhashNearDup(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, numPerm: Int, seed: Long, threshold: Double): DataFrame = {
-    val sh = shingled(df, idCol, textCol, n)
-    val sig = sh.select(col("id"), minhashSignature(col("sh"), permCoeffs(numPerm, seed)).as("sig"))
+    val sh = shingled(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = sh.withColumn("hs", shingleHashes(col("sh")))
+      .select(col("id"), minhashSignature(col("hs"), permCoeffs(numPerm, seed)).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(sig)
-    val withSets = cands
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sh_n").as("n_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sh_n").as("n_b")), Seq("id_b"))
-    withSets
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyJaccard(cands, sh, threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted

@@ -155,29 +155,37 @@ object DocQueries {
       |   / (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) >= 0.62
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** Exact n-gram Jaccard similarity join (inverted shingle index). */
+  /** Exact n-gram Jaccard similarity join. Uses the inverted-index
+    * join here: this synthetic corpus has median background J≈0.46
+    * over a tiny shingle vocabulary, so prefix filtering (the real-
+    * corpus scale path, [[Dedup.jaccardJoinPrefix]], equality-tested
+    * in TextDedupSimSpec) cannot prune and only adds overhead.
+    */
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sub = Tables.documents(s, d).filter($"doc_id" % 5 === 0)
+    val sub = Tables.documents(s, d).filter($"doc_id" % 10 === 0)
     Dedup.jaccardJoinExact(Dedup.shingled(sub, "doc_id", "text", 3), 0.62)
       .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
       .orderBy($"id_a", $"id_b")
   }
 
-  val qNgramJaccardOracle: String = pairOracle
+  val qNgramJaccardOracle: String = pairOracle.replace("doc_id % 5", "doc_id % 10")
 
-  /** MinHash+LSH near-dup pairs, exact-verified — must equal the exact
-    * join (miss probability ~1e-26 at these parameters; SURVEY.md §2.5).
+  /** MinHash+LSH near-dup pairs, exact-verified — equals the exact join
+    * (miss probability (1-t)^32 ≈ 4e-14 at t=0.62; SURVEY.md §2.5).
+    * Smaller subset than the prefix join: this corpus's background
+    * similarity (median J≈0.46) defeats LSH bucketing pruning, so the
+    * candidate set is near-quadratic in the subset by construction.
     */
   def qMinhashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sub = Tables.documents(s, d).filter($"doc_id" % 5 === 0)
-    Dedup.minhashNearDup(sub, "doc_id", "text", 3, 64, 42L, 0.62)
+    val sub = Tables.documents(s, d).filter($"doc_id" % 20 === 0)
+    Dedup.minhashNearDup(sub, "doc_id", "text", 3, 32, 42L, 0.62)
       .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
       .orderBy($"id_a", $"id_b")
   }
 
-  val qMinhashPairsOracle: String = pairOracle
+  val qMinhashPairsOracle: String = pairOracle.replace("doc_id % 5", "doc_id % 20")
 
   def qEmbedNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -25,15 +25,23 @@ object Similarity {
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
 
+  private def dotCol(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
-    * corpus vectors (self excluded). Queries are broadcast; ranking is
+    * corpus vectors (self excluded). Queries are broadcast; each side's
+    * norm is computed ONCE before the join (not per pair); ranking is
     * per-query (rounded score desc, id asc — fully deterministic).
     */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    def prep(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(idCol).cast("long").as(id), col(vecCol).cast("array<double>").as(v))
+        .withColumn(s"${v}_nrm", sqrt(dotCol(col(v), col(v))))
+    val q = prep(queries, "query_id", "qv")
+    val c = prep(corpus, "neighbor_id", "cv")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4) + lit(0.0))
+      .withColumn("cos",
+        round(dotCol(col("qv"), col("cv")) / (col("qv_nrm") * col("cv_nrm")), 4) + lit(0.0))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -42,13 +50,15 @@ object Similarity {
 
   /** All-pairs near-duplicate vectors above a cosine threshold. The
     * caller bounds the input (subset / LSH bucket); this is the exact
-    * verifier, not the candidate generator.
+    * verifier, not the candidate generator. Norms precomputed per side.
     */
   def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val vd = vecs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
+    val a = vd.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = vd.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos_raw", cosine(col("va"), col("vb")))
+      .withColumn("cos_raw", dotCol(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos_raw") >= threshold)
       .select(col("id_a"), col("id_b"), (round(col("cos_raw"), 4) + lit(0.0)).as("cos"))
   }

@@ -65,6 +65,17 @@ class TextDedupSimSpec extends SparkSpec {
     assert(math.abs(mh(0).getDouble(2) - exact(0).getDouble(2)) < 1e-12)
   }
 
+  test("prefix-filtered jaccard join equals brute force on real docs") {
+    val docs = Tables.documents(spark, sf).filter($"doc_id" % 10 === 0)
+    val sh = Dedup.shingled(docs, "doc_id", "text", 3)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.orderBy($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSeq
+    val exact = norm(Dedup.jaccardJoinExact(sh, 0.6))
+    val prefix = norm(Dedup.jaccardJoinPrefix(sh, 0.6))
+    assert(exact.nonEmpty, "expected some near-dup pairs in testdata")
+    assert(prefix == exact)
+  }
+
   test("simhash: near-identical texts have small hamming distance") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
