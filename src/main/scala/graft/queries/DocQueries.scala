@@ -220,7 +220,29 @@ object DocQueries {
       | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** [R] rows-only: 64-bit SimHash per doc + hamming-ball near-dup count
+    * (no oracle — cross-engine bit arithmetic is spec-tested instead).
+    */
+  def qSimhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sub = Tables.documents(s, d).filter($"doc_id" % 10 === 0)
+      .select($"doc_id", Dedup.simhash64($"text").as("simhash"))
+    sub.orderBy($"doc_id")
+  }
+
+  /** [R] rows-only: random-hyperplane LSH ANN top-k (recall is
+    * probabilistic — spec-tested, not oracle-gated).
+    */
+  def qAnnLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sub = Tables.embeddings(s, d).filter($"vec_id" % 5 === 0)
+    Similarity.annLsh(sub, "vec_id", "embedding", dim = 64, nPlanes = 2, seed = 7L, k = 3)
+      .orderBy($"query_id", $"rank")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_simhash" -> qSimhash,
+    "q_ann_lsh" -> qAnnLsh,
     "q_token_count" -> qTokenCount,
     "q_text_quality" -> qTextQuality,
     "q_lang_id" -> qLangId,

@@ -80,6 +80,34 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
+    * each vector assigned to its nearest centroid's list; queries probe
+    * only their own cell. The standard sub-quadratic scale path when
+    * LSH recall is insufficient: work per query is corpus/k on average,
+    * and the centroid model is tiny (broadcast).
+    */
+  def annIvf(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, k: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val toVec = (df: DataFrame) => df.withColumn("__fv",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("__fv")
+      .setPredictionCol("cell")
+    val model = km.fit(toVec(corpus))
+    val assignedCorpus = model.transform(toVec(corpus))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
+    val assignedQueries = model.transform(toVec(queries))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"))
+    val scored = assignedCorpus.join(assignedQueries, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4) + lit(0.0))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: exact top-k within each bucket. Sub-quadratic;
     * recall depends on nPlanes (fewer planes → bigger buckets → higher
     * recall, more work).

@@ -58,6 +58,17 @@ class PrepSplitSpec extends SparkSpec {
     assert(byClass.forall(f => f > 0.7 && f < 0.9), byClass.mkString(","))
   }
 
+  test("validation + calibration carve-outs are pairwise disjoint") {
+    val ev = Tables.events(spark, sf).select($"event_id", $"event_type")
+    val (train0, _) = Splits.stratifiedRandomSplit(ev, "event_type", "event_id", 0.8, 42L)
+    val (train1, valid) = Splits.carveOut(train0, "event_type", "event_id", 0.8, 43L)
+    val (train2, calib) = Splits.carveOut(train1, "event_type", "event_id", 0.8, 44L)
+    assert(Splits.overlapCount(train2, valid, "event_id") == 0)
+    assert(Splits.overlapCount(train2, calib, "event_id") == 0)
+    assert(Splits.overlapCount(valid, calib, "event_id") == 0)
+    assert(train2.count() + valid.count() + calib.count() == train0.count())
+  }
+
   test("hashSplit is deterministic and disjoint") {
     val ev = Tables.events(spark, sf)
     val (t1, _) = Splits.hashSplit(ev, "event_id", 10, 8)

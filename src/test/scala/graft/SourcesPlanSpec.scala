@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.features.MLlibPipeline
+
+class SourcesPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-io").toString
+
+  test("csv round-trip preserves data with explicit schema") {
+    val dir = tmp()
+    val df = Tables.nation(spark, sf)
+    df.write.mode("overwrite").option("header", "true").csv(s"$dir/nation_csv")
+    val back = spark.read.option("header", "true")
+      .schema(df.schema).csv(s"$dir/nation_csv")
+    assert(back.count() == df.count())
+    assert(back.exceptAll(df).count() == 0)
+  }
+
+  test("json round-trip preserves data") {
+    val dir = tmp()
+    val df = Tables.region(spark, sf)
+    df.write.mode("overwrite").json(s"$dir/region_json")
+    val back = spark.read.schema(df.schema).json(s"$dir/region_json")
+    assert(back.exceptAll(df).count() == 0 && back.count() == df.count())
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = tmp()
+    Tables.orders(spark, sf)
+      .withColumn("status", $"o_orderstatus")
+      .write.mode("overwrite").partitionBy("status").parquet(s"$dir/orders_part")
+    // feature-store-style layout: one directory per partition value
+    assert(new java.io.File(s"$dir/orders_part/status=O").exists())
+    val pruned = spark.read.parquet(s"$dir/orders_part").filter($"status" === "O")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == Tables.orders(spark, sf).filter($"o_orderstatus" === "O").count())
+    // partition filter must reach the scan, not a post-scan Filter
+    assert(plan.contains("PartitionFilters") && plan.contains("status"), plan.take(500))
+  }
+
+  test("parquet scan pushes filters and prunes columns") {
+    val q = Tables.lineitem(spark, sf)
+      .filter($"l_quantity" > 30)
+      .select($"l_orderkey", $"l_quantity")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), scan.take(800))
+    // ReadSchema must not include unprojected columns like l_comment/l_tax
+    val readSchema = scan.split("ReadSchema:")(1).split("\n")(0)
+    assert(!readSchema.contains("l_tax") && readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("q2 star join broadcasts the dimension tables") {
+    val plan = graft.queries.CoreQueries.q2RevenueNation(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("q1 aggregation is whole-stage codegen with partial aggregation") {
+    val plan = graft.queries.CoreQueries.q1PricingSummary(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), "expected hash aggregation")
+    // map-side combine before the shuffle (partial_sum/partial_avg)
+    assert(plan.contains("partial_sum"), "expected partial aggregation")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), "expected shipdate pushdown")
+  }
+
+  test("MLlib composite pipeline fits and selects features") {
+    val df = Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment",
+        when($"c_custkey" % 7 === 0, lit(null)).otherwise($"c_acctbal").as("bal_dirty"))
+    val model = MLlibPipeline.fit(df, numCols = Seq("bal_dirty"), catCols = Seq("c_mktsegment"))
+    val out = model.transform(df)
+    assert(out.columns.contains("features"))
+    val v = out.select("features").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    // 1 scaled numeric + (5 segments + keep-invalid slot - dropLast) one-hot
+    assert(v.size == 6, s"feature vector size ${v.size}")
+    val dir = tmp()
+    model.write.overwrite().save(s"$dir/pipe")
+    val loaded = org.apache.spark.ml.PipelineModel.load(s"$dir/pipe")
+    assert(loaded.transform(df).select("features").head().getAs[org.apache.spark.ml.linalg.Vector](0) == v)
+  }
+}

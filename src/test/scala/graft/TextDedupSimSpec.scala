@@ -109,6 +109,17 @@ class TextDedupSimSpec extends SparkSpec {
     assert(n1.contains(2L), s"neighbors of 1: ${n1.mkString(",")}")
   }
 
+  test("IVF ANN finds the strong neighbor within its cell") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val near = base.map(x => x + 0.01f)
+    val vecs = ((1L, base) +: (2L, near) +: (3 to 60).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))).toDF("id", "v")
+    val out = graft.sim.Similarity.annIvf(vecs, vecs.filter($"id" === 1L), "id", "v", nCells = 3, k = 3)
+    val n1 = out.collect().map(_.getLong(1))
+    assert(n1.contains(2L), s"IVF neighbors of 1: ${n1.mkString(",")}")
+  }
+
   test("hyperplane bucket assigns identical vectors identically") {
     val vecs = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
     val b = vecs.select(Similarity.hyperplaneBucket($"v", 3, 4, 9L)).collect().map(_.getLong(0))
