@@ -43,9 +43,13 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("__digest")
 
-  /** (id, shingles) projection: distinct character n-gram sets. */
+  /** (id, shingles) projection: distinct character n-gram sets, sorted
+    * ascending — the invariant [[verifyJaccard]]'s two-pointer
+    * intersection relies on.
+    */
   def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), TextFunctions.shingleSet(col(textCol), n).as("sh"))
+    df.select(col(idCol).as("id"),
+        array_sort(TextFunctions.shingleSet(col(textCol), n)).as("sh"))
       .withColumn("sh_n", size(col("sh")))
 
   /** Exact Jaccard similarity join via inverted shingle index: explode
@@ -102,13 +106,17 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
-    * the shingle sets. Output: pairs at or above threshold.
+    * the shingle sets (sorted, per [[shingled]]). The intersection uses
+    * the custom [[graft.functions.SortedIntersectSize]] codegen
+    * expression — a zero-allocation two-pointer merge, the hot loop of
+    * near-dup verification at scale.
     */
   def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sh_n").as("n_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sh_n").as("n_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize.sortedIntersectSize(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)

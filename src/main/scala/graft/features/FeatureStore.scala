@@ -1,0 +1,44 @@
+package graft.features
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsofJoin
+
+/** Offline feature-store layout + retrieval (reference:
+  * src/feature/prep_data.py:152-180 save_transformed_data — features
+  * and target written as separate event-timestamped parquet — and the
+  * Feast get_historical_features point-in-time retrieval pattern).
+  *
+  * Scale: writes are plain partitionable parquet; point-in-time
+  * retrieval is the single-shuffle [[AsofJoin]], not a theta-join.
+  */
+object FeatureStore {
+
+  /** Write features (all columns minus label) and target (pk + label)
+    * with an event-timestamp column, each as parquet under `dir`.
+    */
+  def saveOffline(df: DataFrame, pkCol: String, labelCol: String,
+      tsCol: String, dir: String): Unit = {
+    df.drop(labelCol).write.mode("overwrite").parquet(s"$dir/features.parquet")
+    df.select(col(pkCol), col(labelCol), col(tsCol))
+      .write.mode("overwrite").parquet(s"$dir/target.parquet")
+  }
+
+  /** Entity-key retrieval: join features to target on the primary key
+    * (the reference's training-set construction when timestamps align).
+    */
+  def loadTrainingSet(spark: SparkSession, dir: String, pkCol: String): DataFrame = {
+    val features = spark.read.parquet(s"$dir/features.parquet")
+    val target = spark.read.parquet(s"$dir/target.parquet")
+    val dup = target.columns.filter(features.columns.contains).filterNot(_ == pkCol)
+    features.join(target.drop(dup: _*), Seq(pkCol))
+  }
+
+  /** Point-in-time retrieval: for each entity row (pk, ts), the latest
+    * feature values at or before ts — leakage-safe historical features.
+    */
+  def historicalFeatures(entities: DataFrame, features: DataFrame, pkCol: String,
+      tsCol: String, tieBreakCol: String, featureCols: Seq[String]): DataFrame =
+    AsofJoin.asofBackward(entities, features, pkCol, tsCol, tieBreakCol, featureCols)
+}

@@ -338,7 +338,58 @@ object CoreQueries {
       | (SELECT count(DISTINCT user_id) FROM events WHERE user_id % 10 < 8) AS n_train_keys,
       | (SELECT count(DISTINCT user_id) FROM events WHERE user_id % 10 >= 8) AS n_test_keys""".stripMargin
 
+  /** Semi/anti-join audit: customers with vs without orders, by segment
+    * (EXISTS / NOT EXISTS re-expressed as left_semi / left_anti —
+    * Spark's shuffle-free-on-broadcast exists-join forms).
+    */
+  def qSemiAnti(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select($"o_custkey")
+    val withO = c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+    val withoutO = c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+    withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+      .select($"c_mktsegment",
+        coalesce($"n_with_orders", lit(0L)).as("n_with_orders"),
+        coalesce($"n_without_orders", lit(0L)).as("n_without_orders"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val qSemiAntiOracle: String =
+    """SELECT c_mktsegment,
+      | CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+      | CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Pivot: order-status × order-priority count matrix (explicit pivot
+    * values keep the schema deterministic).
+    */
+  def qPivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+      .select($"o_orderstatus" +: prios.map(p =>
+        coalesce(col(s"`$p`"), lit(0L)).as("prio_" + p.replaceAll("[^A-Za-z0-9]+", "_"))): _*)
+      .orderBy($"o_orderstatus")
+  }
+
+  val qPivotOracle: String =
+    """SELECT o_orderstatus,
+      | CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS prio_1_URGENT,
+      | CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS prio_2_HIGH,
+      | CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS prio_3_MEDIUM,
+      | CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS prio_4_NOT_SPECIFIED,
+      | CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS prio_5_LOW
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_semi_anti" -> qSemiAnti,
+    "q_pivot" -> qPivot,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_revenue_nation" -> q2RevenueNation,
     "q3_top_orders" -> q3TopOrders,
@@ -357,6 +408,8 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_semi_anti" -> qSemiAntiOracle,
+    "q_pivot" -> qPivotOracle,
     "q1_pricing_summary" -> q1Oracle,
     "q2_revenue_nation" -> q2Oracle,
     "q3_top_orders" -> q3Oracle,

@@ -62,15 +62,52 @@ object StreamQueries {
       | round(avg(100 + doc_id % 400),4) + 0 AS avg_width
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Point-in-time attribution: for each purchase, the latest prior
+    * click by the same user (as-of join), summarized per user.
+    */
+  def qAsofAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select($"user_id", $"event_id", $"event_type", unix_timestamp($"ts").as("ts_s"))
+    val purchases = e.filter($"event_type" === "purchase").drop("event_type")
+    val clicks = e.filter($"event_type" === "click").drop("event_type")
+      .withColumn("click_ts", $"ts_s")
+    graft.operators.AsofJoin
+      .asofBackward(purchases, clicks, "user_id", "ts_s", "event_id", Seq("click_ts"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when($"asof_click_ts".isNotNull, 1L).otherwise(0L)).as("n_attributed"),
+        sum(coalesce($"ts_s" - $"asof_click_ts", lit(0L))).as("sum_gap_s"))
+      .orderBy($"user_id")
+  }
+
+  val qAsofAttributionOracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+      |u AS (
+      |  SELECT user_id, ts_s, event_id, 0 AS side, ts_s AS click_ts FROM e WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts_s, event_id, 1 AS side, NULL FROM e WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT *, last_value(click_ts IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts_s, side, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr_ts
+      |  FROM u)
+      |SELECT user_id, count(*) AS n_purchases,
+      | CAST(sum(CASE WHEN attr_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+      | CAST(sum(coalesce(ts_s - attr_ts, 0)) AS BIGINT) AS sum_gap_s
+      |FROM w WHERE side = 1 GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q_stream_window" -> qStreamWindow,
     "q_sessionize" -> qSessionize,
-    "q_mm_meta" -> qMmMeta
+    "q_mm_meta" -> qMmMeta,
+    "q_asof_attribution" -> qAsofAttribution
   )
 
   val oracles: Map[String, String] = Map(
     "q_stream_window" -> qStreamWindowOracle,
     "q_sessionize" -> qSessionizeOracle,
-    "q_mm_meta" -> qMmMetaOracle
+    "q_mm_meta" -> qMmMetaOracle,
+    "q_asof_attribution" -> qAsofAttributionOracle
   )
 }

@@ -68,6 +68,26 @@ class SourcesPlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), "expected shipdate pushdown")
   }
 
+  test("feature store offline layout round-trips and retrieves point-in-time") {
+    import graft.features.FeatureStore
+    val dir = tmp()
+    val df = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label", ($"vec_id" * 100).as("ts_s"),
+        size($"embedding").as("dim"))
+    FeatureStore.saveOffline(df, "vec_id", "label", "ts_s", dir)
+    val training = FeatureStore.loadTrainingSet(spark, dir, "vec_id")
+    assert(training.count() == df.count())
+    assert(training.columns.sorted.toSeq == Seq("dim", "label", "ts_s", "vec_id"))
+
+    // point-in-time: entity at ts 250 sees the feature row from ts 200, not 300
+    val entities = Seq((2L, 250L, 0L), (3L, 50L, 1L)).toDF("vec_id", "ts_s", "eid")
+    val feats = Seq((2L, 200L, 10L, 7.0), (2L, 300L, 11L, 9.0)).toDF("vec_id", "ts_s", "eid", "f")
+    val out = FeatureStore.historicalFeatures(entities, feats, "vec_id", "ts_s", "eid", Seq("f"))
+      .orderBy($"vec_id").collect()
+    assert(out(0).getDouble(3) == 7.0)
+    assert(out(1).isNullAt(3)) // no feature rows for key 3
+  }
+
   test("MLlib composite pipeline fits and selects features") {
     val df = Tables.customer(spark, sf)
       .select($"c_custkey", $"c_acctbal", $"c_mktsegment",

@@ -78,6 +78,19 @@ class StreamsSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("asof backward join attaches latest prior value per key") {
+    import graft.operators.AsofJoin
+    val lefts = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
+      .toDF("k", "ts", "id")
+    val rights = Seq((1L, 90L, 1L, "a"), (1L, 150L, 2L, "b"), (1L, 150L, 3L, "c"), (2L, 60L, 4L, "d"))
+      .toDF("k", "ts", "id", "v")
+    val out = AsofJoin.asofBackward(lefts, rights, "k", "ts", "id", Seq("v"))
+      .orderBy($"k", $"ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(3)).orNull)).toSeq
+    // left(1,100)→"a"; left(1,200)→latest at 150 with max id → "c"; left(2,50)→none (60 > 50)
+    assert(out == Seq((1L, 100L, "a"), (1L, 200L, "c"), (2L, 50L, null)))
+  }
+
   test("multimodal extract keeps schema and batch shape through mapPartitions") {
     val docs = Tables.documents(spark, sf).limit(50)
     val media = Multimodal.mediaFromDocuments(docs)

@@ -65,6 +65,24 @@ class TextDedupSimSpec extends SparkSpec {
     assert(math.abs(mh(0).getDouble(2) - exact(0).getDouble(2)) < 1e-12)
   }
 
+  test("SortedIntersectSize matches array_intersect semantics on sorted sets") {
+    import graft.functions.SortedIntersectSize.sortedIntersectSize
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toString).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toString).distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+      .withColumn("fast", sortedIntersectSize($"a", $"b"))
+      .withColumn("ref", size(array_intersect($"a", $"b")))
+    assert(df.filter($"fast" =!= $"ref").count() == 0)
+    // empty arrays and total overlap
+    val edge = Seq((Seq[String](), Seq("x")), (Seq("x", "y"), Seq("x", "y"))).toDF("a", "b")
+      .select(sortedIntersectSize($"a", $"b")).collect().map(_.getInt(0))
+    assert(edge.toSeq == Seq(0, 2))
+  }
+
   test("prefix-filtered jaccard join equals brute force on real docs") {
     val docs = Tables.documents(spark, sf).filter($"doc_id" % 10 === 0)
     val sh = Dedup.shingled(docs, "doc_id", "text", 3)
