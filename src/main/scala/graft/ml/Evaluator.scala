@@ -50,8 +50,10 @@ object Evaluator {
       tieBreakCol: String, threshold: Double, beta: Double): DataFrame = {
     val label = col(labelCol)
     val pred = predictAt(col(scoreCol), threshold)
-    val w = Window.orderBy(col(scoreCol).asc, col(tieBreakCol).asc)
-    val ranked = df.withColumn("__r", row_number().over(w).cast("long"))
+    // distributed global rank (range partition + offsets), NOT a
+    // no-partition Window — see graft.operators.GlobalRank
+    val ranked = graft.operators.GlobalRank.withGlobalRowNumber(
+      df, Seq(col(scoreCol).asc, col(tieBreakCol).asc), "__r")
     val aggsAll = cmAggs(label, pred) ++ Seq(
       sum(when(label === 1, col("__r")).otherwise(0L)).as("sum_rank_pos"),
       sum(when(label === 1, 1L).otherwise(0L)).as("npos"),

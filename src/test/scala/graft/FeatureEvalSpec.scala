@@ -73,6 +73,18 @@ class FeatureEvalSpec extends SparkSpec {
     assert(math.abs(m.getAs[Double]("roc_auc") - 6.0 / 9) < 1e-9)
   }
 
+  test("distributed global row number equals single-partition window rank") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.events(spark, sf).select($"event_id", $"value")
+    val windowed = df.withColumn("r",
+      row_number().over(Window.orderBy($"value".asc, $"event_id".asc)).cast("long"))
+    val dist = graft.operators.GlobalRank.withGlobalRowNumber(
+      df, Seq($"value".asc, $"event_id".asc), "r")
+    assert(dist.select(max($"r")).head().getLong(0) == df.count())
+    assert(windowed.join(dist.withColumnRenamed("r", "r2"), "event_id")
+      .filter($"r" =!= $"r2").count() == 0)
+  }
+
   test("best threshold maximizes fbeta on the sweep") {
     val df = Seq((1, 1, 0.9), (2, 1, 0.8), (3, 0, 0.4), (4, 0, 0.2)).toDF("id", "label", "score")
     val best = Evaluator.bestThreshold(df, "label", "score", Seq(0.1, 0.5, 0.85), 0.5)
