@@ -118,6 +118,35 @@ object Evaluator {
         fbeta(col("tp"), col("fp"), col("fn"), beta).as("fbeta"))
   }
 
+  /** ROC curve points (FPR, TPR) + precision/recall at a threshold grid
+    * (reference: evaluator.py:736-775 _log_roc_curve /
+    * _log_precision_recall_curve). One pass via the same
+    * threshold-explode shape as [[thresholdSweep]].
+    */
+  def rocPrCurve(df: DataFrame, labelCol: String, scoreCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    val sweep = thresholdSweep(df, labelCol, scoreCol, thresholds, 1.0)
+    def safeDiv(num: Column, den: Column): Column =
+      when(den === 0, lit(null)).otherwise(num.cast("double") / den)
+    sweep.select(col("threshold"),
+      safeDiv(col("fp"), col("fp") + col("tn")).as("fpr"),
+      safeDiv(col("tp"), col("tp") + col("fn")).as("tpr"),
+      safeDiv(col("tp"), col("tp") + col("fp")).as("precision"),
+      safeDiv(col("tp"), col("tp") + col("fn")).as("recall"))
+  }
+
+  /** Calibration curve: per probability bin, mean predicted probability
+    * vs empirical positive rate (reference: evaluator.py:716-735
+    * _log_calibration_curve).
+    */
+  def calibrationCurve(df: DataFrame, labelCol: String, scoreCol: String, bins: Int): DataFrame = {
+    val bin = least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int")
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        avg(col(scoreCol)).as("mean_predicted"),
+        avg(col(labelCol).cast("double")).as("fraction_positive"))
+  }
+
   /** Best threshold by F-beta (ties → smaller threshold). */
   def bestThreshold(df: DataFrame, labelCol: String, scoreCol: String,
       thresholds: Seq[Double], beta: Double): Double =

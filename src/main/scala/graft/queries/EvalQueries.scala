@@ -141,7 +141,48 @@ object EvalQueries {
        |     + sum(CASE WHEN label = 0 AND score >= threshold THEN 1 ELSE 0 END)), 6) + 0 AS fbeta
        |FROM sc CROSS JOIN g GROUP BY threshold ORDER BY threshold""".stripMargin
 
+  def qRocCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Evaluator.rocPrCurve(scored(s, d), "label", "score", sweepThresholds)
+      .select(r6($"threshold").as("threshold"), r6($"fpr").as("fpr"), r6($"tpr").as("tpr"),
+        r6($"precision").as("prec"), r6($"recall").as("recall"))
+      .orderBy($"threshold")
+  }
+
+  val qRocCurveOracle: String =
+    s"""WITH sc AS ($scoredSql),
+       |g AS (SELECT CAST(i AS DOUBLE) * 0.05 AS threshold FROM generate_series(1, 19) AS t(i)),
+       |cm AS (SELECT threshold,
+       |  sum(CASE WHEN label = 1 AND score >= threshold THEN 1 ELSE 0 END) AS tp,
+       |  sum(CASE WHEN label = 0 AND score >= threshold THEN 1 ELSE 0 END) AS fp,
+       |  sum(CASE WHEN label = 1 AND score < threshold THEN 1 ELSE 0 END) AS fn,
+       |  sum(CASE WHEN label = 0 AND score < threshold THEN 1 ELSE 0 END) AS tn
+       | FROM sc CROSS JOIN g GROUP BY threshold)
+       |SELECT round(threshold, 6) + 0 AS threshold,
+       | round(CASE WHEN fp + tn = 0 THEN NULL ELSE CAST(fp AS DOUBLE) / (fp + tn) END, 6) + 0 AS fpr,
+       | round(CASE WHEN tp + fn = 0 THEN NULL ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 6) + 0 AS tpr,
+       | round(CASE WHEN tp + fp = 0 THEN NULL ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) + 0 AS prec,
+       | round(CASE WHEN tp + fn = 0 THEN NULL ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 6) + 0 AS recall
+       |FROM cm ORDER BY threshold""".stripMargin
+
+  def qCalibrationCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Evaluator.calibrationCurve(scored(s, d), "label", "score", 10)
+      .select($"bin", $"n", r6($"mean_predicted").as("mean_predicted"),
+        r6($"fraction_positive").as("fraction_positive"))
+      .orderBy($"bin")
+  }
+
+  val qCalibrationCurveOracle: String =
+    s"""WITH sc AS ($scoredSql)
+       |SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin, count(*) AS n,
+       | round(avg(score), 6) + 0 AS mean_predicted,
+       | round(avg(CAST(label AS DOUBLE)), 6) + 0 AS fraction_positive
+       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_roc_curve" -> qRocCurve,
+    "q_calibration_curve" -> qCalibrationCurve,
     "q_confusion_matrix" -> qConfusionMatrix,
     "q_eval_metrics" -> qEvalMetrics,
     "q_roc_auc" -> qRocAuc,
@@ -151,6 +192,8 @@ object EvalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_roc_curve" -> qRocCurveOracle,
+    "q_calibration_curve" -> qCalibrationCurveOracle,
     "q_confusion_matrix" -> qConfusionMatrixOracle,
     "q_eval_metrics" -> qEvalMetricsOracle,
     "q_roc_auc" -> qRocAucOracle,

@@ -114,12 +114,14 @@ object Similarity {
     */
   def annLsh(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
       nPlanes: Int, seed: Long, k: Int): DataFrame = {
-    val withBucket = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withBucket = vecs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), dim, nPlanes, seed))
-    val a = withBucket.select(col("bucket"), col("id").as("query_id"), col("v").as("qv"))
-    val b = withBucket.select(col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"))
+      .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
+    val a = withBucket.select(col("bucket"), col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val b = withBucket.select(col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
     val scored = a.join(b, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4) + lit(0.0))
+      .withColumn("cos",
+        round(dotCol(col("qv"), col("cv")) / (col("qn") * col("cn")), 4) + lit(0.0))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -88,6 +88,31 @@ class SourcesPlanSpec extends SparkSpec {
     assert(out(1).isNullAt(3)) // no feature rows for key 3
   }
 
+  test("salted join is row-identical to the plain join") {
+    import graft.operators.SaltedJoin
+    // skewed fact: 80% of rows on one key
+    val big = (Seq.fill(800)(1L) ++ (2L to 201L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "row_id")
+    val small = (1L to 201L).map(k => (k, s"dim_$k")).toDF("k", "v")
+    val plain = big.join(small, Seq("k")).select($"row_id", $"v")
+    val salted = SaltedJoin.innerSalted(big, small, "k", salts = 8).select($"row_id", $"v")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("experiment tracker logs runs and picks the best by metric") {
+    import graft.ml.ExperimentTracker
+    import graft.ml.ExperimentTracker.Run
+    val dir = tmp() + "/runs"
+    ExperimentTracker.logRun(spark, dir, Run("r1", "lr", Map("reg" -> 0.1), Map("auc" -> 0.81), 1000L))
+    ExperimentTracker.logRun(spark, dir, Run("r2", "gbt", Map("depth" -> 4), Map("auc" -> 0.93), 2000L))
+    ExperimentTracker.logRun(spark, dir, Run("r3", "rf", Map("trees" -> 10), Map("auc" -> 0.88), 3000L))
+    assert(ExperimentTracker.listRuns(spark, dir).count() == 3)
+    assert(ExperimentTracker.bestRun(spark, dir, "auc", maxRuns = 10).map(_.runId).contains("r2"))
+    // bounded lookback: only the 1 most recent run is considered
+    assert(ExperimentTracker.bestRun(spark, dir, "auc", maxRuns = 1).map(_.runId).contains("r3"))
+  }
+
   test("MLlib composite pipeline fits and selects features") {
     val df = Tables.customer(spark, sf)
       .select($"c_custkey", $"c_acctbal", $"c_mktsegment",
