@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for graft's custom Catalyst expressions, both as a
+  * `SparkSessionExtensions` class (spark.sql.extensions=
+  * graft.functions.GraftExtensions — cluster-wide, survives session
+  * cloning) and as a runtime `register(spark)` for existing sessions.
+  */
+object GraftFunctions {
+  private def builder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "sorted_intersect_size takes exactly 2 arguments")
+    SortedIntersectSize(children.head, children(1))
+  }
+
+  val info = new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size")
+
+  /** Runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_size", builder, "built-in")
+}
+
+/** Session-extension entry point: inject graft functions at session
+  * build time (SURVEY.md §3 — extension registration path).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      GraftFunctions.info,
+      (children: Seq[Expression]) => SortedIntersectSize(children.head, children(1))))
+}

@@ -387,7 +387,59 @@ object CoreQueries {
       | CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS prio_5_LOW
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Rolling window: 4-event moving average of value per user,
+    * summarized per user (window over floored-second order for
+    * cross-engine ordering parity).
+    */
+  def qMovingAvg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_timestamp($"ts"), $"event_id")
+      .rowsBetween(-3, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("mavg", avg($"value").over(w))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        (round(avg($"mavg"), 4) + lit(0.0)).as("avg_mavg"),
+        (round(max($"mavg"), 4) + lit(0.0)).as("max_mavg"))
+      .orderBy($"user_id")
+  }
+
+  val qMovingAvgOracle: String =
+    """WITH m AS (SELECT user_id, avg(value) OVER (
+      |   PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+      |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mavg
+      | FROM events)
+      |SELECT user_id, count(*) AS n,
+      | round(avg(mavg),4) + 0 AS avg_mavg,
+      | round(max(mavg),4) + 0 AS max_mavg
+      |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Rollup: subtotals + grand total over (status, priority) with
+    * grouping flags (multi-level aggregation pushdown shape).
+    */
+  def qRollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), (round(sum($"o_totalprice"), 2) + lit(0.0)).as("total"))
+      .select(
+        coalesce($"o_orderstatus", lit("<all>")).as("status"),
+        coalesce($"o_orderpriority", lit("<all>")).as("priority"),
+        $"n", $"total")
+      .orderBy($"status", $"priority")
+  }
+
+  val qRollupOracle: String =
+    """SELECT coalesce(o_orderstatus, '<all>') AS status,
+      | coalesce(o_orderpriority, '<all>') AS priority,
+      | count(*) AS n, round(sum(o_totalprice),2) + 0 AS total
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_moving_avg" -> qMovingAvg,
+    "q_rollup" -> qRollup,
     "q_semi_anti" -> qSemiAnti,
     "q_pivot" -> qPivot,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -408,6 +460,8 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_moving_avg" -> qMovingAvgOracle,
+    "q_rollup" -> qRollupOracle,
     "q_semi_anti" -> qSemiAntiOracle,
     "q_pivot" -> qPivotOracle,
     "q1_pricing_summary" -> q1Oracle,

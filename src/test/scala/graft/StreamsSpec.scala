@@ -78,6 +78,23 @@ class StreamsSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("stream-static join enriches a stream with a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().join(broadcast(dim), Seq("user_id"), "left")
+      .select($"event_id", $"user_id", $"tier")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    ms.addData(
+      Ev(t("2024-01-01 00:00:00"), "c", 1.0, 1, 1),
+      Ev(t("2024-01-01 00:00:01"), "c", 1.0, 3, 2))
+    q.processAllAvailable()
+    val out = spark.table("enriched").orderBy($"event_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)).orNull)).toSeq
+    q.stop()
+    assert(out == Seq((1L, "gold"), (2L, null)))
+  }
+
   test("asof backward join attaches latest prior value per key") {
     import graft.operators.AsofJoin
     val lefts = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))

@@ -65,6 +65,23 @@ class TextDedupSimSpec extends SparkSpec {
     assert(math.abs(mh(0).getDouble(2) - exact(0).getDouble(2)) < 1e-12)
   }
 
+  test("sorted_intersect_size is callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT sorted_intersect_size(array('a','b','c'), array('b','c','d')) AS n").head()
+    assert(r.getInt(0) == 2)
+  }
+
+  test("approximate sketches track exact answers (scale path)") {
+    val ev = Tables.events(spark, sf)
+    val exact = ev.select(countDistinct($"user_id")).head().getLong(0)
+    val approx = ev.select(approx_count_distinct($"user_id", 0.01)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+    val exactMed = ev.selectExpr("percentile(value, 0.5)").head().getDouble(0)
+    val approxMed = ev.selectExpr("approx_percentile(value, 0.5, 10000)").head().getDouble(0)
+    assert(math.abs(approxMed - exactMed) / math.max(exactMed, 1.0) < 0.05)
+  }
+
   test("SortedIntersectSize matches array_intersect semantics on sorted sets") {
     import graft.functions.SortedIntersectSize.sortedIntersectSize
     val rnd = new scala.util.Random(13)
