@@ -36,6 +36,18 @@ class PrepSplitSpec extends SparkSpec {
     assert(out == Seq(("num", 0.75, 1), ("str", 0.25, 0)))
   }
 
+  test("profiler reports per-column stats in one pass") {
+    val df = Seq((Some(1), Some("a")), (None, Some("b")), (Some(3), Some("b")))
+      .toDF("num", "cat")
+    val p = graft.prep.Profiler.profile(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(p("num") == ((1L, 2L)) && p("cat") == ((0L, 2L)))
+    val full = graft.prep.Profiler.profile(Tables.customer(spark, sf))
+    assert(full.count() == 5) // one row per column
+    val byCol = full.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byCol.values.forall(_ == 0L)) // customer has no nulls
+  }
+
   test("timeSplit halves are a partition of the data") {
     val ev = Tables.events(spark, sf)
     val (train, test) = Splits.timeSplit(ev, "ts", "2024-01-16 00:00:00")
