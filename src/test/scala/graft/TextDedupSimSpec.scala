@@ -72,6 +72,21 @@ class TextDedupSimSpec extends SparkSpec {
     assert(r.getInt(0) == 2)
   }
 
+  test("KMV sketch aggregate: exact under k, ~accurate above, mergeable") {
+    import graft.functions.KmvDistinct.kmvDistinct
+    val ev = Tables.events(spark, sf).repartition(8) // force partial/merge path
+    // distinct users (150) < k=256 → exact
+    val users = ev.agg(kmvDistinct($"user_id", 256)).head().getLong(0)
+    assert(users == ev.select(countDistinct($"user_id")).head().getLong(0))
+    // distinct event_ids (1000) > k=64 → within 25%
+    val ids = ev.agg(kmvDistinct($"event_id", 64)).head().getLong(0)
+    val exact = ev.count()
+    assert(math.abs(ids - exact).toDouble / exact < 0.25, s"$ids vs $exact")
+    // grouped usage
+    val perType = ev.groupBy($"event_type").agg(kmvDistinct($"user_id", 256).as("u"))
+    assert(perType.collect().forall(r => r.getLong(1) > 0 && r.getLong(1) <= 150))
+  }
+
   test("approximate sketches track exact answers (scale path)") {
     val ev = Tables.events(spark, sf)
     val exact = ev.select(countDistinct($"user_id")).head().getLong(0)
