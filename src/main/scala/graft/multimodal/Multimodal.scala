@@ -53,6 +53,18 @@ object Multimodal {
     out
   }
 
+  /** Deterministic frame-index sampling for "video" payloads: frame
+    * count derived from payload size (stand-in for container metadata),
+    * every `step`-th frame index emitted as a row — the explode shape a
+    * real frame sampler produces (one row per sampled frame, metadata
+    * carried along). Pure projection + explode; no shuffle.
+    */
+  def sampleFrameIndices(media: DataFrame, bytesPerFrame: Int, step: Int): DataFrame =
+    media
+      .withColumn("n_frames", greatest(lit(1), (length(col("payload")) / bytesPerFrame).cast("int")))
+      .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1, lit(step))))
+      .select(col("media_id"), col("meta.format").as("format"), col("n_frames"), col("frame_idx"))
+
   /** Partition-wise feature extraction: the decode runs inside
     * mapPartitions (per-executor, no driver involvement), preserving
     * partitioning. This is the seat a real codec would occupy.

@@ -240,7 +240,46 @@ object DocQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Composed corpus-cleaning pipeline: quality filter → language
+    * filter → exact dedup, with per-stage survivor counts (the C4-style
+    * cleaning funnel as ONE single-pass aggregation over flags).
+    */
+  def qCorpusClean(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val flagged = Tables.documents(s, d).select(
+      ($"n_chars" >= 100 && TextFunctions.stopwordRatio($"text", stop) > 0).as("q_ok"),
+      (TextFunctions.langId($"text", langProfiles) === "en").as("lang_ok"),
+      md5($"text").as("digest"))
+    flagged.agg(
+      count(lit(1)).as("n_input"),
+      sum(when($"q_ok", 1L).otherwise(0L)).as("n_quality"),
+      sum(when($"q_ok" && $"lang_ok", 1L).otherwise(0L)).as("n_kept"),
+      countDistinct(when($"q_ok" && $"lang_ok", $"digest")).as("n_distinct"))
+  }
+
+  val qCorpusCleanOracle: String =
+    """WITH t AS (
+      | SELECT n_chars, md5(text) AS digest, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |f AS (
+      | SELECT digest,
+      |  (n_chars >= 100 AND CAST(len(list_filter(tk, x -> x IN ('the','a'))) AS DOUBLE) / len(tk) > 0) AS q_ok,
+      |  (len(list_filter(tk, x -> x IN ('the','a'))) >= len(list_filter(tk, x -> x IN ('query','row')))
+      |   AND len(list_filter(tk, x -> x IN ('the','a'))) >= len(list_filter(tk, x -> x IN ('join','merge')))
+      |   AND len(list_filter(tk, x -> x IN ('the','a'))) >= len(list_filter(tk, x -> x IN ('spark','hash')))
+      |   AND NOT (len(list_filter(tk, x -> x IN ('data','table'))) >= len(list_filter(tk, x -> x IN ('the','a')))
+      |        AND len(list_filter(tk, x -> x IN ('data','table'))) >= len(list_filter(tk, x -> x IN ('query','row')))
+      |        AND len(list_filter(tk, x -> x IN ('data','table'))) >= len(list_filter(tk, x -> x IN ('join','merge')))
+      |        AND len(list_filter(tk, x -> x IN ('data','table'))) >= len(list_filter(tk, x -> x IN ('spark','hash'))))
+      |  ) AS lang_ok
+      | FROM t)
+      |SELECT count(*) AS n_input,
+      | CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      | CAST(sum(CASE WHEN q_ok AND lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      | count(DISTINCT CASE WHEN q_ok AND lang_ok THEN digest END) AS n_distinct
+      |FROM f""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_corpus_clean" -> qCorpusClean,
     "q_simhash" -> qSimhash,
     "q_ann_lsh" -> qAnnLsh,
     "q_token_count" -> qTokenCount,
@@ -257,6 +296,7 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_clean" -> qCorpusCleanOracle,
     "q_token_count" -> qTokenCountOracle,
     "q_text_quality" -> qTextQualityOracle,
     "q_lang_id" -> qLangIdOracle,

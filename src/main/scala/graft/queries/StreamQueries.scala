@@ -97,7 +97,32 @@ object StreamQueries {
       | CAST(sum(coalesce(ts_s - attr_ts, 0)) AS BIGINT) AS sum_gap_s
       |FROM w WHERE side = 1 GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Frame sampling over the synthesized media table: every 4th frame,
+    * 100 bytes/frame — summarized per format.
+    */
+  def qMmFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+    Multimodal.sampleFrameIndices(media, bytesPerFrame = 100, step = 4)
+      .groupBy($"format")
+      .agg(countDistinct($"media_id").as("n_media"), count(lit(1)).as("n_frames_sampled"),
+        sum($"frame_idx").as("sum_frame_idx"))
+      .orderBy($"format")
+  }
+
+  val qMmFramesOracle: String =
+    """WITH m AS (
+      | SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+      |  greatest(1, CAST(trunc(octet_length(encode(text)) / 100.0) AS INT)) AS n_frames
+      | FROM documents),
+      |f AS (SELECT doc_id, format, n_frames, unnest(range(0, n_frames, 4)) AS frame_idx FROM m)
+      |SELECT format, count(DISTINCT doc_id) AS n_media, count(*) AS n_frames_sampled,
+      | CAST(sum(frame_idx) AS BIGINT) AS sum_frame_idx
+      |FROM f GROUP BY format ORDER BY format""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_mm_frames" -> qMmFrames,
     "q_stream_window" -> qStreamWindow,
     "q_sessionize" -> qSessionize,
     "q_mm_meta" -> qMmMeta,
@@ -105,6 +130,7 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mm_frames" -> qMmFramesOracle,
     "q_stream_window" -> qStreamWindowOracle,
     "q_sessionize" -> qSessionizeOracle,
     "q_mm_meta" -> qMmMetaOracle,

@@ -88,6 +88,31 @@ class SourcesPlanSpec extends SparkSpec {
     assert(out(1).isNullAt(3)) // no feature rows for key 3
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = tmp()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    try {
+      Tables.orders(spark, sf).write.mode("overwrite")
+        .bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+      Tables.customer(spark, sf).write.mode("overwrite")
+        .bucketBy(4, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$wh/customer_b").saveAsTable("customer_b")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), $"o_custkey" === $"c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan.take(300))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join must not reshuffle:\n" + plan.take(1200))
+      assert(joined.count() == Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey").count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("salted join is row-identical to the plain join") {
     import graft.operators.SaltedJoin
     // skewed fact: 80% of rows on one key
