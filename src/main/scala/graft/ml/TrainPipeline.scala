@@ -1,0 +1,100 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.features.LabelOps
+import graft.split.Splits
+
+/** End-to-end training orchestration — the reference's train.py main
+  * flow as one composable function (reference: src/training/train.py:
+  * prepare_data → transformation pipeline → per-model optimize →
+  * evaluate → champion select → calibrate → threshold → register;
+  * src/training/core/trainer.py run_training_experiment).
+  *
+  * Everything stays distributed: splits are filters, weights join via
+  * broadcast, search trials reuse the cached train/valid frames, and
+  * only metrics and the champion model come back to the driver.
+  */
+object TrainPipeline {
+
+  final case class Config(
+      labelCol: String,
+      pkCol: String,
+      featureArrayCol: String,
+      trainFraction: Double = 0.8,
+      seed: Long = 42L,
+      models: Seq[(Trainer.ModelKind, Seq[Trainer.ParamRange])] = Seq(
+        (Trainer.LogReg, Seq(Trainer.ParamRange("regParam", 1e-4, 1.0, log = true))),
+        (Trainer.GBT, Seq(Trainer.ParamRange("maxDepth", 2, 5), Trainer.ParamRange("maxIter", 5, 15)))),
+      trialsPerModel: Int = 2,
+      deploymentThreshold: Double = 0.5,
+      fbetaBeta: Double = 0.5,
+      thresholdGrid: Seq[Double] = (1 to 19).map(_ * 0.05),
+      balanceClasses: Boolean = true)
+
+  final case class ModelReport(name: String, auc: Double, bestParams: Map[String, Double])
+
+  final case class Result(
+      champion: Option[Champion.Candidate],
+      reports: Seq[ModelReport],
+      tunedThreshold: Double,
+      validMetrics: Map[String, Double])
+
+  /** Run the full flow; if `modelDir` is set, persist the champion and
+    * batch-score the validation split there (predict.py analog).
+    */
+  def run(spark: SparkSession, data: DataFrame, cfg: Config,
+      modelDir: Option[String] = None): Result = {
+    // 1. features + (optional) balanced class weights
+    val feats0 = Trainer.withFeaturesFromArray(
+      data.withColumn("label", col(cfg.labelCol).cast("double")), cfg.featureArrayCol)
+    val feats =
+      if (!cfg.balanceClasses) feats0.withColumn("weight", lit(1.0))
+      else {
+        val w = LabelOps.balancedClassWeights(feats0, "label")
+          .withColumnRenamed("label", "__wl").drop("n")
+        feats0.join(broadcast(w), col("label") === col("__wl")).drop("__wl")
+      }
+
+    // 2. stratified train/valid split (disjointness by construction)
+    val (train0, valid0) = Splits.stratifiedRandomSplit(
+      feats, "label", cfg.pkCol, cfg.trainFraction, cfg.seed)
+    val train = train0.cache(); val valid = valid0.cache()
+
+    // 3. per-model random search on the shared splits
+    val searched = cfg.models.map { case (kind, space) =>
+      val r = Trainer.randomSearch(kind, space, train, valid, cfg.trialsPerModel,
+        cfg.seed, weightCol = Some("weight"))
+      (kind.toString, r)
+    }
+    val reports = searched.map { case (name, r) => ModelReport(name, r.bestMetric, r.bestParams) }
+
+    // 4. champion selection with deployment gate
+    val champion = Champion.select(
+      searched.map { case (name, r) => Champion.Candidate(name, r.bestModel, r.bestMetric) },
+      cfg.deploymentThreshold)
+
+    // 5. threshold tuning + validation metrics for the champion
+    val (tuned, metrics) = champion match {
+      case Some(c) =>
+        val scored = c.model.transform(valid).withColumn("p", Trainer.posProb("probability"))
+        val (t, _) = Calibration.tuneThreshold(scored, "label", "p", cfg.fbetaBeta, cfg.thresholdGrid)
+        val m = Evaluator.binaryMetrics(scored, "label", "p", cfg.pkCol, t, cfg.fbetaBeta).head()
+        (t, m.schema.fieldNames.map(f => f -> m.getAs[Double](f)).toMap)
+      case None => (0.5, Map.empty[String, Double])
+    }
+
+    // 6. persistence + batch scoring (inference analog)
+    (champion, modelDir) match {
+      case (Some(c), Some(dir)) =>
+        Champion.save(c.model, s"$dir/champion")
+        valid.select(col(cfg.pkCol), col("label"), col(cfg.featureArrayCol))
+          .write.mode("overwrite").parquet(s"$dir/valid_in")
+        Champion.batchPredict(spark, c.model, s"$dir/valid_in", s"$dir/valid_scored", cfg.featureArrayCol)
+      case _ => ()
+    }
+    train.unpersist(); valid.unpersist()
+    Result(champion, reports, tuned, metrics)
+  }
+}

@@ -115,6 +115,26 @@ class TrainerSpec extends SparkSpec {
     assert(Trainer.featureImportance(rf).size == 4)
   }
 
+  test("TrainPipeline runs the full train.py flow end to end") {
+    import graft.ml.TrainPipeline
+    val data = blobs.select($"id", $"label", $"arr")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipeline").toString
+    val res = TrainPipeline.run(spark, data,
+      TrainPipeline.Config(labelCol = "label", pkCol = "id", featureArrayCol = "arr",
+        trialsPerModel = 1, deploymentThreshold = 0.6),
+      modelDir = Some(dir))
+    assert(res.reports.size == 2)
+    assert(res.champion.isDefined, s"reports: ${res.reports}")
+    assert(res.validMetrics("roc_auc") > 0.9)
+    assert(res.tunedThreshold > 0.0 && res.tunedThreshold < 1.0)
+    val scored = spark.read.parquet(s"$dir/valid_scored")
+    assert(scored.count() > 0 && scored.columns.contains("pos_prob"))
+    // deployment gate: impossible threshold → no champion
+    val gated = TrainPipeline.run(spark, data,
+      TrainPipeline.Config("label", "id", "arr", trialsPerModel = 1, deploymentThreshold = 1.01))
+    assert(gated.champion.isEmpty && gated.validMetrics.isEmpty)
+  }
+
   test("end-to-end: embeddings table trains through the full pipeline") {
     import graft.features.LabelOps
     val emb = Tables.embeddings(spark, sf)
