@@ -159,6 +159,29 @@ class TextDedupSimSpec extends SparkSpec {
     assert(n1.contains(2L), s"neighbors of 1: ${n1.mkString(",")}")
   }
 
+  test("aggregator top-k equals window top-k (map-side combinable path)") {
+    import graft.sim.TopKAggregator
+    // scored pairs from the real topK path, sans final ranking
+    val all = Tables.embeddings(spark, sf)
+    val queries = all.filter($"vec_id" % 100 === 0)
+    val windowed = graft.sim.Similarity.topK(all, queries, "vec_id", "embedding", 5)
+    // the raw scored frame the ranking step consumes: query_id, neighbor_id, cos
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".cast("array<double>").as("qv"))
+    val c = all.select($"vec_id".as("neighbor_id"), $"embedding".cast("array<double>").as("cv"))
+    val raw = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
+      .withColumn("cos", round(
+        aggregate(zip_with($"qv", $"cv", (a, b) => a * b), lit(0.0), (s, x) => s + x) /
+          (sqrt(aggregate(zip_with($"qv", $"qv", (a, b) => a * b), lit(0.0), (s, x) => s + x)) *
+           sqrt(aggregate(zip_with($"cv", $"cv", (a, b) => a * b), lit(0.0), (s, x) => s + x)))
+        , 4) + lit(0.0))
+    val viaAgg = TopKAggregator.topKPerKey(
+      raw.select($"query_id", $"neighbor_id", $"cos"), "query_id", "neighbor_id", "cos", 5)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id".cast("long"), $"neighbor_id".cast("long"), $"cos", $"rank".cast("int"))
+        .orderBy($"query_id", $"rank").collect().toSeq
+    assert(norm(viaAgg) == norm(windowed))
+  }
+
   test("IVF ANN finds the strong neighbor within its cell") {
     val rnd = new scala.util.Random(11)
     val base = Array.fill(16)(rnd.nextGaussian().toFloat)
