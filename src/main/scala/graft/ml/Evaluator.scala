@@ -147,6 +147,33 @@ object Evaluator {
         avg(col(labelCol).cast("double")).as("fraction_positive"))
   }
 
+  /** Multiclass per-class metrics + shared accuracy (reference:
+    * trainer.py:186-282 evaluates "both binary and multi-class").
+    * Two small aggregations joined on the class; per-class precision/
+    * recall/F1 with sklearn's 0-for-empty convention.
+    */
+  def multiclassMetrics(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val byTrue = df.groupBy(col(labelCol).as("clazz"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col(labelCol) === col(predCol), 1L).otherwise(0L)).as("tp"))
+    val byPred = df.groupBy(col(predCol).as("clazz"))
+      .agg(count(lit(1)).as("n_pred"))
+    val joined = byTrue.join(byPred, Seq("clazz"), "full_outer")
+      .select(col("clazz"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+    val prec = when(col("n_pred") === 0, 0.0).otherwise(col("tp").cast("double") / col("n_pred"))
+    val rec = when(col("n_true") === 0, 0.0).otherwise(col("tp").cast("double") / col("n_true"))
+    val wAll = Window.partitionBy()
+    joined
+      .withColumn("prec", prec)
+      .withColumn("rec", rec)
+      .withColumn("f1", when(col("prec") + col("rec") === 0, 0.0)
+        .otherwise(lit(2.0) * col("prec") * col("rec") / (col("prec") + col("rec"))))
+      .withColumn("accuracy", sum(col("tp")).over(wAll).cast("double") / sum(col("n_true")).over(wAll))
+  }
+
   /** Best threshold by F-beta (ties → smaller threshold). */
   def bestThreshold(df: DataFrame, labelCol: String, scoreCol: String,
       thresholds: Seq[Double], beta: Double): Double =

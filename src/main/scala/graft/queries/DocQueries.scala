@@ -278,7 +278,49 @@ object DocQueries {
       | count(DISTINCT CASE WHEN q_ok AND lang_ok THEN digest END) AS n_distinct
       |FROM f""".stripMargin
 
+  /** Mean-pooled centroid per label (posexplode → per-dim avg → per-
+    * label rollup) — the embedding pooling op of a training pipeline.
+    */
+  def qEmbedCentroid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding".cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy($"label", $"pos").agg(avg($"x").as("m"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("dim"),
+        (round(sum($"m"), 4) + lit(0.0)).as("sum_centroid"),
+        (round(max($"m"), 4) + lit(0.0)).as("max_centroid"))
+      .orderBy($"label")
+  }
+
+  val qEmbedCentroidOracle: String =
+    """WITH e AS (
+      | SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+      |        unnest(range(0, len(embedding))) AS pos
+      | FROM embeddings),
+      |c AS (SELECT label, pos, avg(x) AS m FROM e GROUP BY 1, 2)
+      |SELECT label, count(*) AS dim,
+      | round(sum(m),4) + 0 AS sum_centroid,
+      | round(max(m),4) + 0 AS max_centroid
+      |FROM c GROUP BY label ORDER BY label""".stripMargin
+
+  /** Token-count histogram (bucket width 20). */
+  def qTokenHist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select((floor(TextFunctions.tokenCount($"text") / 20) * 20).cast("int").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"bucket")
+  }
+
+  val qTokenHistOracle: String =
+    """SELECT CAST(floor(len(string_split_regex(trim(text), '\s+')) / 20) * 20 AS INT) AS bucket,
+      | count(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_embed_centroid" -> qEmbedCentroid,
+    "q_token_hist" -> qTokenHist,
     "q_corpus_clean" -> qCorpusClean,
     "q_simhash" -> qSimhash,
     "q_ann_lsh" -> qAnnLsh,
@@ -296,6 +338,8 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_embed_centroid" -> qEmbedCentroidOracle,
+    "q_token_hist" -> qTokenHistOracle,
     "q_corpus_clean" -> qCorpusCleanOracle,
     "q_token_count" -> qTokenCountOracle,
     "q_text_quality" -> qTextQualityOracle,

@@ -180,7 +180,43 @@ object EvalQueries {
        | round(avg(CAST(label AS DOUBLE)), 6) + 0 AS fraction_positive
        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Multiclass metrics over a deterministic 10-class scorer. */
+  def qMulticlassMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val df = Tables.embeddings(s, d).select(
+      $"label",
+      (($"label" + when($"vec_id" % 4 === 0, 1).otherwise(0)) % 10).as("pred"))
+    Evaluator.multiclassMetrics(df, "label", "pred")
+      .select($"clazz", $"n_true", $"n_pred", $"tp",
+        r6($"prec").as("prec"), r6($"rec").as("rec"), r6($"f1").as("f1"),
+        r6($"accuracy").as("accuracy"))
+      .orderBy($"clazz")
+  }
+
+  val qMulticlassMetricsOracle: String =
+    """WITH sc AS (
+      | SELECT label, (label + CASE WHEN vec_id % 4 = 0 THEN 1 ELSE 0 END) % 10 AS pred
+      | FROM embeddings),
+      |bt AS (SELECT label AS clazz, count(*) AS n_true,
+      |  CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      | FROM sc GROUP BY 1),
+      |bp AS (SELECT pred AS clazz, count(*) AS n_pred FROM sc GROUP BY 1),
+      |j AS (SELECT coalesce(bt.clazz, bp.clazz) AS clazz,
+      |  coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred, coalesce(tp, 0) AS tp
+      | FROM bt FULL OUTER JOIN bp ON bt.clazz = bp.clazz),
+      |m AS (SELECT *,
+      |  CASE WHEN n_pred = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / n_pred END AS prec0,
+      |  CASE WHEN n_true = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / n_true END AS rec0
+      | FROM j)
+      |SELECT clazz, n_true, n_pred, tp,
+      | round(prec0, 6) + 0 AS prec,
+      | round(rec0, 6) + 0 AS rec,
+      | round(CASE WHEN prec0 + rec0 = 0 THEN 0.0 ELSE 2.0 * prec0 * rec0 / (prec0 + rec0) END, 6) + 0 AS f1,
+      | round(CAST(sum(tp) OVER () AS DOUBLE) / sum(n_true) OVER (), 6) + 0 AS accuracy
+      |FROM m ORDER BY clazz""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_multiclass_metrics" -> qMulticlassMetrics,
     "q_roc_curve" -> qRocCurve,
     "q_calibration_curve" -> qCalibrationCurve,
     "q_confusion_matrix" -> qConfusionMatrix,
@@ -192,6 +228,7 @@ object EvalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_multiclass_metrics" -> qMulticlassMetricsOracle,
     "q_roc_curve" -> qRocCurveOracle,
     "q_calibration_curve" -> qCalibrationCurveOracle,
     "q_confusion_matrix" -> qConfusionMatrixOracle,
