@@ -200,7 +200,80 @@ object FeatureQueries {
       | round(sum(n) OVER () / (count(*) OVER () * n), 4) AS weight
       |FROM c ORDER BY label""".stripMargin
 
+  /** Smoothed target encoding fit on the train half of a hash split:
+    * enc_c = (sum_target_c + m·global_mean) / (n_c + m), m = 10 —
+    * the leakage-safe high-cardinality categorical encoder.
+    */
+  def qTargetEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val train = Tables.customer(s, d).filter($"c_custkey" % 10 < 8)
+      .withColumn("t", when($"c_acctbal" > 0, 1.0).otherwise(0.0))
+    val global = train.agg(avg($"t")).head().getDouble(0)
+    train.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum($"t").as("sum_t"))
+      .withColumn("enc", round(($"sum_t" + lit(10.0) * lit(global)) / ($"n" + lit(10.0)), 6) + lit(0.0))
+      .select($"c_mktsegment", $"n", $"enc")
+      .orderBy($"c_mktsegment")
+  }
+
+  val qTargetEncodeOracle: String =
+    """WITH tr AS (
+      | SELECT c_mktsegment, CASE WHEN c_acctbal > 0 THEN 1.0 ELSE 0.0 END AS t
+      | FROM customer WHERE c_custkey % 10 < 8),
+      |g AS (SELECT avg(t) AS gm FROM tr)
+      |SELECT c_mktsegment, count(*) AS n,
+      | round((sum(t) + 10.0 * max(g.gm)) / (count(*) + 10.0), 6) + 0 AS enc
+      |FROM tr CROSS JOIN g GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Pearson correlation matrix over lineitem numerics (EDA analog). */
+  def qCorrelation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
+    val aggs = pairs.map { case (a, b) => r4(corr(col(a), col(b))).as(s"${a}__${b}") }
+    val row = li.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) => s"'$a', '$b', `${a}__${b}`" }.mkString(", ")
+    row.selectExpr(s"stack(${pairs.size}, $stacked) as (col_a, col_b, corr)")
+      .orderBy($"col_a", $"col_b")
+  }
+
+  val qCorrelationOracle: String =
+    """SELECT col_a, col_b, round(c, 4) + 0 AS corr FROM (
+      | SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b, corr(l_discount, l_extendedprice) AS c FROM lineitem
+      | UNION ALL SELECT 'l_discount', 'l_quantity', corr(l_discount, l_quantity) FROM lineitem
+      | UNION ALL SELECT 'l_extendedprice', 'l_quantity', corr(l_extendedprice, l_quantity) FROM lineitem)
+      |ORDER BY col_a, col_b""".stripMargin
+
+  /** Quartile bucketing with exact interpolated edges (QuantileDiscretizer
+    * semantics at oracle parity; approx_percentile is the 100 TB path).
+    */
+  def qBucketize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val edges = c.selectExpr("percentile(c_acctbal, array(0.25, 0.5, 0.75))")
+      .head().getAs[scala.collection.Seq[Double]](0)
+    val bucket = when($"c_acctbal" <= edges(0), 0)
+      .when($"c_acctbal" <= edges(1), 1)
+      .when($"c_acctbal" <= edges(2), 2).otherwise(3)
+    c.withColumn("bucket", bucket)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), r4(min($"c_acctbal")).as("lo"), r4(max($"c_acctbal")).as("hi"))
+      .orderBy($"bucket")
+  }
+
+  val qBucketizeOracle: String =
+    """WITH e AS (SELECT quantile_cont(c_acctbal, 0.25) AS q1, quantile_cont(c_acctbal, 0.5) AS q2,
+      |  quantile_cont(c_acctbal, 0.75) AS q3 FROM customer)
+      |SELECT CASE WHEN c_acctbal <= e.q1 THEN 0 WHEN c_acctbal <= e.q2 THEN 1
+      |       WHEN c_acctbal <= e.q3 THEN 2 ELSE 3 END AS bucket,
+      | count(*) AS n, round(min(c_acctbal),4) + 0 AS lo, round(max(c_acctbal),4) + 0 AS hi
+      |FROM customer CROSS JOIN e GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_target_encode" -> qTargetEncode,
+    "q_correlation" -> qCorrelation,
+    "q_bucketize" -> qBucketize,
     "q_impute_median" -> qImputeMedian,
     "q_scale_standard" -> qScaleStandard,
     "q_scale_minmax" -> qScaleMinMax,
@@ -213,6 +286,9 @@ object FeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_target_encode" -> qTargetEncodeOracle,
+    "q_correlation" -> qCorrelationOracle,
+    "q_bucketize" -> qBucketizeOracle,
     "q_impute_median" -> qImputeMedianOracle,
     "q_scale_standard" -> qScaleStandardOracle,
     "q_scale_minmax" -> qScaleMinMaxOracle,
