@@ -437,7 +437,49 @@ object CoreQueries {
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** Set operations between the user populations of two time halves:
+    * union / intersect / except cardinalities in one row.
+    */
+  def qSetOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+    val a = ev.filter($"ts" < cut).select($"user_id").distinct()
+    val b = ev.filter($"ts" >= cut).select($"user_id").distinct()
+    a.union(b).distinct().agg(count(lit(1)).as("n_union"))
+      .crossJoin(a.intersect(b).agg(count(lit(1)).as("n_intersect")))
+      .crossJoin(a.except(b).agg(count(lit(1)).as("n_a_only")))
+      .crossJoin(b.except(a).agg(count(lit(1)).as("n_b_only")))
+  }
+
+  val qSetOpsOracle: String =
+    """WITH a AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+      |b AS (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+      |SELECT
+      | (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS n_union,
+      | (SELECT count(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS n_intersect,
+      | (SELECT count(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS n_a_only,
+      | (SELECT count(*) FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM a)) AS n_b_only""".stripMargin
+
+  /** Datetime-part extraction: per (day-of-week, hour-bucket) rollup. */
+  def qDatetimeParts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(dayofweek($"ts").as("dow"), (hour($"ts") - hour($"ts") % 6).as("hour_bucket"), $"value")
+      .groupBy($"dow", $"hour_bucket")
+      .agg(count(lit(1)).as("n"), (round(sum($"value"), 2) + lit(0.0)).as("sum_value"))
+      .orderBy($"dow", $"hour_bucket")
+  }
+
+  val qDatetimePartsOracle: String =
+    """SELECT dayofweek(ts) + 1 AS dow,
+      | CAST(hour(ts) - hour(ts) % 6 AS INT) AS hour_bucket,
+      | count(*) AS n, round(sum(value),2) + 0 AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_setops" -> qSetOps,
+    "q_datetime_parts" -> qDatetimeParts,
     "q_moving_avg" -> qMovingAvg,
     "q_rollup" -> qRollup,
     "q_semi_anti" -> qSemiAnti,
@@ -460,6 +502,8 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_setops" -> qSetOpsOracle,
+    "q_datetime_parts" -> qDatetimePartsOracle,
     "q_moving_avg" -> qMovingAvgOracle,
     "q_rollup" -> qRollupOracle,
     "q_semi_anti" -> qSemiAntiOracle,
