@@ -477,7 +477,52 @@ object CoreQueries {
       | count(*) AS n, round(sum(value),2) + 0 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** JSON column extraction: parse props '{"k": N}' and aggregate. */
+  def qJsonExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(get_json_object($"props", "$.k").cast("int").as("k"), $"value")
+      .withColumn("k_bucket", ($"k" - $"k" % 20).cast("int"))
+      .groupBy($"k_bucket")
+      .agg(count(lit(1)).as("n"), (round(sum($"value"), 2) + lit(0.0)).as("sum_value"))
+      .orderBy($"k_bucket")
+  }
+
+  val qJsonExtractOracle: String =
+    """SELECT CAST(k - k % 20 AS INT) AS k_bucket, count(*) AS n,
+      | round(sum(value),2) + 0 AS sum_value
+      |FROM (SELECT CAST(json_extract(props, '$.k') AS INT) AS k, value FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Weekly cohort retention: users grouped by first-active week,
+    * counted in each subsequent active week — the classic cohort
+    * matrix (two aggregations + a window min, all key-partitioned).
+    */
+  def qRetention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val weekly = Tables.events(s, d)
+      .select($"user_id", floor(datediff($"ts", to_date(lit("2024-01-01"))) / 7).cast("int").as("week"))
+      .distinct()
+    val w = Window.partitionBy($"user_id")
+    weekly
+      .withColumn("cohort", min($"week").over(w))
+      .groupBy($"cohort", $"week")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort", $"week")
+  }
+
+  val qRetentionOracle: String =
+    """WITH weekly AS (
+      | SELECT DISTINCT user_id,
+      |  CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS INT) AS week
+      | FROM events),
+      |c AS (SELECT user_id, week, min(week) OVER (PARTITION BY user_id) AS cohort FROM weekly)
+      |SELECT cohort, week, count(DISTINCT user_id) AS n_users
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_json_extract" -> qJsonExtract,
+    "q_retention" -> qRetention,
     "q_setops" -> qSetOps,
     "q_datetime_parts" -> qDatetimeParts,
     "q_moving_avg" -> qMovingAvg,
@@ -502,6 +547,8 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_json_extract" -> qJsonExtractOracle,
+    "q_retention" -> qRetentionOracle,
     "q_setops" -> qSetOpsOracle,
     "q_datetime_parts" -> qDatetimePartsOracle,
     "q_moving_avg" -> qMovingAvgOracle,
