@@ -270,7 +270,31 @@ object FeatureQueries {
       | count(*) AS n, round(min(c_acctbal),4) + 0 AS lo, round(max(c_acctbal),4) + 0 AS hi
       |FROM customer CROSS JOIN e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Deterministic majority-class downsampling: keep all minority rows
+    * and a key-mod fraction of the majority (reproducible across runs
+    * and engines, unlike seeded sampling) — the class-rebalancing
+    * counterpart to "balanced" weights.
+    */
+  def qDownsample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .withColumn("label", when($"event_type" === "purchase", 1).otherwise(0))
+    // majority = label 0 (4 of 5 event types): keep ~1 in 4 by key-mod
+    val balanced = ev.filter($"label" === 1 || $"event_id" % 4 === 0)
+    balanced.groupBy($"label")
+      .agg(count(lit(1)).as("n"), (round(avg($"value"), 4) + lit(0.0)).as("avg_value"))
+      .orderBy($"label")
+  }
+
+  val qDownsampleOracle: String =
+    """SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+      | count(*) AS n, round(avg(value),4) + 0 AS avg_value
+      |FROM events
+      |WHERE event_type = 'purchase' OR event_id % 4 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_downsample" -> qDownsample,
     "q_target_encode" -> qTargetEncode,
     "q_correlation" -> qCorrelation,
     "q_bucketize" -> qBucketize,
@@ -286,6 +310,7 @@ object FeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_downsample" -> qDownsampleOracle,
     "q_target_encode" -> qTargetEncodeOracle,
     "q_correlation" -> qCorrelationOracle,
     "q_bucketize" -> qBucketizeOracle,

@@ -78,6 +78,23 @@ class StreamsSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("foreachBatch sink lands stream microbatches as parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(s"$dir/out")
+      }
+      .start()
+    ms.addData(Ev(t("2024-01-01 00:00:00"), "c", 1.0, 1, 1))
+    q.processAllAvailable()
+    ms.addData(Ev(t("2024-01-01 00:00:01"), "c", 2.0, 1, 2))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+  }
+
   test("stream-static join enriches a stream with a dimension table") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
