@@ -64,17 +64,32 @@ object Dedup {
     // persist it (it is bounded by contract) so the self-join doesn't
     // recompute shingling once per plan branch
     val sh = shRaw.persist(StorageLevel.MEMORY_AND_DISK)
-    val ex = sh.select(col("id"), col("sh_n"), explode(col("sh")).as("shingle"))
-    val a = ex.select(col("id").as("id_a"), col("sh_n").as("n_a"), col("shingle"))
-    val b = ex.select(col("id").as("id_b"), col("sh_n").as("n_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val out = {
+      val ex = sh.select(col("id"), col("sh_n"), explode(col("sh")).as("shingle"))
+      val a = ex.select(col("id").as("id_a"), col("sh_n").as("n_a"), col("shingle"))
+      val b = ex.select(col("id").as("id_b"), col("sh_n").as("n_b"), col("shingle"))
+      a.join(b, Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
+    releaseAfter(out, sh)
+  }
+
+  /** Eagerly materialize `out` (localCheckpoint — bounded by contract:
+    * these are thresholded candidate pairs), then unpersist the scratch
+    * inputs. Keeps per-call caches from accumulating over a long-lived
+    * session; the checkpoint itself is reclaimed by the ContextCleaner
+    * once the returned DataFrame is unreferenced.
+    */
+  private def releaseAfter(out: DataFrame, scratch: DataFrame*): DataFrame = {
+    val res = out.localCheckpoint()
+    scratch.foreach(_.unpersist())
+    res
   }
 
   /** Exact Jaccard similarity join with PREFIX FILTERING (PPJoin-style):
@@ -102,7 +117,7 @@ object Dedup {
       .join(prefix.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    verifyJaccard(cands, sh, threshold)
+    releaseAfter(verifyJaccard(cands, sh, threshold), sh)
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
@@ -175,7 +190,7 @@ object Dedup {
       .select(col("id"), minhashSignature(col("hs"), permCoeffs(numPerm, seed)).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(sig)
-    verifyJaccard(cands, sh, threshold)
+    releaseAfter(verifyJaccard(cands, sh, threshold), sig, sh)
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted

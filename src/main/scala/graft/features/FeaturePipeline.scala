@@ -52,11 +52,12 @@ final case class NumStats(mean: Double, std: Double, min: Double, max: Double,
 
 final case class FittedFeaturePipeline(
     spec: FeaturePipelineSpec,
-    numStats: Map[String, NumStats],
+    numStats: Map[String, NumStats],          // fitted on RAW (pre-imputation) values — imputer semantics
     modes: Map[String, String],
     categories: Map[String, Seq[String]],     // kept (frequent) categories, sorted
     infrequent: Map[String, Seq[String]],     // grouped categories, sorted
-    variances: Map[String, Double]
+    variances: Map[String, Double],
+    scaleStats: Map[String, NumStats]         // fitted on IMPUTED values (sklearn imputer→scaler order)
 ) {
 
   /** sklearn-compatible feature-name cleanup
@@ -76,7 +77,10 @@ final case class FittedFeaturePipeline(
   }
 
   def scaleExpr(sc: ScalerSpec): Column = {
-    val st = numStats(sc.col)
+    // scaler stats come from the imputed distribution when the column
+    // also has an imputer — matching the reference sklearn Pipeline
+    // (data.py DataPipelineCreator: imputer → scaler fit order)
+    val st = scaleStats(sc.col)
     val x = col(sc.col)
     sc.kind match {
       case ScalerKind.Standard => (x - lit(st.mean)) / lit(st.std)
@@ -185,9 +189,41 @@ object FeaturePipeline {
         spec.varianceCols.map(c => c -> row.getAs[Double](c)).toMap
       }
 
+    // Scaler stats must reflect the IMPUTED distribution for columns
+    // that also have an imputer (sklearn Pipeline fit order: the scaler
+    // sees the imputer's output). One extra aggregation pass, only over
+    // the overlapping columns; replacement values come from the raw-fit
+    // stats above, exactly like SimpleImputer's fit.
+    val imputeBy: Map[String, Column] = spec.imputers.map { i =>
+      i.col -> (i.strategy match {
+        case Imputation.Mean   => lit(numStats(i.col).mean)
+        case Imputation.Median => lit(numStats(i.col).median)
+        case Imputation.Mode   => lit(modes(i.col)).cast(train.schema(i.col).dataType)
+        case Imputation.Zero   => lit(0.0)
+      })
+    }.toMap
+    val refitCols = spec.scalers.map(_.col).distinct.filter(imputeBy.contains)
+    val scaleStats: Map[String, NumStats] =
+      if (refitCols.isEmpty) numStats
+      else {
+        val proj = train.select(refitCols.map(c => coalesce(col(c), imputeBy(c)).as(c)): _*)
+        val aggs = refitCols.flatMap { c =>
+          Seq(avg(col(c)).as(s"${c}__mean"), stddev_samp(col(c)).as(s"${c}__std"),
+            min(col(c)).cast("double").as(s"${c}__min"), max(col(c)).cast("double").as(s"${c}__max"),
+            expr(pct(c)).as(s"${c}__q"))
+        }
+        val row = proj.agg(aggs.head, aggs.tail: _*).head()
+        numStats ++ refitCols.map { c =>
+          val q = row.getAs[scala.collection.Seq[Double]](s"${c}__q")
+          c -> NumStats(row.getAs[Double](s"${c}__mean"), row.getAs[Double](s"${c}__std"),
+            row.getAs[Double](s"${c}__min"), row.getAs[Double](s"${c}__max"),
+            q(0), q(1), q(2))
+        }.toMap
+      }
+
     FittedFeaturePipeline(spec, numStats, modes,
       catInfo.map { case (k, v) => k -> v._1 },
       catInfo.map { case (k, v) => k -> v._2 },
-      variances)
+      variances, scaleStats)
   }
 }

@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
   *
   * PRECONDITION: both arrays sorted ascending with no nulls (use
   * `array_sort`/`sort_array`). Unsorted input gives an undercount, not
-  * an error — callers own the invariant.
+  * an error — callers own the invariant. Duplicate elements are fine:
+  * equal runs are skipped after each match, so the result is the SET
+  * intersection size — identical to `size(array_intersect(a, b))` —
+  * even on non-distinct input (the expression is exposed to arbitrary
+  * SQL via the `sorted_intersect_size` registration).
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -43,8 +47,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     var i = 0; var j = 0; var cnt = 0
     val nx = x.numElements(); val ny = y.numElements()
     while (i < nx && j < ny) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { cnt += 1; i += 1; j += 1 }
+      val xi = x.getUTF8String(i)
+      val c = xi.compareTo(y.getUTF8String(j))
+      if (c == 0) {
+        cnt += 1
+        // skip equal runs on both sides: set semantics on dup input
+        i += 1; while (i < nx && x.getUTF8String(i).equals(xi)) i += 1
+        j += 1; while (j < ny && y.getUTF8String(j).equals(xi)) j += 1
+      }
       else if (c < 0) i += 1
       else j += 1
     }
@@ -56,13 +66,19 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val cnt = ctx.freshName("cnt"); val c = ctx.freshName("c")
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
       s"""
          |int $i = 0, $j = 0, $cnt = 0;
          |final int $nx = $a.numElements();
          |final int $ny = $b.numElements();
          |while ($i < $nx && $j < $ny) {
-         |  final int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { $cnt++; $i++; $j++; }
+         |  final org.apache.spark.unsafe.types.UTF8String $xi = $a.getUTF8String($i);
+         |  final int $c = $xi.compareTo($b.getUTF8String($j));
+         |  if ($c == 0) {
+         |    $cnt++;
+         |    $i++; while ($i < $nx && $a.getUTF8String($i).equals($xi)) { $i++; }
+         |    $j++; while ($j < $ny && $b.getUTF8String($j).equals($xi)) { $j++; }
+         |  }
          |  else if ($c < 0) { $i++; }
          |  else { $j++; }
          |}

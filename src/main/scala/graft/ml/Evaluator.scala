@@ -41,10 +41,13 @@ object Evaluator {
   }
 
   /** Accuracy / precision / recall / F1 / F-beta at a threshold, plus
-    * rank-based ROC-AUC (Mann-Whitney with a deterministic total order:
-    * score asc, tiebreak asc).
+    * rank-based ROC-AUC (Mann-Whitney). Tied scores get MID-RANKS (the
+    * average of their positional ranks), matching the standard
+    * Mann-Whitney / sklearn `roc_auc_score` convention — a tiebreak
+    * order alone would bias the statistic on duplicate scores.
     *
-    * Single-row result. `tieBreakCol` must be a unique key.
+    * Single-row result, materialized eagerly (so the rank cache can be
+    * released before returning). `tieBreakCol` must be a unique key.
     */
   def binaryMetrics(df: DataFrame, labelCol: String, scoreCol: String,
       tieBreakCol: String, threshold: Double, beta: Double): DataFrame = {
@@ -54,19 +57,26 @@ object Evaluator {
     // no-partition Window — see graft.operators.GlobalRank
     val ranked = graft.operators.GlobalRank.withGlobalRowNumber(
       df, Seq(col(scoreCol).asc, col(tieBreakCol).asc), "__r")
+    // mid-rank: avg positional rank within each equal-score group (one
+    // hash shuffle on score; group sizes = tie counts, inherently bounded)
+    val midRanked = ranked.df.withColumn("__mr",
+      avg(col("__r")).over(Window.partitionBy(col(scoreCol))))
     val aggsAll = cmAggs(label, pred) ++ Seq(
-      sum(when(label === 1, col("__r")).otherwise(0L)).as("sum_rank_pos"),
+      sum(when(label === 1, col("__mr")).otherwise(0.0)).as("sum_rank_pos"),
       sum(when(label === 1, 1L).otherwise(0L)).as("npos"),
       sum(when(label === 0, 1L).otherwise(0L)).as("nneg"))
-    ranked.agg(aggsAll.head, aggsAll.tail: _*)
+    val res = midRanked.agg(aggsAll.head, aggsAll.tail: _*)
       .select(
         (col("tp") + col("tn")).cast("double") / (col("tp") + col("tn") + col("fp") + col("fn")) as "accuracy",
         col("tp").cast("double") / (col("tp") + col("fp")) as "precision",
         col("tp").cast("double") / (col("tp") + col("fn")) as "recall",
         fbeta(col("tp"), col("fp"), col("fn"), 1.0).as("f1"),
         fbeta(col("tp"), col("fp"), col("fn"), beta).as("fbeta"),
-        ((col("sum_rank_pos") - col("npos") * (col("npos") + 1) / 2).cast("double") /
+        ((col("sum_rank_pos") - col("npos").cast("double") * (col("npos") + 1) / 2) /
           (col("npos") * col("nneg"))).as("roc_auc"))
+    val rows = res.collect()
+    ranked.release()
+    df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
   }
 
   /** Expected calibration error with `bins` equal-width probability bins
@@ -82,23 +92,45 @@ object Evaluator {
   }
 
   /** Decile lift and cumulative gains (reference: evaluator.py:776-816
-    * cumulative gains / lift curves). ntile over a deterministic total
-    * order (score desc, tiebreak asc).
+    * cumulative gains / lift curves) over a deterministic total order
+    * (score desc, tiebreak asc).
+    *
+    * The tile is computed from a DISTRIBUTED global rank (GlobalRank —
+    * range partition + offsets), not `ntile().over(Window.orderBy(...))`
+    * whose no-partition window is a single-machine bottleneck. Tile
+    * boundaries replicate SQL ntile exactly: the first N mod k tiles
+    * get ceil(N/k) rows, the rest floor(N/k). Result (k rows) is
+    * materialized eagerly so the rank cache can be released.
     */
   def liftGains(df: DataFrame, labelCol: String, scoreCol: String,
       tieBreakCol: String, nTiles: Int): DataFrame = {
-    val w = Window.orderBy(col(scoreCol).desc, col(tieBreakCol).asc)
-    val tiled = df.withColumn("decile", ntile(nTiles).over(w))
-    val perTile = tiled.groupBy(col("decile"))
+    val ranked = graft.operators.GlobalRank.withGlobalRowNumber(
+      df, Seq(col(scoreCol).desc, col(tieBreakCol).asc), "__r")
+    val n = ranked.total
+    val base = n / nTiles          // floor(N/k)
+    val rem = n % nTiles           // first `rem` tiles get base+1 rows
+    val cut = rem * (base + 1)
+    // integer ceil-div keeps ranks exact past 2^53 (doubles would not)
+    val dFirst = expr(s"CAST((__r + $base) DIV ${base + 1} AS INT)")
+    val decile =
+      if (base == 0) dFirst        // N < k: one row per tile
+      else when(col("__r") <= cut, dFirst)
+        .otherwise(expr(s"CAST($rem + (__r - $cut + ${base - 1}) DIV $base AS INT)"))
+    val perTile = ranked.df.withColumn("decile", decile)
+      .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"), sum(col(labelCol)).cast("long").as("n_pos"))
     val wAll = Window.partitionBy()
+    // k-row windows over the per-tile aggregate — trivially bounded
     val wCum = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perTile
+    val res = perTile
       .withColumn("cum_gain", sum(col("n_pos")).over(wCum).cast("double") / sum(col("n_pos")).over(wAll))
       .withColumn("lift",
         (col("n_pos").cast("double") / col("n")) /
           (sum(col("n_pos")).over(wAll).cast("double") / sum(col("n")).over(wAll)))
       .select(col("decile"), col("n"), col("n_pos"), col("cum_gain"), col("lift"))
+    val rows = res.collect()
+    ranked.release()
+    df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
   }
 
   /** F-beta sweep over a threshold grid — the basis for decision-

@@ -59,17 +59,18 @@ object EvalQueries {
        |  sum(CASE WHEN label = 1 AND score < 0.5 THEN 1 ELSE 0 END) AS fn,
        |  sum(CASE WHEN label = 0 AND score < 0.5 THEN 1 ELSE 0 END) AS tn
        | FROM sc),
-       |rk AS (SELECT label, row_number() OVER (ORDER BY score ASC, event_id ASC) AS r FROM sc),
+       |rk AS (SELECT label, score, row_number() OVER (ORDER BY score ASC, event_id ASC) AS r FROM sc),
+       |mr AS (SELECT label, avg(r) OVER (PARTITION BY score) AS r FROM rk),
        |auc AS (SELECT sum(CASE WHEN label = 1 THEN r ELSE 0 END) AS srp,
        |  sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS npos,
-       |  sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nneg FROM rk)
+       |  sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nneg FROM mr)
        |SELECT
        | round(CAST(tp + tn AS DOUBLE) / (tp + tn + fp + fn), 6) + 0 AS accuracy,
        | round(CAST(tp AS DOUBLE) / (tp + fp), 6) + 0 AS "precision",
        | round(CAST(tp AS DOUBLE) / (tp + fn), 6) + 0 AS recall,
        | round((2.0 * tp) / (2.0 * tp + 1.0 * fn + fp), 6) + 0 AS f1,
        | round((1.25 * tp) / (1.25 * tp + 0.25 * fn + fp), 6) + 0 AS fbeta,
-       | round(CAST(srp - npos * (npos + 1) / 2 AS DOUBLE) / (npos * nneg), 6) + 0 AS roc_auc
+       | round((srp - CAST(npos AS DOUBLE) * (npos + 1) / 2) / (npos * nneg), 6) + 0 AS roc_auc
        |FROM cm CROSS JOIN auc""".stripMargin
 
   def qRocAuc(s: SparkSession, d: String): DataFrame = {
@@ -80,11 +81,12 @@ object EvalQueries {
 
   val qRocAucOracle: String =
     s"""WITH sc AS ($scoredSql),
-       |rk AS (SELECT label, row_number() OVER (ORDER BY score ASC, event_id ASC) AS r FROM sc)
-       |SELECT round(CAST(sum(CASE WHEN label = 1 THEN r ELSE 0 END)
-       |   - sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) * (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1) / 2 AS DOUBLE)
+       |rk AS (SELECT label, score, row_number() OVER (ORDER BY score ASC, event_id ASC) AS r FROM sc),
+       |mr AS (SELECT label, avg(r) OVER (PARTITION BY score) AS r FROM rk)
+       |SELECT round((sum(CASE WHEN label = 1 THEN r ELSE 0 END)
+       |   - CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS DOUBLE) * (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1) / 2)
        | / (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) * sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)), 6) + 0 AS roc_auc
-       |FROM rk""".stripMargin
+       |FROM mr""".stripMargin
 
   def qEce(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

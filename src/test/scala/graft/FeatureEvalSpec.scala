@@ -23,6 +23,19 @@ class FeatureEvalSpec extends SparkSpec {
     assert(out.filter($"x_med".isNull || $"x_mean".isNull || $"c".isNull).count() == 0)
   }
 
+  test("scaler stats are fitted on imputed values (sklearn imputer→scaler order)") {
+    // raw x = [1, 3, null]; median impute → [1, 3, 2]
+    // imputed mean = 2, sample std = 1 (raw non-null std would be sqrt(2))
+    val df = Seq(Some(1.0), Some(3.0), None).toDF("x")
+    val fitted = FeaturePipeline.fit(df, FeaturePipelineSpec(
+      imputers = Seq(ImputerSpec("x", Imputation.Median)),
+      scalers = Seq(ScalerSpec("x", ScalerKind.Standard))))
+    assert(fitted.numStats("x").median == 2.0)          // imputer stat: raw fit
+    assert(math.abs(fitted.scaleStats("x").std - 1.0) < 1e-12) // scaler stat: imputed fit
+    val out = fitted.transform(df).orderBy($"x").collect().map(_.getDouble(0))
+    assert(out.sameElements(Array(-1.0, 0.0, 1.0)))
+  }
+
   test("one-hot drops first sorted category and groups infrequent") {
     val rows = Seq.fill(50)("big1") ++ Seq.fill(48)("big2") ++ Seq("rare1", "rare2")
     val df = rows.toDF("c")
@@ -73,16 +86,26 @@ class FeatureEvalSpec extends SparkSpec {
     assert(math.abs(m.getAs[Double]("roc_auc") - 6.0 / 9) < 1e-9)
   }
 
+  test("AUC uses mid-ranks on tied scores (Mann-Whitney/sklearn convention)") {
+    // pos at .8, neg at .8 (tie → 0.5), pos at .5 vs neg at .2 (win → 1)
+    // pairs: (p.8,n.8)=.5 (p.8,n.2)=1 (p.5,n.8)=0 (p.5,n.2)=1 → 2.5/4
+    val df = Seq((1, 1, 0.8), (2, 0, 0.8), (3, 1, 0.5), (4, 0, 0.2)).toDF("id", "label", "score")
+    val m = Evaluator.binaryMetrics(df, "label", "score", "id", 0.5, 0.5).head()
+    assert(math.abs(m.getAs[Double]("roc_auc") - 2.5 / 4) < 1e-9)
+  }
+
   test("distributed global row number equals single-partition window rank") {
     import org.apache.spark.sql.expressions.Window
     val df = Tables.events(spark, sf).select($"event_id", $"value")
     val windowed = df.withColumn("r",
       row_number().over(Window.orderBy($"value".asc, $"event_id".asc)).cast("long"))
-    val dist = graft.operators.GlobalRank.withGlobalRowNumber(
+    val ranked = graft.operators.GlobalRank.withGlobalRowNumber(
       df, Seq($"value".asc, $"event_id".asc), "r")
-    assert(dist.select(max($"r")).head().getLong(0) == df.count())
-    assert(windowed.join(dist.withColumnRenamed("r", "r2"), "event_id")
+    assert(ranked.total == df.count())
+    assert(ranked.df.select(max($"r")).head().getLong(0) == df.count())
+    assert(windowed.join(ranked.df.withColumnRenamed("r", "r2"), "event_id")
       .filter($"r" =!= $"r2").count() == 0)
+    ranked.release()
   }
 
   test("best threshold maximizes fbeta on the sweep") {

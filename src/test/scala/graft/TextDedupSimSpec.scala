@@ -113,6 +113,16 @@ class TextDedupSimSpec extends SparkSpec {
     val edge = Seq((Seq[String](), Seq("x")), (Seq("x", "y"), Seq("x", "y"))).toDF("a", "b")
       .select(sortedIntersectSize($"a", $"b")).collect().map(_.getInt(0))
     assert(edge.toSeq == Seq(0, 2))
+    // duplicate runs: still SET semantics (= size(array_intersect)),
+    // not a per-occurrence count — the SQL-registered form sees raw input
+    val dups = (1 to 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(25))(rnd.nextInt(8).toString).sorted
+      val b = Seq.fill(rnd.nextInt(25))(rnd.nextInt(8).toString).sorted
+      (a, b)
+    }.toDF("a", "b")
+      .withColumn("fast", sortedIntersectSize($"a", $"b"))
+      .withColumn("ref", size(array_intersect($"a", $"b")))
+    assert(dups.filter($"fast" =!= $"ref").count() == 0)
   }
 
   test("prefix-filtered jaccard join equals brute force on real docs") {
