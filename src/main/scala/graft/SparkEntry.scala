@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, DocQueries, EvalQueries, FeatureQueries, StreamQueries}
+import graft.queries.{CoreQueries, CoreQueries2, DocQueries, EvalQueries, FeatureQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -12,10 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all ++ FeatureQueries.all ++ DocQueries.all ++ EvalQueries.all ++ StreamQueries.all
+    CoreQueries.all ++ CoreQueries2.all ++ FeatureQueries.all ++ DocQueries.all ++
+      EvalQueries.all ++ StreamQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ FeatureQueries.oracles ++ DocQueries.oracles ++ EvalQueries.oracles ++ StreamQueries.oracles
+    CoreQueries.oracles ++ CoreQueries2.oracles ++ FeatureQueries.oracles ++ DocQueries.oracles ++
+      EvalQueries.oracles ++ StreamQueries.oracles
 }

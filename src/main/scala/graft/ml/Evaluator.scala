@@ -206,6 +206,62 @@ object Evaluator {
       .withColumn("accuracy", sum(col("tp")).over(wAll).cast("double") / sum(col("n_true")).over(wAll))
   }
 
+  /** Brier score: mean squared error of the probability against the
+    * 0/1 label — single aggregation pass.
+    */
+  def brierScore(df: DataFrame, labelCol: String, scoreCol: String): DataFrame =
+    df.agg(avg(pow(col(scoreCol) - col(labelCol).cast("double"), 2.0)).as("brier"),
+      count(lit(1)).as("n"))
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the score
+    * distributions of positives and negatives: max over distinct scores
+    * of |CDF_pos − CDF_neg|.
+    *
+    * Scale shape: one groupBy on score (map-side combined), then a
+    * DISTRIBUTED prefix sum over the per-score frame
+    * (GlobalRank.withPrefixSums — no single-partition window). Result
+    * is a single row, materialized eagerly.
+    */
+  def ksStatistic(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val label = col(labelCol)
+    val perScore = df.groupBy(col(scoreCol).as("score"))
+      .agg(sum(when(label === 1, 1L).otherwise(0L)).as("np"),
+        sum(when(label === 0, 1L).otherwise(0L)).as("nn"))
+    val ps = graft.operators.GlobalRank.withPrefixSums(
+      perScore, Seq(col("score").asc),
+      Seq("cum_pos" -> col("np"), "cum_neg" -> col("nn")))
+    val tot = ps.df.agg(max(col("cum_pos")).as("tp"), max(col("cum_neg")).as("tn")).head()
+    val (tp, tn) = (tot.getAs[Double]("tp"), tot.getAs[Double]("tn"))
+    val res = ps.df.agg(
+      max(abs(col("cum_pos") / tp - col("cum_neg") / tn)).as("ks"),
+      count(lit(1)).as("n_thresholds"))
+    val rows = res.collect()
+    ps.release()
+    df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+  }
+
+  /** Average precision (PR-AUC as sklearn `average_precision_score`
+    * computes it): AP = Σ_k (R_k − R_{k−1})·P_k over distinct score
+    * thresholds descending, where P/R include all rows tied at the
+    * threshold. Same distributed-prefix-sum shape as [[ksStatistic]].
+    */
+  def averagePrecision(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val label = col(labelCol)
+    val perScore = df.groupBy(col(scoreCol).as("score"))
+      .agg(sum(when(label === 1, 1L).otherwise(0L)).as("np"),
+        count(lit(1)).cast("long").as("nr"))
+    val ps = graft.operators.GlobalRank.withPrefixSums(
+      perScore, Seq(col("score").desc),
+      Seq("cum_pos" -> col("np"), "cum_n" -> col("nr")))
+    val npos = ps.df.agg(max(col("cum_pos"))).head().getDouble(0)
+    // Σ ΔR·P = Σ (np/Npos)·(cum_pos/cum_n)
+    val res = ps.df.agg(
+      (sum(col("np") * col("cum_pos") / col("cum_n")) / npos).as("pr_auc"))
+    val rows = res.collect()
+    ps.release()
+    df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+  }
+
   /** Best threshold by F-beta (ties → smaller threshold). */
   def bestThreshold(df: DataFrame, labelCol: String, scoreCol: String,
       thresholds: Seq[Double], beta: Double): Double =

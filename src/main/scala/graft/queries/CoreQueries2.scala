@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.RangeJoin
+
+/** Round-2 relational widening: multidimensional aggregates, window
+  * navigation, range join, histograms, exact multi-quantiles
+  * (SURVEY.md §2.1 additions).
+  */
+object CoreQueries2 {
+  import CoreQueries.Q
+
+  /** CUBE over (status, priority): all 4 grouping combinations in one
+    * pass (Spark expands grouping sets before the single hash agg).
+    */
+  def qCube(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), (round(sum($"o_totalprice"), 2) + lit(0.0)).as("total"))
+      .select(
+        coalesce($"o_orderstatus", lit("<all>")).as("status"),
+        coalesce($"o_orderpriority", lit("<all>")).as("priority"),
+        $"n", $"total")
+      .orderBy($"status", $"priority")
+  }
+
+  val qCubeOracle: String =
+    """SELECT coalesce(o_orderstatus, '<all>') AS status,
+      | coalesce(o_orderpriority, '<all>') AS priority,
+      | count(*) AS n, round(sum(o_totalprice),2) + 0 AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** GROUPING SETS (one-dimensional marginals) through the SQL surface —
+    * the DataFrame API covers rollup/cube; arbitrary sets go via SQL.
+    */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, '<all>') AS status,
+        | coalesce(o_orderpriority, '<all>') AS priority,
+        | count(*) AS n
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  val qGroupingSetsOracle: String =
+    """SELECT coalesce(o_orderstatus, '<all>') AS status,
+      | coalesce(o_orderpriority, '<all>') AS priority,
+      | count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY status, priority""".stripMargin
+
+  /** Window navigation (lag/lead) per user over the event stream: the
+    * pandas shift() analog. Partitioned window — shuffles once on
+    * user_id, state per partition is a single row lookback/ahead.
+    */
+  def qLeadLag(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    Tables.events(s, d)
+      .filter($"user_id" % 50 === 0)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        (round($"value", 4) + lit(0.0)).as("value"))
+      .withColumn("prev_value", round(lag($"value", 1).over(w), 4) + lit(0.0))
+      .withColumn("next_value", round(lead($"value", 1).over(w), 4) + lit(0.0))
+      .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(w))
+      .select($"user_id", $"event_id", $"value", $"prev_value", $"next_value", $"gap_us")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val qLeadLagOracle: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  round(value, 4) + 0 AS value
+      | FROM events WHERE user_id % 50 = 0)
+      |SELECT user_id, event_id, value,
+      | round(lag(value) OVER w, 4) + 0 AS prev_value,
+      | round(lead(value) OVER w, 4) + 0 AS next_value,
+      | ts_us - lag(ts_us) OVER w AS gap_us
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Range join with NO equi-key: per anchor ('error' events, sampled),
+    * all events in the 2 minutes starting at the anchor. Implemented as
+    * a bucketed EQUI-join (graft.operators.RangeJoin) — a theta-join
+    * would be a nested-loop at scale.
+    */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val twoMinUs = 120L * 1000000L
+    val anchors = Tables.events(s, d)
+      .filter($"event_type" === "error" && $"event_id" % 97 === 0)
+      .select($"event_id".as("anchor_id"), unix_micros($"ts").as("a_us"))
+    val probes = Tables.events(s, d)
+      .select($"event_id".as("probe_id"), unix_micros($"ts").as("p_us"), $"value")
+    RangeJoin.bandJoin(anchors, probes, $"a_us", $"p_us", twoMinUs)
+      .groupBy($"anchor_id")
+      .agg(count(lit(1)).as("n_within"),
+        (round(sum($"value"), 2) + lit(0.0)).as("sum_value"))
+      .orderBy($"anchor_id")
+  }
+
+  val qRangeJoinOracle: String =
+    """SELECT a.event_id AS anchor_id, count(*) AS n_within,
+      | round(sum(e.value), 2) + 0 AS sum_value
+      |FROM events a JOIN events e
+      |  ON epoch_us(e.ts) >= epoch_us(a.ts)
+      | AND epoch_us(e.ts) < epoch_us(a.ts) + 120000000
+      |WHERE a.event_type = 'error' AND a.event_id % 97 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Equi-width histogram of order totals: single agg pass, fixed bin
+    * count — the EDA/profiling primitive at any scale.
+    */
+  def qHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val width = 25000.0
+    Tables.orders(s, d)
+      .groupBy(floor($"o_totalprice" / width).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        (round(min($"o_totalprice"), 2) + lit(0.0)).as("lo"),
+        (round(max($"o_totalprice"), 2) + lit(0.0)).as("hi"))
+      .orderBy($"bin")
+  }
+
+  val qHistogramOracle: String =
+    """SELECT CAST(floor(o_totalprice / 25000.0) AS INT) AS bin, count(*) AS n,
+      | round(min(o_totalprice), 2) + 0 AS lo,
+      | round(max(o_totalprice), 2) + 0 AS hi
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Exact multi-quantiles (linear interpolation) of the price column —
+    * one row, six quantiles. At 100 TB use approx_percentile; exact
+    * needs a per-column sort and is here for oracle parity + small SF.
+    */
+  def qPercentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .agg(expr("percentile(l_extendedprice, array(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))").as("q"))
+      .select(
+        (round($"q"(0), 4) + lit(0.0)).as("p10"),
+        (round($"q"(1), 4) + lit(0.0)).as("p25"),
+        (round($"q"(2), 4) + lit(0.0)).as("p50"),
+        (round($"q"(3), 4) + lit(0.0)).as("p75"),
+        (round($"q"(4), 4) + lit(0.0)).as("p90"),
+        (round($"q"(5), 4) + lit(0.0)).as("p99"))
+  }
+
+  val qPercentilesOracle: String =
+    """SELECT
+      | round(quantile_cont(l_extendedprice, 0.1), 4) + 0 AS p10,
+      | round(quantile_cont(l_extendedprice, 0.25), 4) + 0 AS p25,
+      | round(quantile_cont(l_extendedprice, 0.5), 4) + 0 AS p50,
+      | round(quantile_cont(l_extendedprice, 0.75), 4) + 0 AS p75,
+      | round(quantile_cont(l_extendedprice, 0.9), 4) + 0 AS p90,
+      | round(quantile_cont(l_extendedprice, 0.99), 4) + 0 AS p99
+      |FROM lineitem""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q_cube" -> qCube,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_lead_lag" -> qLeadLag,
+    "q_range_join" -> qRangeJoin,
+    "q_histogram" -> qHistogram,
+    "q_percentiles" -> qPercentiles
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_cube" -> qCubeOracle,
+    "q_grouping_sets" -> qGroupingSetsOracle,
+    "q_lead_lag" -> qLeadLagOracle,
+    "q_range_join" -> qRangeJoinOracle,
+    "q_histogram" -> qHistogramOracle,
+    "q_percentiles" -> qPercentilesOracle
+  )
+}

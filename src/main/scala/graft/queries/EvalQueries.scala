@@ -182,6 +182,57 @@ object EvalQueries {
        | round(avg(CAST(label AS DOUBLE)), 6) + 0 AS fraction_positive
        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  def qBrier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Evaluator.brierScore(scored(s, d), "label", "score")
+      .select(r6($"brier").as("brier"), $"n")
+  }
+
+  val qBrierOracle: String =
+    s"""WITH sc AS ($scoredSql)
+       |SELECT round(avg((score - CAST(label AS DOUBLE)) * (score - CAST(label AS DOUBLE))), 6) + 0 AS brier,
+       | count(*) AS n
+       |FROM sc""".stripMargin
+
+  def qKsStat(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Evaluator.ksStatistic(scored(s, d), "label", "score")
+      .select(r6($"ks").as("ks"), $"n_thresholds")
+  }
+
+  val qKsStatOracle: String =
+    s"""WITH sc AS ($scoredSql),
+       |g AS (SELECT score,
+       |  sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS np,
+       |  sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nn
+       | FROM sc GROUP BY 1),
+       |c AS (SELECT
+       |  sum(np) OVER (ORDER BY score) AS cp, sum(nn) OVER (ORDER BY score) AS cn,
+       |  sum(np) OVER () AS tp, sum(nn) OVER () AS tn
+       | FROM g)
+       |SELECT round(max(abs(CAST(cp AS DOUBLE) / tp - CAST(cn AS DOUBLE) / tn)), 6) + 0 AS ks,
+       | count(*) AS n_thresholds
+       |FROM c""".stripMargin
+
+  def qPrAuc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Evaluator.averagePrecision(scored(s, d), "label", "score")
+      .select(r6($"pr_auc").as("pr_auc"))
+  }
+
+  val qPrAucOracle: String =
+    s"""WITH sc AS ($scoredSql),
+       |g AS (SELECT score,
+       |  sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS np, count(*) AS nr
+       | FROM sc GROUP BY 1),
+       |c AS (SELECT np,
+       |  sum(np) OVER (ORDER BY score DESC) AS cp,
+       |  sum(nr) OVER (ORDER BY score DESC) AS cn,
+       |  sum(np) OVER () AS tpos
+       | FROM g)
+       |SELECT round(sum(CAST(np AS DOUBLE) * cp / cn) / max(tpos), 6) + 0 AS pr_auc
+       |FROM c""".stripMargin
+
   /** Multiclass metrics over a deterministic 10-class scorer. */
   def qMulticlassMetrics(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -218,6 +269,9 @@ object EvalQueries {
       |FROM m ORDER BY clazz""".stripMargin
 
   val all: Map[String, Q] = Map(
+    "q_brier" -> qBrier,
+    "q_ks_stat" -> qKsStat,
+    "q_pr_auc" -> qPrAuc,
     "q_multiclass_metrics" -> qMulticlassMetrics,
     "q_roc_curve" -> qRocCurve,
     "q_calibration_curve" -> qCalibrationCurve,
@@ -230,6 +284,9 @@ object EvalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_brier" -> qBrierOracle,
+    "q_ks_stat" -> qKsStatOracle,
+    "q_pr_auc" -> qPrAucOracle,
     "q_multiclass_metrics" -> qMulticlassMetricsOracle,
     "q_roc_curve" -> qRocCurveOracle,
     "q_calibration_curve" -> qCalibrationCurveOracle,

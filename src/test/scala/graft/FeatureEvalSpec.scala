@@ -108,6 +108,44 @@ class FeatureEvalSpec extends SparkSpec {
     ranked.release()
   }
 
+  test("distributed prefix sums equal single-partition window cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.events(spark, sf).select($"event_id", $"value")
+    val w = Window.orderBy($"value".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("cv", sum($"value").over(w))
+    val ps = graft.operators.GlobalRank.withPrefixSums(
+      df, Seq($"value".asc, $"event_id".asc), Seq("cv" -> $"value"))
+    assert(ps.total == df.count())
+    assert(expected.join(ps.df.withColumnRenamed("cv", "cv2"), "event_id")
+      .filter(abs($"cv" - $"cv2") > 1e-6).count() == 0)
+    ps.release()
+  }
+
+  test("average precision matches the sklearn worked example") {
+    // sklearn docs: y=[0,0,1,1], scores=[0.1,0.4,0.35,0.8] → AP = 0.833333...
+    val df = Seq((1, 0, 0.1), (2, 0, 0.4), (3, 1, 0.35), (4, 1, 0.8)).toDF("id", "label", "score")
+    val ap = Evaluator.averagePrecision(df, "label", "score").head().getDouble(0)
+    assert(math.abs(ap - (0.5 + 1.0 / 3)) < 1e-9)
+  }
+
+  test("KS statistic on a handcrafted split") {
+    // pos scores {0.8, 0.35}, neg {0.4, 0.1}: max CDF gap = 0.5
+    val df = Seq((1, 1, 0.8), (2, 1, 0.35), (3, 0, 0.4), (4, 0, 0.1)).toDF("id", "label", "score")
+    val ks = Evaluator.ksStatistic(df, "label", "score").head().getDouble(0)
+    assert(math.abs(ks - 0.5) < 1e-9)
+    // identical distributions → KS 0
+    val same = Seq((1, 1, 0.3), (2, 0, 0.3), (3, 1, 0.7), (4, 0, 0.7)).toDF("id", "label", "score")
+    assert(Evaluator.ksStatistic(same, "label", "score").head().getDouble(0) == 0.0)
+  }
+
+  test("Brier score of a perfect and a constant predictor") {
+    val df = Seq((1, 1, 1.0), (2, 0, 0.0)).toDF("id", "label", "score")
+    assert(Evaluator.brierScore(df, "label", "score").head().getDouble(0) == 0.0)
+    val const = Seq((1, 1, 0.5), (2, 0, 0.5)).toDF("id", "label", "score")
+    assert(Evaluator.brierScore(const, "label", "score").head().getDouble(0) == 0.25)
+  }
+
   test("best threshold maximizes fbeta on the sweep") {
     val df = Seq((1, 1, 0.9), (2, 1, 0.8), (3, 0, 0.4), (4, 0, 0.2)).toDF("id", "label", "score")
     val best = Evaluator.bestThreshold(df, "label", "score", Seq(0.1, 0.5, 0.85), 0.5)

@@ -88,4 +88,24 @@ class PrepSplitSpec extends SparkSpec {
     assert(t1.count() == t2.count())
     assert(Splits.overlapCount(t1, te2, "event_id") == 0)
   }
+
+  test("bucketed band join equals the theta-join reference") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(7)
+    val anchors = (1 to 40).map(i => (i, rnd.nextLong().abs % 1000)).toDF("aid", "a_pt")
+    val probes = (1 to 400).map(i => (i, rnd.nextLong().abs % 1000)).toDF("pid", "p_pt")
+    val got = RangeJoin.bandJoin(anchors, probes, $"a_pt", $"p_pt", 50L)
+      .select($"aid", $"pid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val want = anchors.join(probes, $"p_pt" >= $"a_pt" && $"p_pt" < $"a_pt" + 50)
+      .select($"aid", $"pid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == want && want.nonEmpty)
+    // negative domain: floor-division bucketing must stay correct
+    val an = Seq((1, -120L), (2, -49L)).toDF("aid", "a_pt")
+    val pn = Seq((1, -100L), (2, -120L), (3, -1L), (4, 0L)).toDF("pid", "p_pt")
+    val gotN = RangeJoin.bandJoin(an, pn, $"a_pt", $"p_pt", 50L)
+      .select($"aid", $"pid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val wantN = an.join(pn, $"p_pt" >= $"a_pt" && $"p_pt" < $"a_pt" + 50)
+      .select($"aid", $"pid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(gotN == wantN)
+  }
 }
