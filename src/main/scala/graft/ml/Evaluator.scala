@@ -46,36 +46,48 @@ object Evaluator {
     * Mann-Whitney / sklearn `roc_auc_score` convention — a tiebreak
     * order alone would bias the statistic on duplicate scores.
     *
-    * Single-row result, materialized eagerly (so the rank cache can be
-    * released before returning). `tieBreakCol` must be a unique key.
+    * Scale shape: ONE per-score groupBy (map-side combined — tie groups
+    * collapse to a single row each, so a degenerate scorer with few
+    * distinct scores costs nothing), then a distributed prefix sum over
+    * the per-score frame (GlobalRank.withPrefixSums). The mid-rank of a
+    * tie group is computed arithmetically from the cumulative count —
+    * no row-level global rank and no per-score row window, so no
+    * partition ever receives a whole tie group of raw rows.
+    *
+    * Single-row result, materialized eagerly (so the prefix-sum cache
+    * can be released before returning). `tieBreakCol` is retained for
+    * API compatibility only — mid-rank AUC needs no tiebreak.
     */
   def binaryMetrics(df: DataFrame, labelCol: String, scoreCol: String,
       tieBreakCol: String, threshold: Double, beta: Double): DataFrame = {
     val label = col(labelCol)
-    val pred = predictAt(col(scoreCol), threshold)
-    // distributed global rank (range partition + offsets), NOT a
-    // no-partition Window — see graft.operators.GlobalRank
-    val ranked = graft.operators.GlobalRank.withGlobalRowNumber(
-      df, Seq(col(scoreCol).asc, col(tieBreakCol).asc), "__r")
-    // mid-rank: avg positional rank within each equal-score group (one
-    // hash shuffle on score; group sizes = tie counts, inherently bounded)
-    val midRanked = ranked.df.withColumn("__mr",
-      avg(col("__r")).over(Window.partitionBy(col(scoreCol))))
-    val aggsAll = cmAggs(label, pred) ++ Seq(
-      sum(when(label === 1, col("__mr")).otherwise(0.0)).as("sum_rank_pos"),
-      sum(when(label === 1, 1L).otherwise(0L)).as("npos"),
-      sum(when(label === 0, 1L).otherwise(0L)).as("nneg"))
-    val res = midRanked.agg(aggsAll.head, aggsAll.tail: _*)
+    val perScore = df.groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(when(label === 1, 1L).otherwise(0L)).cast("double").as("__np"))
+    val ps = graft.operators.GlobalRank.withPrefixSums(
+      perScore, Seq(col("__s").asc), Seq("__cum_n" -> col("__n")))
+    // positional ranks of the tie group at score s span
+    // (cum_n - n + 1) .. cum_n → mid-rank = cum_n - (n - 1) / 2
+    val mid = col("__cum_n") - (col("__n") - 1) / 2
+    val isPos = col("__s") >= threshold
+    val res = ps.df.agg(
+        sum(when(isPos, col("__np")).otherwise(0.0)).as("tp"),
+        sum(when(isPos, col("__n") - col("__np")).otherwise(0.0)).as("fp"),
+        sum(when(!isPos, col("__np")).otherwise(0.0)).as("fn"),
+        sum(when(!isPos, col("__n") - col("__np")).otherwise(0.0)).as("tn"),
+        sum(col("__np") * mid).as("sum_rank_pos"),
+        sum(col("__np")).as("npos"),
+        sum(col("__n") - col("__np")).as("nneg"))
       .select(
-        (col("tp") + col("tn")).cast("double") / (col("tp") + col("tn") + col("fp") + col("fn")) as "accuracy",
-        col("tp").cast("double") / (col("tp") + col("fp")) as "precision",
-        col("tp").cast("double") / (col("tp") + col("fn")) as "recall",
+        (col("tp") + col("tn")) / (col("tp") + col("tn") + col("fp") + col("fn")) as "accuracy",
+        col("tp") / (col("tp") + col("fp")) as "precision",
+        col("tp") / (col("tp") + col("fn")) as "recall",
         fbeta(col("tp"), col("fp"), col("fn"), 1.0).as("f1"),
         fbeta(col("tp"), col("fp"), col("fn"), beta).as("fbeta"),
-        ((col("sum_rank_pos") - col("npos").cast("double") * (col("npos") + 1) / 2) /
+        ((col("sum_rank_pos") - col("npos") * (col("npos") + 1) / 2) /
           (col("npos") * col("nneg"))).as("roc_auc"))
     val rows = res.collect()
-    ranked.release()
+    ps.release()
     df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
   }
 

@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Distributed global row numbering.
   *
@@ -12,6 +15,11 @@ import org.apache.spark.sql.functions._
   * offset (computed from per-partition counts — one tiny job) to the
   * local row index. Identical output to `row_number().over(orderBy)`
   * for a total order, with no single-machine bottleneck.
+  *
+  * The per-partition offsets join in via a BROADCAST of a tiny
+  * (partition, offset) frame — not a `when(pid === …)` CASE chain,
+  * whose expression depth grows with the partition count and falls out
+  * of codegen at the 10k-partition shuffles this file targets.
   */
 object GlobalRank {
 
@@ -27,37 +35,48 @@ object GlobalRank {
     */
   final case class Ranked(df: DataFrame, total: Long, release: () => Unit)
 
+  // monotonically_increasing_id() encodes (partitionId << 33) + local
+  // row index, assigned in partition iteration order — i.e. the sorted
+  // order after sortWithinPartitions. Decoding it gives both the
+  // partition id and a consecutive 0-based local index with NO window
+  // (and so no extra hash shuffle) at all. Partitions must stay under
+  // 2^33 rows — 8.5 billion, far above any sane partition size.
+  private val MidShift = 33
+  private val MidMask = (1L << MidShift) - 1L
+
   /** Append `outCol` = 1-based global row number under the total order
     * `orderCols` (must be a total order — include a unique tiebreak).
     *
     * The returned [[Ranked.release]] MUST be invoked after the caller
     * materializes its result — the backing persist is required for
-    * correctness (range bounds come from sampling, so an unpersisted
-    * recompute could repartition differently than the run the offsets
-    * were counted from), and without release it would live for the
-    * whole session.
+    * correctness (range bounds come from sampling and the row ids are
+    * assigned non-deterministically at materialization, so an
+    * unpersisted recompute could disagree with the run the offsets were
+    * counted from), and without release it would live for the whole
+    * session.
     */
   def withGlobalRowNumber(df: DataFrame, orderCols: Seq[Column], outCol: String): Ranked = {
+    val spark = df.sparkSession
     val ranged = df.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-partition counts → cumulative offsets (driver-side, O(partitions));
     // this collect also materializes the cache
-    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+    val counts = ranged.groupBy(shiftright(col("__mid"), MidShift).as("__pid"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0L, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
       .init.map(_._2)
-    val offsetByPid = counts.map(_._1).zip(offsets).toMap
-    val offsetExpr = offsetByPid.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("__pid") === pid, lit(off)).otherwise(acc)
-    }
-    // local index within the (already sorted) partition
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid")).orderBy(orderCols: _*)
+    val offRows: java.util.List[Row] =
+      counts.map(_._1).zip(offsets).map { case (pid, off) => Row(pid, off) }.toList.asJava
+    val offDf = spark.createDataFrame(offRows,
+      StructType(Seq(StructField("__pid", LongType), StructField("__off", LongType))))
     val out = ranged
-      .withColumn(outCol, row_number().over(w).cast("long") + offsetExpr)
-      .drop("__pid")
+      .withColumn("__pid", shiftright(col("__mid"), MidShift))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn(outCol, col("__mid").bitwiseAND(lit(MidMask)) + col("__off") + lit(1L))
+      .drop("__pid", "__mid", "__off")
     Ranked(out, counts.map(_._2).sum, () => { ranged.unpersist(); () })
   }
 
@@ -67,7 +86,9 @@ object GlobalRank {
     * For each `(outCol, valueExpr)` the result carries the running sum
     * of `valueExpr` (nulls count as 0) over `orderCols`, computed with
     * no single-partition window: one tiny job collects O(partitions ×
-    * columns) partial sums, the rest is partition-local.
+    * columns) partial sums, the rest is partition-local (the running
+    * sum is a per-partition window — one key per partition, so every
+    * reducer gets exactly one partition's rows).
     *
     * This is the scalable backbone of CDF-shaped metrics (KS statistic,
     * PR/cumulative-gain curves): `Window.orderBy(...)` without a
@@ -78,6 +99,7 @@ object GlobalRank {
     */
   def withPrefixSums(df: DataFrame, orderCols: Seq[Column],
       sums: Seq[(String, Column)]): Ranked = {
+    val spark = df.sparkSession
     val valCols = sums.map { case (name, e) => coalesce(e.cast("double"), lit(0.0)).as(s"__v_$name") }
     val ranged = df.select((df.columns.map(col) ++ valCols): _*)
       .repartitionByRange(orderCols: _*)
@@ -89,21 +111,28 @@ object GlobalRank {
     val partRows = ranged.groupBy(col("__pid")).agg(aggs.head, aggs.tail: _*)
       .collect().sortBy(_.getInt(0))
     val total = partRows.map(_.getAs[Long]("__n")).sum
-    // exclusive scan per column → per-pid offset literals
+    // exclusive scan per column → ONE tiny (pid, offsets…) frame, broadcast
+    val offsetsPerCol: Seq[(String, Array[Double])] = sums.map { case (name, _) =>
+      name -> partRows.map(_.getAs[Double](s"__s_$name")).scanLeft(0.0)(_ + _).init
+    }
+    val offRows: java.util.List[Row] = partRows.map(_.getInt(0)).zipWithIndex.map { case (pid, i) =>
+      Row.fromSeq(pid +: offsetsPerCol.map { case (_, offs) => offs(i) })
+    }.toList.asJava
+    val offSchema = StructType(
+      StructField("__pid", org.apache.spark.sql.types.IntegerType) +:
+        sums.map { case (name, _) => StructField(s"__off_$name", DoubleType) })
+    val offDf = spark.createDataFrame(offRows, offSchema)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val withCums = sums.foldLeft(ranged) { case (acc, (name, _)) =>
-      val partials = partRows.map(r => (r.getInt(0), r.getAs[Double](s"__s_$name")))
-      val offsets = partials.scanLeft((0, 0.0)) { case ((_, a), (pid, s)) => (pid, a + s) }
-        .init.map(_._2)
-      val offsetExpr = partials.map(_._1).zip(offsets).foldLeft(lit(0.0)) {
-        case (e, (pid, off)) => when(col("__pid") === pid, lit(off)).otherwise(e)
-      }
-      acc.withColumn(name, sum(col(s"__v_$name")).over(w) + offsetExpr)
+    val withCums = sums.foldLeft(ranged.join(broadcast(offDf), Seq("__pid"))) {
+      case (acc, (name, _)) =>
+        acc.withColumn(name, sum(col(s"__v_$name")).over(w) + col(s"__off_$name"))
     }
-    val out = withCums.drop("__pid").drop(sums.map { case (n, _) => s"__v_$n" }: _*)
+    val out = withCums.drop("__pid")
+      .drop(sums.map { case (n, _) => s"__v_$n" }: _*)
+      .drop(sums.map { case (n, _) => s"__off_$n" }: _*)
     Ranked(out, total, () => { ranged.unpersist(); () })
   }
 }

