@@ -1,8 +1,9 @@
 package graft.ml
 
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.ml.regression.{IsotonicRegression, IsotonicRegressionModel}
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Probability calibration + decision-threshold tuning
@@ -38,6 +39,56 @@ object Calibration {
       .transform(df.withColumn("__cal_features",
         array_to_vector(array(col(scoreCol).cast("double")))))
       .drop("__cal_features")
+
+  /** Platt/sigmoid calibration: a 1-feature logistic regression from
+    * raw score to 0/1 label — the small-calibration-set branch the
+    * reference takes when isotonic would overfit (reference:
+    * champion.py:127 `isotonic if len(valid) > 1000 else sigmoid`).
+    */
+  def fitSigmoid(calib: DataFrame, scoreCol: String, labelCol: String): LogisticRegressionModel =
+    new LogisticRegression()
+      .setFeaturesCol("__cal_features")
+      .setLabelCol(labelCol)
+      .setMaxIter(100)
+      .fit(calib.withColumn("__cal_features",
+        array_to_vector(array(col(scoreCol).cast("double")))))
+
+  /** Apply a fitted Platt map: adds `calibratedCol` = σ(a·score + b). */
+  def applySigmoid(df: DataFrame, model: LogisticRegressionModel,
+      scoreCol: String, calibratedCol: String): DataFrame =
+    model
+      .setRawPredictionCol("__cal_raw").setProbabilityCol("__cal_prob")
+      .setPredictionCol("__cal_pred")
+      .transform(df.withColumn("__cal_features",
+        array_to_vector(array(col(scoreCol).cast("double")))))
+      .withColumn(calibratedCol, vector_to_array(col("__cal_prob")).getItem(1))
+      .drop("__cal_features", "__cal_raw", "__cal_prob", "__cal_pred")
+
+  /** A fitted calibration map, isotonic or sigmoid, applied uniformly. */
+  sealed trait Calibrator {
+    def method: String
+    def calibrate(df: DataFrame, scoreCol: String, calibratedCol: String): DataFrame
+  }
+  final case class IsotonicCalibrator(model: IsotonicRegressionModel) extends Calibrator {
+    val method = "isotonic"
+    def calibrate(df: DataFrame, scoreCol: String, calibratedCol: String): DataFrame =
+      applyCalibration(df, model, scoreCol, calibratedCol)
+  }
+  final case class SigmoidCalibrator(model: LogisticRegressionModel) extends Calibrator {
+    val method = "sigmoid"
+    def calibrate(df: DataFrame, scoreCol: String, calibratedCol: String): DataFrame =
+      applySigmoid(df, model, scoreCol, calibratedCol)
+  }
+
+  /** The reference's method-selection rule (champion.py:127): isotonic
+    * when the calibration set is large enough to support a stepwise
+    * monotone fit, Platt sigmoid below the cutoff.
+    */
+  def fitAuto(calib: DataFrame, scoreCol: String, labelCol: String,
+      isotonicMinRows: Long = 1000L): Calibrator = {
+    if (calib.count() > isotonicMinRows) IsotonicCalibrator(fitIsotonic(calib, scoreCol, labelCol))
+    else SigmoidCalibrator(fitSigmoid(calib, scoreCol, labelCol))
+  }
 
   /** Tune the decision threshold by F-beta on a validation frame and
     * return (bestThreshold, sweep) — delegates to Evaluator.

@@ -141,6 +141,74 @@ object Trainer {
       .drop(models.indices.map(i => s"p$i"): _*)
   }
 
+  /** Majority vote over already-computed member 0/1 prediction columns.
+    * Ties break to class 0 — sklearn `VotingClassifier`'s argmax-first
+    * convention (reference: ensemble.py:44,143 voting_rule="hard").
+    */
+  def hardVoteColumn(preds: Seq[Column]): Column = {
+    val ones = preds.map(_.cast("double")).reduce(_ + _)
+    (ones > lit(preds.size) - ones).cast("double")
+  }
+
+  /** Hard-voting ensemble: majority over the fitted models' `prediction`
+    * columns (reference: ensemble.py:44,143 voting_rule="hard" — the
+    * branch [[softVote]] does not cover). Same no-shuffle column algebra
+    * as softVote; ties go to class 0.
+    */
+  def hardVote(models: Seq[Transformer], df: DataFrame): DataFrame = {
+    val scored = models.zipWithIndex.foldLeft(df) { case (d, (m, i)) =>
+      m.transform(d)
+        .withColumn(s"v$i", col("prediction"))
+        .drop("rawPrediction", "probability", "prediction")
+    }
+    scored.withColumn("ens_pred", hardVoteColumn(models.indices.map(i => col(s"v$i"))))
+      .drop(models.indices.map(i => s"v$i"): _*)
+  }
+
+  /** Successive-halving adaptive search — the budget-efficiency analog
+    * of the reference's Optuna multivariate-TPE sampler (reference:
+    * optimizer.py:329-400 tune_model, :370-381 TPESampler): sample
+    * `initialConfigs` parameter sets, fit each rung on a growing
+    * fraction of `train` (1/eta^(rungs−1), …, 1/eta, 1), keep the top
+    * 1/eta by validation AUC after each rung. Bad configs die on cheap
+    * small-sample fits, so the full-data budget concentrates on the
+    * promising region — at equal total fits this dominates pure random
+    * search on tasks where config quality is sample-size-stable.
+    *
+    * Fully seeded/deterministic. The returned best model is fitted on
+    * the FULL train frame (final rung). Total fits =
+    * Σ_r configs_r ≈ initialConfigs · eta/(eta−1) + log_eta rungs.
+    */
+  def successiveHalving(kind: ModelKind, space: Seq[ParamRange], train: DataFrame,
+      valid: DataFrame, initialConfigs: Int, eta: Int, seed: Long,
+      weightCol: Option[String] = None): SearchResult = {
+    require(eta >= 2, "eta must be >= 2")
+    val rnd = new scala.util.Random(seed)
+    var survivors: Seq[Map[String, Double]] =
+      (1 to initialConfigs).map(_ => space.map(r => r.name -> r.sample(rnd)).toMap)
+    // fractions 1/eta^(nRungs-1) … 1/eta, 1: the first rung screens on
+    // 1/eta of the data (not 1/initialConfigs — tiny first rungs rank
+    // configs on noise and eliminate the good ones), the last rung fits
+    // the final `eta`-ish survivors on the full frame
+    val nRungs = math.max(1,
+      math.ceil(math.log(initialConfigs.toDouble) / math.log(eta.toDouble)).toInt)
+    var allTrials = Vector.empty[Trial]
+    var lastScored: Seq[(Map[String, Double], Model[_], Double)] = Nil
+    for (r <- 0 until nRungs if survivors.nonEmpty) {
+      val frac = math.pow(eta.toDouble, (r - (nRungs - 1)).toDouble)
+      val sub = if (frac >= 1.0) train else train.sample(withReplacement = false, frac, seed)
+      lastScored = survivors.map { p =>
+        val m: Model[_] = classifier(kind, p, weightCol).fit(sub)
+        (p, m, validationAuc(m, valid))
+      }
+      allTrials ++= lastScored.map(t => Trial(t._1, t._3))
+      // stable sort → deterministic survivor order on AUC ties
+      survivors = lastScored.sortBy(-_._3).take(math.max(1, survivors.size / eta)).map(_._1)
+    }
+    val (bp, bm, bmetric) = lastScored.maxBy(_._3)
+    SearchResult(bm, bp, bmetric, allTrials)
+  }
+
   /** Feature importances (tree models) / coefficients (linear) as a
     * (feature_index, importance) DataFrame
     * (reference: evaluator.py:109-206 extract_feature_importance).

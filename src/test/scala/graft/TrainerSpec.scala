@@ -64,6 +64,85 @@ class TrainerSpec extends SparkSpec {
     assert(acc > 0.85, s"ensemble accuracy $acc")
   }
 
+  test("hard vote is the member majority; ties and crafted splits disagree with soft vote") {
+    // probs (0.9, 0.4, 0.4): soft avg = 0.567 → class 1, hard votes (1,0,0) → class 0
+    val crafted = Seq((0.9, 0.4, 0.4)).toDF("p0", "p1", "p2")
+    val preds = Seq($"p0" >= 0.5, $"p1" >= 0.5, $"p2" >= 0.5).map(_.cast("double"))
+    val row = crafted.select(
+      Trainer.hardVoteColumn(preds).as("hard"),
+      (($"p0" + $"p1" + $"p2") / 3 >= 0.5).cast("double").as("soft")).head()
+    assert(row.getDouble(0) == 0.0 && row.getDouble(1) == 1.0)
+    // even-split tie → class 0 (sklearn argmax-first)
+    val tie = Seq((1.0, 0.0)).toDF("a", "b")
+      .select(Trainer.hardVoteColumn(Seq(col("a"), col("b"))).as("h")).head().getDouble(0)
+    assert(tie == 0.0)
+    // integration: ens_pred equals the independently recomputed majority
+    val (train, valid) = trainValid
+    val ms = Seq(
+      Trainer.classifier(Trainer.LogReg, Map("regParam" -> 0.01), None).fit(train),
+      Trainer.classifier(Trainer.RandomForest, Map("numTrees" -> 5.0), None).fit(train),
+      Trainer.classifier(Trainer.GBT, Map("maxIter" -> 5.0), None).fit(train))
+    val out = Trainer.hardVote(ms, valid)
+    val indiv = ms.zipWithIndex.map { case (m, i) =>
+      m.transform(valid).select($"id", col("prediction").as(s"ind$i")) }
+    val cmp = out.select($"id", $"ens_pred").join(indiv.reduce(_.join(_, "id")), "id")
+      .withColumn("maj", (($"ind0" + $"ind1" + $"ind2") > 1.5).cast("double"))
+    assert(cmp.filter($"ens_pred" =!= $"maj").count() == 0)
+  }
+
+  /** Overlapping blobs: config quality matters (unlike the separable
+    * fixture, where every config scores ~1.0).
+    */
+  lazy val noisyBlobs: DataFrame = {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 600).map { i =>
+      val label = i % 2
+      val shift = if (label == 1) 0.55 else -0.55
+      (i.toLong, label.toDouble, Array.fill(4)(rnd.nextGaussian() + shift))
+    }
+    Trainer.withFeaturesFromArray(rows.toDF("id", "label", "arr"), "arr").cache()
+  }
+
+  test("successive halving matches-or-beats random search at equal compute budget") {
+    val train = noisyBlobs.filter($"id" % 5 =!= 0)
+    val valid = noisyBlobs.filter($"id" % 5 === 0)
+    val space = Seq(Trainer.ParamRange("numTrees", 2, 25),
+      Trainer.ParamRange("maxDepth", 1, 8))
+    val sha = Trainer.successiveHalving(Trainer.RandomForest, space, train, valid,
+      initialConfigs = 9, eta = 3, seed = 42L)
+    // rungs of 9 + 3 fits at data fractions 1/3, 1 → 12 fits costing
+    // 9·(1/3) + 3·1 = 6 full-data-fit equivalents; random search gets
+    // the same COMPUTE (6 full fits). That is the halving trade: screen
+    // 9 configs for the price of 6 — at equal fit COUNT random would
+    // simply hold more lottery tickets.
+    assert(sha.trials.size == 12)
+    val rnd = Trainer.randomSearch(Trainer.RandomForest, space, train, valid,
+      maxTrials = 6, seed = 42L)
+    assert(sha.bestMetric >= rnd.bestMetric,
+      s"sha ${sha.bestMetric} < random ${rnd.bestMetric}")
+    assert(sha.bestMetric > 0.7)
+  }
+
+  test("sigmoid calibration reduces ECE on a 500-row set; fitAuto picks by size") {
+    val rnd = new scala.util.Random(11)
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    // raw score s is MIScalibrated: true P(y=1|s) = sigmoid(6(s-0.5))
+    val rows = (1 to 2500).map { i =>
+      val s = rnd.nextDouble()
+      (i.toLong, if (rnd.nextDouble() < sig(6 * (s - 0.5))) 1.0 else 0.0, s)
+    }
+    val df = rows.toDF("id", "label", "raw")
+    val calib = df.filter($"id" <= 500)
+    val rest = df.filter($"id" > 500)
+    val cal = Calibration.fitAuto(calib, "raw", "label")
+    assert(cal.method == "sigmoid") // 500 rows ≤ the reference's 1000 cutoff
+    val calibrated = cal.calibrate(rest, "raw", "cal")
+    val before = Evaluator.ece(rest, "label", "raw", 10).head().getAs[Double]("ece")
+    val after = Evaluator.ece(calibrated, "label", "cal", 10).head().getAs[Double]("ece")
+    assert(after < before, s"ece $before -> $after")
+    assert(Calibration.fitAuto(df, "raw", "label").method == "isotonic") // 2500 rows
+  }
+
   test("isotonic calibration reduces ECE of a miscalibrated score") {
     val (train, valid) = trainValid
     val m = Trainer.classifier(Trainer.LogReg, Map("regParam" -> 0.01), None).fit(train)
