@@ -193,24 +193,15 @@ object Dedup {
     releaseAfter(verifyJaccard(cands, sh, threshold), sig, sh)
   }
 
-  /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted
-    * by each token's md5-derived hash bit; bit set iff the sum is
-    * non-negative. Returned as a long.
+  /** 60-bit SimHash over whitespace tokens: per bit, sum +1/-1 by each
+    * token's hash bit; bit set iff the sum is non-negative. Delegates
+    * to the codegen'd [[graft.functions.SimHash60]] Catalyst expression
+    * (ONE pass over the token array in generated Java — the lambda
+    * pipeline it replaced walked the array once per bit), whose integer
+    * arithmetic is engine-independent and oracle-checked (q_simhash).
     */
-  def simhash64(textCol: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(textCol), t =>
-      conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    // bit b of h == (h % 2^(b+1)) >= 2^b — avoids shiftright's
-    // literal-only bit-count argument (powers of two are exact in
-    // double, so pow().cast(long) is safe for b <= 59).
-    def pow2(b: Column): Column = pow(lit(2.0), b).cast("long")
-    val bits = transform(sequence(lit(0), lit(59)), b =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(h % pow2(b + 1) >= pow2(b), 1L).otherwise(-1L)
-      ) >= 0, lit(1L)).otherwise(lit(0L)))
-    aggregate(zip_with(bits, sequence(lit(0), lit(59)), (bit, i) => struct(bit.as("b"), i.as("i"))),
-      lit(0L), (acc, x) => acc + x.getField("b") * pow(lit(2.0), x.getField("i")).cast("long"))
-  }
+  def simhash64(textCol: Column): Column =
+    graft.functions.SimHash60.simhash60(TextFunctions.tokens(textCol))
 
   /** Hamming distance between two simhash longs. */
   def hammingDist(a: Column, b: Column): Column =

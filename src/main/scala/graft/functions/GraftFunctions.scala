@@ -10,26 +10,40 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * cloning) and as a runtime `register(spark)` for existing sessions.
   */
 object GraftFunctions {
-  private def builder(children: Seq[Expression]): Expression = {
+  private def sisBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, "sorted_intersect_size takes exactly 2 arguments")
     SortedIntersectSize(children.head, children(1))
   }
 
+  private def simhashBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 1, "simhash60 takes exactly 1 argument")
+    SimHash60(children.head)
+  }
+
   val info = new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size")
+  val simhashInfo = new ExpressionInfo(classOf[SimHash60].getName, "simhash60")
 
   /** Runtime registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_size", builder, "built-in")
+      "sorted_intersect_size", sisBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash60", simhashBuilder, "built-in")
+  }
 }
 
 /** Session-extension entry point: inject graft functions at session
   * build time (SURVEY.md §3 — extension registration path).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("sorted_intersect_size"),
       GraftFunctions.info,
       (children: Seq[Expression]) => SortedIntersectSize(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash60"),
+      GraftFunctions.simhashInfo,
+      (children: Seq[Expression]) => SimHash60(children.head)))
+  }
 }

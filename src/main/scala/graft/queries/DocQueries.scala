@@ -228,8 +228,9 @@ object DocQueries {
       | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** [R] rows-only: 64-bit SimHash per doc + hamming-ball near-dup count
-    * (no oracle — cross-engine bit arithmetic is spec-tested instead).
+  /** 60-bit SimHash per doc via the codegen'd SimHash60 expression.
+    * Oracle-checked [Q]: the polynomial token hashes and the bit
+    * arithmetic are exact integer ops reproducible in DuckDB SQL.
     */
   def qSimhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -237,6 +238,24 @@ object DocQueries {
       .select($"doc_id", Dedup.simhash64($"text").as("simhash"))
     sub.orderBy($"doc_id")
   }
+
+  val qSimhashOracle: String =
+    """WITH t AS (
+      | SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      | FROM documents WHERE doc_id % 10 = 0),
+      |h AS (
+      | SELECT doc_id, list_transform(tk, s ->
+      |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(range(1, length(s)+1), i -> CAST(ascii(substring(s,i,1)) AS BIGINT))),
+      |     (acc, x) -> (acc*31 + x) % 1000000007)
+      |   + 1073741824 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(range(1, length(s)+1), i -> CAST(ascii(substring(s,i,1)) AS BIGINT))),
+      |     (acc, x) -> (acc*37 + x) % 1000000007)) AS hs
+      | FROM t)
+      |SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+      |   CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // CAST(pow(2,b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
+      |        THEN CAST(pow(2,b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+      |FROM h ORDER BY doc_id""".stripMargin
 
   /** [R] rows-only: random-hyperplane LSH ANN top-k (recall is
     * probabilistic — spec-tested, not oracle-gated).
@@ -346,6 +365,7 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_simhash" -> qSimhashOracle,
     "q_embed_centroid" -> qEmbedCentroidOracle,
     "q_token_hist" -> qTokenHistOracle,
     "q_corpus_clean" -> qCorpusCleanOracle,

@@ -169,12 +169,12 @@ class TextDedupSimSpec extends SparkSpec {
     assert(n1.contains(2L), s"neighbors of 1: ${n1.mkString(",")}")
   }
 
-  test("aggregator top-k equals window top-k (map-side combinable path)") {
-    import graft.sim.TopKAggregator
-    // scored pairs from the real topK path, sans final ranking
+  test("aggregator top-k (the topK path) equals a reference window top-k") {
+    // Similarity.topK ranks via TopKAggregator; prove that equals the
+    // window row_number semantics it replaced, on the real embeddings
     val all = Tables.embeddings(spark, sf)
     val queries = all.filter($"vec_id" % 100 === 0)
-    val windowed = graft.sim.Similarity.topK(all, queries, "vec_id", "embedding", 5)
+    val viaAgg = graft.sim.Similarity.topK(all, queries, "vec_id", "embedding", 5)
     // the raw scored frame the ranking step consumes: query_id, neighbor_id, cos
     val q = queries.select($"vec_id".as("query_id"), $"embedding".cast("array<double>").as("qv"))
     val c = all.select($"vec_id".as("neighbor_id"), $"embedding".cast("array<double>").as("cv"))
@@ -184,12 +184,39 @@ class TextDedupSimSpec extends SparkSpec {
           (sqrt(aggregate(zip_with($"qv", $"qv", (a, b) => a * b), lit(0.0), (s, x) => s + x)) *
            sqrt(aggregate(zip_with($"cv", $"cv", (a, b) => a * b), lit(0.0), (s, x) => s + x)))
         , 4) + lit(0.0))
-    val viaAgg = TopKAggregator.topKPerKey(
-      raw.select($"query_id", $"neighbor_id", $"cos"), "query_id", "neighbor_id", "cos", 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    val windowed = raw.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5).select($"query_id", $"neighbor_id", $"cos", $"rank")
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.select($"query_id".cast("long"), $"neighbor_id".cast("long"), $"cos", $"rank".cast("int"))
         .orderBy($"query_id", $"rank").collect().toSeq
     assert(norm(viaAgg) == norm(windowed))
+  }
+
+  test("simhash60 matches the engine-independent reference arithmetic; SQL-registered") {
+    def ref(text: String): Long = {
+      val P = 1000000007L
+      val counts = new Array[Long](60)
+      text.trim.split("\\s+").foreach { s =>
+        var h1 = 0L; var h2 = 0L
+        s.getBytes("UTF-8").foreach { b =>
+          val c = b & 0xffL; h1 = (h1 * 31 + c) % P; h2 = (h2 * 37 + c) % P
+        }
+        val h = h1 | (h2 << 30)
+        (0 until 60).foreach(bit => counts(bit) += (if (((h >> bit) & 1L) == 1L) 1L else -1L))
+      }
+      (0 until 60).foldLeft(0L)((acc, bit) => if (counts(bit) >= 0) acc | (1L << bit) else acc)
+    }
+    val df = Seq((1L, "the quick brown fox"), (2L, "lorem ipsum dolor sit amet"))
+      .toDF("id", "text").withColumn("sh", Dedup.simhash64($"text"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m(1L) == ref("the quick brown fox"))
+    assert(m(2L) == ref("lorem ipsum dolor sit amet"))
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = df.selectExpr("id", "simhash60(split(trim(text), '\\\\s+')) AS s")
+      .orderBy($"id").collect().map(_.getLong(1))
+    assert(viaSql.toSeq == Seq(m(1L), m(2L)))
   }
 
   test("IVF ANN finds the strong neighbor within its cell") {
