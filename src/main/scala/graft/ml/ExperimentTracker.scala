@@ -10,18 +10,38 @@ import org.apache.spark.sql.functions._
   */
 object ExperimentTracker {
 
+  /** One experiment run. `artifacts` is a name → URI/path map (model
+    * directory, figure path, …) — the queryable core of the reference's
+    * log_model/log_figure surface (experiment_tracker.py:68-127).
+    */
   final case class Run(runId: String, model: String, params: Map[String, Double],
-      metrics: Map[String, Double], timestampMs: Long)
+      metrics: Map[String, Double], timestampMs: Long,
+      artifacts: Map[String, String] = Map.empty)
 
-  /** Append one run to the experiment log at `dir`. */
+  /** Append one run to the experiment log at `dir` (runs live under
+    * `dir/runs` — artifacts get sibling directories).
+    */
   def logRun(spark: SparkSession, dir: String, run: Run): Unit = {
     import spark.implicits._
-    Seq(run).toDF().write.mode("append").parquet(dir)
+    Seq(run).toDF().write.mode("append").parquet(s"$dir/runs")
   }
 
   /** All runs, most recent first. */
   def listRuns(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir).orderBy(col("timestampMs").desc)
+    spark.read.parquet(s"$dir/runs").orderBy(col("timestampMs").desc)
+
+  /** Log a run's confusion-matrix frame as a queryable artifact
+    * (reference: experiment_tracker.py log_confusion_matrix). Stored
+    * partitioned by runId, so per-run reads prune to one partition.
+    */
+  def logConfusionMatrix(dir: String, runId: String, cm: DataFrame): Unit =
+    cm.withColumn("runId", lit(runId)).write.mode("append")
+      .partitionBy("runId").parquet(s"$dir/confusion_matrix")
+
+  /** A run's logged confusion matrix (partition-pruned read). */
+  def confusionMatrix(spark: SparkSession, dir: String, runId: String): DataFrame =
+    spark.read.parquet(s"$dir/confusion_matrix")
+      .filter(col("runId") === runId).drop("runId")
 
   /** Best run by a metric (ties → most recent), among the most recent
     * `maxRuns` (reference: training-config.yml max_eval_experiments).

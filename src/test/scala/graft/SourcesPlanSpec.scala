@@ -138,6 +138,58 @@ class SourcesPlanSpec extends SparkSpec {
     assert(ExperimentTracker.bestRun(spark, dir, "auc", maxRuns = 1).map(_.runId).contains("r3"))
   }
 
+  test("tracker logs artifacts: confusion matrix frame and model path per run") {
+    import graft.ml.ExperimentTracker
+    import graft.ml.ExperimentTracker.Run
+    val dir = tmp() + "/runs_art"
+    ExperimentTracker.logRun(spark, dir,
+      Run("r1", "lr", Map("reg" -> 0.1), Map("auc" -> 0.9), 1000L,
+        artifacts = Map("model" -> "/models/r1", "roc_png" -> "/figs/r1.png")))
+    val cm = Seq((1, 1, 40L), (0, 0, 50L), (1, 0, 7L), (0, 1, 3L)).toDF("label", "pred", "n")
+    ExperimentTracker.logConfusionMatrix(dir, "r1", cm)
+    ExperimentTracker.logConfusionMatrix(dir, "r2", cm.withColumn("n", $"n" * 2))
+    val run = ExperimentTracker.bestRun(spark, dir, "auc", 10).get
+    assert(run.artifacts("model") == "/models/r1")
+    val back = ExperimentTracker.confusionMatrix(spark, dir, "r1")
+    assert(back.count() == 4)
+    assert(back.agg(sum($"n")).head().getLong(0) == 100L) // r2's doubled rows pruned out
+  }
+
+  test("properties config drives TrainPipeline.Config (training-config.yml analog)") {
+    import graft.ml.{TrainConfig, Trainer}
+    val f = java.nio.file.Files.createTempFile("graft-train", ".properties")
+    java.nio.file.Files.writeString(f,
+      """label_col=label
+        |pk_col=id
+        |feature_array_col=arr
+        |train_fraction=0.75
+        |seed=7
+        |trials_per_model=3
+        |deployment_threshold=0.6
+        |fbeta_beta=1.0
+        |threshold_grid=0.1:0.9:0.2
+        |balance_classes=false
+        |models=logreg,gbt
+        |model.logreg.space=regParam:1e-4:1.0:log
+        |model.gbt.space=maxDepth:2:5,maxIter:5:15
+        |""".stripMargin)
+    val cfg = TrainConfig.load(f.toString)
+    assert(cfg.labelCol == "label" && cfg.pkCol == "id" && cfg.featureArrayCol == "arr")
+    assert(cfg.trainFraction == 0.75 && cfg.seed == 7L && cfg.trialsPerModel == 3)
+    assert(cfg.deploymentThreshold == 0.6 && cfg.fbetaBeta == 1.0 && !cfg.balanceClasses)
+    assert(cfg.thresholdGrid == Seq(0.1, 0.3, 0.5, 0.7, 0.9))
+    assert(cfg.models.map(_._1) == Seq(Trainer.LogReg, Trainer.GBT))
+    assert(cfg.models.head._2 == Seq(Trainer.ParamRange("regParam", 1e-4, 1.0, log = true)))
+    assert(cfg.models(1)._2 == Seq(
+      Trainer.ParamRange("maxDepth", 2, 5), Trainer.ParamRange("maxIter", 5, 15)))
+    // comma-list grid + defaults for unset keys
+    val cfg2 = TrainConfig.fromMap(Map(
+      "label_col" -> "y", "pk_col" -> "k", "feature_array_col" -> "f",
+      "threshold_grid" -> "0.25, 0.5, 0.75"))
+    assert(cfg2.thresholdGrid == Seq(0.25, 0.5, 0.75))
+    assert(cfg2.trainFraction == 0.8 && cfg2.balanceClasses)
+  }
+
   test("MLlib composite pipeline fits and selects features") {
     val df = Tables.customer(spark, sf)
       .select($"c_custkey", $"c_acctbal", $"c_mktsegment",
