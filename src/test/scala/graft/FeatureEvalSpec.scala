@@ -105,6 +105,11 @@ class FeatureEvalSpec extends SparkSpec {
     assert(ranked.df.select(max($"r")).head().getLong(0) == df.count())
     assert(windowed.join(ranked.df.withColumnRenamed("r", "r2"), "event_id")
       .filter($"r" =!= $"r2").count() == 0)
+    // offsets arrive via a broadcast join of a tiny (pid, offset) frame,
+    // not an O(partitions)-deep CASE chain, and with no window at all
+    val plan = ranked.df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    assert(!plan.contains("Window"), "rank must not need a window:\n" + plan.take(400))
     ranked.release()
   }
 
@@ -119,6 +124,9 @@ class FeatureEvalSpec extends SparkSpec {
     assert(ps.total == df.count())
     assert(expected.join(ps.df.withColumnRenamed("cv", "cv2"), "event_id")
       .filter(abs($"cv" - $"cv2") > 1e-6).count() == 0)
+    // per-partition offsets broadcast in; the running-sum window is
+    // per-partition (one pid per window group), never a global window
+    assert(ps.df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
     ps.release()
   }
 

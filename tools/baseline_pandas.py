@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Dev-only baseline harness: times single-threaded pandas equivalents
+of four headline graft queries, the way the reference (a pandas+sklearn
+pipeline) would compute them. Produces the numeric denominator for
+BASELINE.md — the reference repo publishes no throughput numbers of its
+own.
+
+NOT part of the library (driver-side python stack only).
+
+Usage: python3 tools/baseline_pandas.py [sf_dir ...]
+"""
+import sys, time
+import pandas as pd
+
+
+def best_of(f, n=3):
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        f()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def q1(d):
+    li = pd.read_parquet(f"{d}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+    li = li[li.l_shipdate <= pd.Timestamp("1998-09-02")]
+    li = li.assign(disc_price=li.l_extendedprice * (1 - li.l_discount),
+                   charge=li.l_extendedprice * (1 - li.l_discount) * (1 + li.l_tax))
+    return (li.groupby(["l_returnflag", "l_linestatus"])
+            .agg(sum_qty=("l_quantity", "sum"), sum_base_price=("l_extendedprice", "sum"),
+                 sum_disc_price=("disc_price", "sum"), sum_charge=("charge", "sum"),
+                 avg_qty=("l_quantity", "mean"), avg_price=("l_extendedprice", "mean"),
+                 avg_disc=("l_discount", "mean"), count_order=("l_quantity", "size"))
+            .reset_index().sort_values(["l_returnflag", "l_linestatus"]))
+
+
+def q2(d):
+    li = pd.read_parquet(f"{d}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    o = pd.read_parquet(f"{d}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    o = o[(o.o_orderdate >= pd.Timestamp("1996-01-01")) &
+          (o.o_orderdate < pd.Timestamp("1998-01-01"))]
+    c = pd.read_parquet(f"{d}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    n = pd.read_parquet(f"{d}/nation.parquet")
+    r = pd.read_parquet(f"{d}/region.parquet")
+    j = (li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(c, left_on="o_custkey", right_on="c_custkey")
+         .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+         .merge(r, left_on="n_regionkey", right_on="r_regionkey"))
+    j = j.assign(rev=j.l_extendedprice * (1 - j.l_discount))
+    return (j.groupby(["r_name", "n_name"])
+            .agg(revenue=("rev", "sum"), n_items=("rev", "size"))
+            .reset_index().sort_values(["r_name", "n_name"]))
+
+
+def q_impute_median(d):
+    li = pd.read_parquet(f"{d}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity", "l_returnflag"])
+    q = li.l_quantity.where(li.l_quantity >= 5)
+    f = li.l_returnflag.where(li.l_orderkey % 5 != 0)
+    med, mean = q.median(), q.mean()
+    mode = f.value_counts().sort_index().sort_values(ascending=False, kind="stable").index[0]
+    return pd.DataFrame([{
+        "n_rows": len(li), "n_null_q": int(q.isna().sum()),
+        "sum_q_median": q.fillna(med).sum(), "sum_q_mean": q.fillna(mean).sum(),
+        "sum_q_zero": q.fillna(0).sum(),
+        "n_mode_value": int((f.fillna(mode) == mode).sum()),
+        "median_used": med, "mean_used": mean, "mode_used": mode}])
+
+
+def q_roc_auc(d):
+    ev = pd.read_parquet(f"{d}/events.parquet", columns=["event_id", "value"])
+    label = (ev.value >= 50).astype(int)
+    score = ev.value.clip(upper=200.0) / 200.0 * 0.7 + (ev.event_id % 100) / 1000.0 * 3.0 / 10.0
+    # mid-rank Mann-Whitney AUC == sklearn roc_auc_score
+    r = score.rank(method="average")
+    npos = int(label.sum()); nneg = len(label) - npos
+    auc = (r[label == 1].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+    return pd.DataFrame([{"roc_auc": auc}])
+
+
+QUERIES = {"q1_pricing_summary": q1, "q2_revenue_nation": q2,
+           "q_impute_median": q_impute_median, "q_roc_auc": q_roc_auc}
+
+if __name__ == "__main__":
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    for d in dirs:
+        for name, fn in QUERIES.items():
+            t = best_of(lambda: fn(d))
+            print(f"{d} {name} {t:.3f}s")
