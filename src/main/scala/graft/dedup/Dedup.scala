@@ -206,4 +206,45 @@ object Dedup {
   /** Hamming distance between two simhash longs. */
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup CLUSTER formation: connected components over candidate
+    * pairs, labeling every id with the minimum id of its component —
+    * the step that turns pairwise near-dup hits into "keep one doc per
+    * cluster" decisions in a corpus-dedup pipeline.
+    *
+    * Iterative min-label propagation: each round, every node takes the
+    * min of its own label and its neighbors' labels — ONE join + ONE
+    * groupBy shuffle per round, converging in O(component diameter)
+    * rounds (near-dup clusters are dense, so diameters are tiny; at
+    * 100 TB with adversarially long chains, switch to large-star/
+    * small-star which squares the label-jump per round). Every round is
+    * localCheckpointed: lineage stays flat, nothing recomputes.
+    *
+    * @param ids   frame carrying `idCol` (one row per doc)
+    * @param pairs (id_a, id_b) candidate/verified near-dup pairs
+    * @return (id, cluster) — singletons keep cluster = id
+    */
+  def dupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = ids.select(col(idCol).cast("long").as("id"))
+      .withColumn("cluster", col("id")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nmin"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(labels("id"),
+          least(labels("cluster"), coalesce(col("nmin"), labels("cluster"))).as("cluster"))
+        .localCheckpoint()
+      changed = next.withColumnRenamed("cluster", "new")
+        .join(labels, "id").filter(col("new") =!= col("cluster")).count()
+      labels = next
+      it += 1
+    }
+    labels
+  }
 }

@@ -20,8 +20,14 @@ object GraftFunctions {
     SimHash60(children.head)
   }
 
+  private def polyHashBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 1, "poly_hash takes exactly 1 argument")
+    PolyHash(children.head)
+  }
+
   val info = new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size")
   val simhashInfo = new ExpressionInfo(classOf[SimHash60].getName, "simhash60")
+  val polyHashInfo = new ExpressionInfo(classOf[PolyHash].getName, "poly_hash")
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -29,6 +35,8 @@ object GraftFunctions {
       "sorted_intersect_size", sisBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash60", simhashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash", polyHashBuilder, "built-in")
   }
 }
 
@@ -45,5 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash60"),
       GraftFunctions.simhashInfo,
       (children: Seq[Expression]) => SimHash60(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      GraftFunctions.polyHashInfo,
+      (children: Seq[Expression]) => PolyHash(children.head)))
   }
 }

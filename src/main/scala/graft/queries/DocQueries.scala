@@ -123,6 +123,25 @@ object DocQueries {
       | round(avg(len(list_distinct(list_transform(range(1, length(text)-1), i -> substring(text,i,3))))),4) + 0 AS avg_shingles
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Distinct word-bigram counts per language (word-ngram analog of
+    * [[qShingles]] — the unit of word-level Jaccard/novelty metrics).
+    */
+  def qWordNgrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"lang", size(array_distinct(TextFunctions.wordNgrams($"text", 2))).as("nb"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), r4(avg($"nb")).as("avg_bigrams"))
+      .orderBy($"lang")
+  }
+
+  val qWordNgramsOracle: String =
+    """WITH t AS (
+      | SELECT lang, string_split_regex(trim(text), '\s+') AS tk FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      | round(avg(len(list_distinct(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])))),4) + 0 AS avg_bigrams
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   def qDedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exactDedupStats(Tables.documents(s, d), "text")
 
@@ -267,6 +286,39 @@ object DocQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Near-dup clusters (connected components over exact-Jaccard pairs):
+    * per non-singleton cluster, its min-id label and size — the
+    * "keep one per cluster" shape of corpus dedup. Oracle = recursive
+    * CTE transitive closure in DuckDB.
+    */
+  def qDupClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sub = Tables.documents(s, d).filter($"doc_id" % 20 === 0)
+    val pairs = Dedup.jaccardJoinExact(Dedup.shingled(sub, "doc_id", "text", 3), 0.62)
+    Dedup.dupClusters(sub.select($"doc_id"), "doc_id", pairs)
+      .groupBy($"cluster").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" > 1)
+      .select($"cluster".as("cluster_id"), $"n_docs")
+      .orderBy($"cluster_id")
+  }
+
+  val qDupClustersOracle: String =
+    """WITH RECURSIVE
+      |s AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, length(text)-1), i -> substring(text,i,3))) AS sh
+      |      FROM documents WHERE doc_id % 20 = 0),
+      |p AS (SELECT a.id AS id_a, b.id AS id_b
+      |      FROM s a JOIN s b ON a.id < b.id
+      |      WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)
+      |         / (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) >= 0.62),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src)
+      |SELECT cluster AS cluster_id, count(*) AS n_docs
+      |FROM comp GROUP BY cluster HAVING count(*) > 1 ORDER BY cluster""".stripMargin
+
   /** Composed corpus-cleaning pipeline: quality filter → language
     * filter → exact dedup, with per-stage survivor counts (the C4-style
     * cleaning funnel as ONE single-pass aggregation over flags).
@@ -361,7 +413,9 @@ object DocQueries {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_minhash_pairs" -> qMinhashPairs,
     "q_embed_neardup" -> qEmbedNearDup,
-    "q_cosine_topk" -> qCosineTopK
+    "q_cosine_topk" -> qCosineTopK,
+    "q_dup_clusters" -> qDupClusters,
+    "q_word_ngrams" -> qWordNgrams
   )
 
   val oracles: Map[String, String] = Map(
@@ -379,6 +433,8 @@ object DocQueries {
     "q_ngram_jaccard" -> qNgramJaccardOracle,
     "q_minhash_pairs" -> qMinhashPairsOracle,
     "q_embed_neardup" -> qEmbedNearDupOracle,
-    "q_cosine_topk" -> qCosineTopKOracle
+    "q_cosine_topk" -> qCosineTopKOracle,
+    "q_dup_clusters" -> qDupClustersOracle,
+    "q_word_ngrams" -> qWordNgramsOracle
   )
 }

@@ -90,4 +90,20 @@ object Streams {
   /** Streaming dedup by key within the watermark window. */
   def streamDedup(stream: DataFrame, watermark: String, keys: Seq[String]): DataFrame =
     stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Stream-stream inner join with an event-time bound: a left event
+    * joins right events on `key` whose `ts` falls in
+    * [left.ts, left.ts + within] — the canonical impressions⋈clicks
+    * attribution shape. BOTH sides carry watermarks and the join
+    * condition carries the time range, which is what lets Spark purge
+    * join state once the watermark passes the bound (without it,
+    * stream-stream join state grows forever).
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+      watermark: String, within: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + interval $within"))
+  }
 }

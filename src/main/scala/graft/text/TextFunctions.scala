@@ -73,13 +73,12 @@ object TextFunctions {
 
   /** Rolling polynomial hash fingerprint over the full text:
     * fold(acc*31 + codepoint) mod 1e9+7. Deterministic across engines
-    * (same fold order), cheap (single pass per char).
+    * (same fold order). Delegates to the codegen'd
+    * [[graft.functions.PolyHash]] expression — one byte loop in
+    * generated Java, vs the lambda pipeline's O(len) substring array
+    * per row (identical values on ASCII text, oracle-checked).
     */
-  def fingerprint(c: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1))).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * 31 + x) % 1000000007L)
+  def fingerprint(c: Column): Column = graft.functions.PolyHash.polyHash(c)
 
   /** Stopword-profile language ID: count profile hits per language,
     * pick the max score (ties → alphabetically first language). The

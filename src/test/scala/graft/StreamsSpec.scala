@@ -8,6 +8,8 @@ import graft.multimodal.Multimodal
 import graft.streaming.Streams
 
 case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long, event_id: Long)
+case class Imp(ts: Timestamp, user_id: Long, imp_id: Long)
+case class Clk(ts: Timestamp, user_id: Long, click_id: Long)
 
 class StreamsSpec extends SparkSpec {
   import spark.implicits._
@@ -35,6 +37,30 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.map(r => (r.getString(1), r.getLong(2))) ==
       Seq(("click", 2L), ("click", 1L), ("view", 1L)))
+  }
+
+  test("stream-stream join matches clicks to impressions within the bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val msI = MemoryStream[Imp]
+    val msC = MemoryStream[Clk]
+    val out = Streams.streamStreamJoin(msI.toDF(), msC.toDF(), "user_id",
+        watermark = "1 minute", within = "10 minutes")
+      .select($"imp_id", $"click_id")
+    val q = out.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    msI.addData(
+      Imp(t("2024-01-01 00:00:00"), 1, 100),
+      Imp(t("2024-01-01 00:30:00"), 1, 101),
+      Imp(t("2024-01-01 00:00:00"), 2, 200))
+    msC.addData(
+      Clk(t("2024-01-01 00:05:00"), 1, 900), // within 10m of imp 100 only
+      Clk(t("2024-01-01 00:45:00"), 1, 901), // > 10m after both imps → no match
+      Clk(t("2024-01-01 00:09:00"), 2, 902)) // matches imp 200
+    q.processAllAvailable()
+    val got = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set((100L, 900L), (200L, 902L)))
   }
 
   test("batch sessionization splits on gap") {

@@ -136,6 +136,35 @@ class TextDedupSimSpec extends SparkSpec {
     assert(prefix == exact)
   }
 
+  test("dup clusters: min-label connected components over pairs") {
+    // components: chain {1-2, 2-3}, pair {10-11}, singleton 20
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // a longer chain still converges (diameter > 2)
+    val chainIds = (1L to 7L).toDF("doc_id")
+    val chain = (1L to 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got2 = Dedup.dupClusters(chainIds, "doc_id", chain)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got2.toSeq == Seq(1L))
+  }
+
+  test("poly_hash expression equals the lambda fold it replaced; SQL-registered") {
+    val df = Seq((1L, "hello world"), (2L, "a"), (3L, "Spark SQL!")).toDF("id", "text")
+    // the pre-r3 lambda implementation, inlined as the reference
+    val lambdaFold = aggregate(
+      transform(sequence(lit(1), length($"text")), i => ascii($"text".substr(i, lit(1))).cast("long")),
+      lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+    val bad = df.withColumn("fast", graft.functions.PolyHash.polyHash($"text"))
+      .withColumn("ref", lambdaFold)
+      .filter($"fast" =!= $"ref").count()
+    assert(bad == 0)
+    graft.functions.GraftFunctions.register(spark)
+    assert(df.selectExpr("poly_hash(text) AS h").where("h IS NULL").count() == 0)
+  }
+
   test("simhash: near-identical texts have small hamming distance") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
