@@ -274,6 +274,60 @@ object Evaluator {
     df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
   }
 
+  /** Per-slice ROC-AUC (model-fairness / segment evaluation): the
+    * Mann-Whitney mid-rank AUC of [[binaryMetrics]], computed
+    * independently per value of `groupCol` in ONE plan. Shape: per
+    * (group, score) aggregate (map-side combined), then a window per
+    * group over the per-score rows — each window partition holds only
+    * a group's DISTINCT scores, never its raw rows, so a billion-row
+    * group with a quantized scorer still costs O(distinct scores).
+    */
+  def groupedAuc(df: DataFrame, groupCol: String, labelCol: String,
+      scoreCol: String): DataFrame = {
+    val label = col(labelCol)
+    val perScore = df.groupBy(col(groupCol).as("grp"), col(scoreCol).as("__s"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(when(label === 1, 1L).otherwise(0L)).cast("double").as("__np"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mid = sum(col("__n")).over(wCum) - (col("__n") - 1) / 2
+    perScore.withColumn("__mid", mid)
+      .groupBy(col("grp"))
+      .agg(sum(col("__np") * col("__mid")).as("srp"),
+        sum(col("__np")).as("npos"),
+        sum(col("__n") - col("__np")).as("nneg"))
+      .select(col("grp").as(groupCol),
+        (col("npos") + col("nneg")).cast("long").as("n"),
+        ((col("srp") - col("npos") * (col("npos") + 1) / 2) /
+          (col("npos") * col("nneg"))).as("roc_auc"))
+  }
+
+  /** Population stability index between a baseline and a current score
+    * distribution over `bins` equal-width bins on [0,1] — the standard
+    * serving-drift monitor. PSI = Σ_b (p_b − q_b)·ln(p_b/q_b); bins
+    * empty on either side get a floor count of `eps` of mass (the
+    * conventional guard against ln 0). Two aggregation passes, one per
+    * side, joined on the fixed bin grid.
+    */
+  def psi(baseline: DataFrame, current: DataFrame, scoreCol: String,
+      bins: Int, eps: Double = 1e-4): DataFrame = {
+    def binned(df: DataFrame, out: String): DataFrame =
+      df.groupBy(least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int").as("bin"))
+        .agg(count(lit(1)).as(out))
+    val grid = baseline.sparkSession.range(0, bins).select(col("id").cast("int").as("bin"))
+    val joined = grid
+      .join(binned(baseline, "nb"), Seq("bin"), "left")
+      .join(binned(current, "nc"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("nb"), lit(0L)).as("nb"), coalesce(col("nc"), lit(0L)).as("nc"))
+    val tot = joined.agg(sum(col("nb")).as("tb"), sum(col("nc")).as("tc"))
+    joined.crossJoin(tot)
+      .select(col("bin"),
+        greatest(col("nb") / col("tb"), lit(eps)).as("p"),
+        greatest(col("nc") / col("tc"), lit(eps)).as("q"))
+      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"),
+        count(lit(1)).as("n_bins"))
+  }
+
   /** Best threshold by F-beta (ties → smaller threshold). */
   def bestThreshold(df: DataFrame, labelCol: String, scoreCol: String,
       thresholds: Seq[Double], beta: Double): Double =

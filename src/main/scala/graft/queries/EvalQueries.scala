@@ -268,7 +268,69 @@ object EvalQueries {
       | round(CAST(sum(tp) OVER () AS DOUBLE) / sum(n_true) OVER (), 6) + 0 AS accuracy
       |FROM m ORDER BY clazz""".stripMargin
 
+  /** Per-slice (event_type) ROC-AUC — segment/fairness evaluation via
+    * Evaluator.groupedAuc's per-(group, distinct-score) shape.
+    */
+  def qAucByType(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val df = Tables.events(s, d).select(
+      $"event_type",
+      when($"value" >= 50, 1).otherwise(0).as("label"),
+      (least($"value", lit(200.0)) / lit(200.0) * lit(0.7) +
+        ($"event_id" % 100).cast("double") / lit(1000.0) * lit(3.0) / lit(10.0)).as("score"))
+    Evaluator.groupedAuc(df, "event_type", "label", "score")
+      .select($"event_type", $"n", r6($"roc_auc").as("roc_auc"))
+      .orderBy($"event_type")
+  }
+
+  val qAucByTypeOracle: String =
+    """WITH sc AS (SELECT event_type, event_id,
+      |  CASE WHEN value >= 50 THEN 1 ELSE 0 END AS label,
+      |  least(value, 200.0) / 200.0 * 0.7 + CAST(event_id % 100 AS DOUBLE) / 1000.0 * 3.0 / 10.0 AS score
+      | FROM events),
+      |rk AS (SELECT event_type, label, score,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY score ASC, event_id ASC) AS r FROM sc),
+      |mr AS (SELECT event_type, label, avg(r) OVER (PARTITION BY event_type, score) AS r FROM rk),
+      |a AS (SELECT event_type,
+      |  sum(CASE WHEN label = 1 THEN r ELSE 0 END) AS srp,
+      |  sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS npos,
+      |  sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nneg,
+      |  count(*) AS n
+      | FROM mr GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      | round((srp - CAST(npos AS DOUBLE) * (npos + 1) / 2) / (npos * nneg), 6) + 0 AS roc_auc
+      |FROM a ORDER BY event_type""".stripMargin
+
+  /** Population stability index of the score distribution between the
+    * even- and odd-id halves of events (serving-drift monitor shape).
+    */
+  def qPsi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sc = Tables.events(s, d).select(
+      $"event_id",
+      (least($"value", lit(200.0)) / lit(200.0) * lit(0.7) +
+        ($"event_id" % 100).cast("double") / lit(1000.0) * lit(3.0) / lit(10.0)).as("score"))
+    Evaluator.psi(sc.filter($"event_id" % 2 === 0), sc.filter($"event_id" % 2 === 1), "score", 10)
+      .select(r6($"psi").as("psi"), $"n_bins")
+  }
+
+  val qPsiOracle: String =
+    """WITH sc AS (SELECT event_id,
+      |  least(value, 200.0) / 200.0 * 0.7 + CAST(event_id % 100 AS DOUBLE) / 1000.0 * 3.0 / 10.0 AS score
+      | FROM events),
+      |g AS (SELECT unnest(range(0, 10)) AS bin),
+      |b AS (SELECT CAST(least(floor(score*10), 9) AS INT) AS bin, count(*) AS nb FROM sc WHERE event_id % 2 = 0 GROUP BY 1),
+      |c AS (SELECT CAST(least(floor(score*10), 9) AS INT) AS bin, count(*) AS nc FROM sc WHERE event_id % 2 = 1 GROUP BY 1),
+      |j AS (SELECT g.bin, coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+      |      FROM g LEFT JOIN b ON g.bin = b.bin LEFT JOIN c ON g.bin = c.bin),
+      |t AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM j),
+      |p AS (SELECT bin, greatest(nb / tb, 0.0001) AS p, greatest(nc / tc, 0.0001) AS q
+      |      FROM j CROSS JOIN t)
+      |SELECT round(sum((p - q) * ln(p / q)), 6) + 0 AS psi, count(*) AS n_bins FROM p""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_auc_by_type" -> qAucByType,
+    "q_psi" -> qPsi,
     "q_brier" -> qBrier,
     "q_ks_stat" -> qKsStat,
     "q_pr_auc" -> qPrAuc,
@@ -284,6 +346,8 @@ object EvalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_auc_by_type" -> qAucByTypeOracle,
+    "q_psi" -> qPsiOracle,
     "q_brier" -> qBrierOracle,
     "q_ks_stat" -> qKsStatOracle,
     "q_pr_auc" -> qPrAucOracle,

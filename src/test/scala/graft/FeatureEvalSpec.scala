@@ -130,6 +130,29 @@ class FeatureEvalSpec extends SparkSpec {
     ps.release()
   }
 
+  test("grouped AUC equals per-group binaryMetrics AUC") {
+    val df = Seq(
+      ("a", 1, 1, 0.9), ("a", 2, 0, 0.8), ("a", 3, 1, 0.8), ("a", 4, 0, 0.1),
+      ("b", 5, 1, 0.4), ("b", 6, 0, 0.6), ("b", 7, 1, 0.7), ("b", 8, 0, 0.2)
+    ).toDF("g", "id", "label", "score")
+    val grouped = Evaluator.groupedAuc(df, "g", "label", "score")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("roc_auc")).toMap
+    Seq("a", "b").foreach { g =>
+      val single = Evaluator.binaryMetrics(df.filter($"g" === g), "label", "score", "id", 0.5, 0.5)
+        .head().getAs[Double]("roc_auc")
+      assert(math.abs(grouped(g) - single) < 1e-12, s"group $g")
+    }
+  }
+
+  test("PSI is ~0 for identical distributions and positive under shift") {
+    val base = (1 to 2000).map(i => i % 100 / 100.0).toDF("score")
+    val same = Evaluator.psi(base, base, "score", 10).head().getAs[Double]("psi")
+    assert(math.abs(same) < 1e-12)
+    val shifted = (1 to 2000).map(i => math.min(0.999, i % 100 / 100.0 + 0.3)).toDF("score")
+    val moved = Evaluator.psi(base, shifted, "score", 10).head().getAs[Double]("psi")
+    assert(moved > 0.1, s"psi $moved") // conventional "significant drift" bar is 0.2
+  }
+
   test("average precision matches the sklearn worked example") {
     // sklearn docs: y=[0,0,1,1], scores=[0.1,0.4,0.35,0.8] → AP = 0.833333...
     val df = Seq((1, 0, 0.1), (2, 0, 0.4), (3, 1, 0.35), (4, 1, 0.8)).toDF("id", "label", "score")
