@@ -274,6 +274,34 @@ object Evaluator {
     df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
   }
 
+  /** Fixed-grid binned ROC-AUC approximation — the 100 TB swap-in for
+    * the exact rank AUC (the binned shape this file's other metrics
+    * already use): ONE groupBy on the score bin (fixed cardinality →
+    * map-side combined, no sort, no prefix-sum pass), then the
+    * trapezoidal integral over the ≤`bins`-point ROC polyline on the
+    * driver. Approximation error is bounded by the within-bin score
+    * mixing — with monotone-in-score binning it converges to the exact
+    * Mann-Whitney value as bins grow (spec checks the gap).
+    */
+  def binnedAuc(df: DataFrame, labelCol: String, scoreCol: String, bins: Int): Double = {
+    val label = col(labelCol)
+    val bin = least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int")
+    val rows = df.groupBy(bin.as("bin"))
+      .agg(sum(when(label === 1, 1L).otherwise(0L)).as("np"),
+        sum(when(label === 0, 1L).otherwise(0L)).as("nn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1) // descending score: ROC sweeps thresholds high → low
+    val totP = rows.map(_._2).sum.toDouble
+    val totN = rows.map(_._3).sum.toDouble
+    var tp = 0.0; var fp = 0.0; var auc = 0.0
+    rows.foreach { case (_, np, nn) =>
+      val (tpr0, fpr0) = (tp / totP, fp / totN)
+      tp += np; fp += nn
+      auc += (fp / totN - fpr0) * (tp / totP + tpr0) / 2
+    }
+    auc
+  }
+
   /** Per-slice ROC-AUC (model-fairness / segment evaluation): the
     * Mann-Whitney mid-rank AUC of [[binaryMetrics]], computed
     * independently per value of `groupCol` in ONE plan. Shape: per

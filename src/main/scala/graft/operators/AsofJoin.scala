@@ -19,6 +19,65 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** Union+window as-of core, parameterized by direction. Carries the
+    * matched right row's timestamp as `__asof_ts` so callers can apply
+    * tolerances. Backward traverses ts ascending (latest earlier row
+    * wins); forward traverses ts DESCENDING, so the running `last()`
+    * holds the EARLIEST later row. Either way the right side sorts
+    * before the left at equal ts (visible), and among equal right
+    * timestamps the row adjacent to the left one in traversal order —
+    * the largest `tieBreakCol` — wins.
+    */
+  private def withDirection(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, tieBreakCol: String, valueCols: Seq[String],
+      forward: Boolean): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val carryCols = valueCols :+ "__rts"
+    val taggedLeft = carryCols.foldLeft(left.withColumn("__side", lit(1))) {
+      (d, v) => d.withColumn(s"__v_$v", lit(null))
+    }
+    val taggedRight = {
+      val base = right.select(
+        (Seq(col(keyCol), col(tsCol), col(tieBreakCol), lit(0).as("__side")) ++
+          valueCols.map(v => col(v).as(s"__v_$v")) :+ col(tsCol).as("__v___rts")): _*)
+      // align schemas: left-only columns become nulls on the right side
+      leftCols.filterNot(Seq(keyCol, tsCol, tieBreakCol).contains)
+        .foldLeft(base)((d, c) => d.withColumn(c, lit(null)))
+    }
+    val cols = (leftCols.map(col) :+ col("__side")) ++ carryCols.map(v => col(s"__v_$v"))
+    val unioned = taggedLeft.select(cols: _*).unionByName(taggedRight.select(cols: _*))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(if (forward) col(tsCol).desc else col(tsCol).asc,
+        col("__side"), col(tieBreakCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carryCols.foldLeft(unioned) { (d, v) =>
+      d.withColumn(s"asof_$v", last(col(s"__v_$v"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(v => col(s"asof_$v"))
+        :+ col("asof___rts").as("__asof_ts"): _*)
+  }
+
+  /** Seconds between two ts columns (timestamp or numeric — both cast
+    * to double as epoch seconds / raw value).
+    */
+  private def diffSec(a: Column, b: Column): Column =
+    abs(a.cast("double") - b.cast("double"))
+
+  /** Null out the asof columns where the match is farther than
+    * `toleranceSec` (pandas merge_asof `tolerance` semantics).
+    */
+  private def applyTolerance(df: DataFrame, tsCol: String, valueCols: Seq[String],
+      toleranceSec: Option[Double]): DataFrame = toleranceSec match {
+    case None => df.drop("__asof_ts")
+    case Some(tol) =>
+      val ok = col("__asof_ts").isNotNull &&
+        diffSec(col(tsCol), col("__asof_ts")) <= tol
+      valueCols.foldLeft(df) { (d, v) =>
+        d.withColumn(s"asof_$v", when(ok, col(s"asof_$v")))
+      }.drop("__asof_ts")
+  }
+
   /** For each left row, attach the latest right row's `valueCols`
     * where right.tsCol <= left.tsCol within the same `keyCol`
     * (ties at equal ts: right sorts before left, so it is visible;
@@ -26,33 +85,49 @@ object AsofJoin {
     *
     * Both inputs must share `keyCol`, `tsCol`, `tieBreakCol` names.
     * Left columns are preserved; right `valueCols` are appended
-    * (null when no right row precedes).
+    * (null when no right row precedes, or none within `toleranceSec`).
     */
   def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
-      tsCol: String, tieBreakCol: String, valueCols: Seq[String]): DataFrame = {
-    val leftCols = left.columns.toSeq
-    val taggedLeft = valueCols.foldLeft(left.withColumn("__side", lit(1))) {
-      (d, v) => d.withColumn(s"__v_$v", lit(null))
+      tsCol: String, tieBreakCol: String, valueCols: Seq[String],
+      toleranceSec: Option[Double] = None): DataFrame =
+    applyTolerance(
+      withDirection(left, right, keyCol, tsCol, tieBreakCol, valueCols, forward = false),
+      tsCol, valueCols, toleranceSec)
+
+  /** Forward as-of: the EARLIEST right row at-or-after each left row
+    * (pandas merge_asof direction="forward"). Same single-shuffle
+    * union+window shape, traversed descending.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, tieBreakCol: String, valueCols: Seq[String],
+      toleranceSec: Option[Double] = None): DataFrame =
+    applyTolerance(
+      withDirection(left, right, keyCol, tsCol, tieBreakCol, valueCols, forward = true),
+      tsCol, valueCols, toleranceSec)
+
+  /** Nearest as-of (pandas merge_asof direction="nearest"): per left
+    * row, whichever of the backward / forward match is closer in time;
+    * equal distances prefer backward. Two windows over the same
+    * single-shuffle union — still no theta-join.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, tieBreakCol: String, valueCols: Seq[String],
+      toleranceSec: Option[Double] = None): DataFrame = {
+    val b = withDirection(left, right, keyCol, tsCol, tieBreakCol, valueCols, forward = false)
+    val fRenamed = withDirection(left, right, keyCol, tsCol, tieBreakCol, valueCols, forward = true)
+      .select(Seq(col(keyCol), col(tsCol), col(tieBreakCol), col("__asof_ts").as("__fts")) ++
+        valueCols.map(v => col(s"asof_$v").as(s"__f_$v")): _*)
+    val tol = toleranceSec.getOrElse(Double.PositiveInfinity)
+    val joined = b.join(fRenamed, Seq(keyCol, tsCol, tieBreakCol))
+    val bd = when(col("__asof_ts").isNotNull, diffSec(col(tsCol), col("__asof_ts")))
+    val fd = when(col("__fts").isNotNull, diffSec(col(tsCol), col("__fts")))
+    val bOk = bd.isNotNull && bd <= tol
+    val fOk = fd.isNotNull && fd <= tol
+    val useB = bOk && (!fOk || bd <= fd)
+    val out = valueCols.foldLeft(joined) { (d, v) =>
+      d.withColumn(s"asof_$v",
+        when(useB, col(s"asof_$v")).when(fOk, col(s"__f_$v")))
     }
-    val taggedRight = {
-      val base = right.select(
-        (Seq(col(keyCol), col(tsCol), col(tieBreakCol), lit(0).as("__side")) ++
-          valueCols.map(v => col(v).as(s"__v_$v"))): _*)
-      // align schemas: left-only columns become nulls on the right side
-      leftCols.filterNot(Seq(keyCol, tsCol, tieBreakCol).contains)
-        .foldLeft(base)((d, c) => d.withColumn(c, lit(null)))
-    }
-    val unioned = taggedLeft.select(
-      (leftCols.map(col) :+ col("__side")) ++ valueCols.map(v => col(s"__v_$v")): _*)
-      .unionByName(taggedRight.select(
-        (leftCols.map(col) :+ col("__side")) ++ valueCols.map(v => col(s"__v_$v")): _*))
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__side"), col(tieBreakCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (d, v) =>
-      d.withColumn(s"asof_$v", last(col(s"__v_$v"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(v => col(s"asof_$v")): _*)
+    out.drop("__asof_ts", "__fts").drop(valueCols.map(v => s"__f_$v"): _*)
   }
 }

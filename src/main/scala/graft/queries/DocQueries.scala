@@ -383,6 +383,24 @@ object DocQueries {
       | round(max(m),4) + 0 AS max_centroid
       |FROM c GROUP BY label ORDER BY label""".stripMargin
 
+  /** Corpus vocabulary head: top-20 tokens by document frequency-
+    * weighted count (the seed step of vocabulary/BPE construction).
+    * One explode + groupBy, deterministic tie-break on the token.
+    */
+  def qVocabTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(20)
+  }
+
+  val qVocabTopkOracle: String =
+    """SELECT token, count(*) AS n FROM (
+      | SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
   /** Token-count histogram (bucket width 20). */
   def qTokenHist(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -415,7 +433,8 @@ object DocQueries {
     "q_embed_neardup" -> qEmbedNearDup,
     "q_cosine_topk" -> qCosineTopK,
     "q_dup_clusters" -> qDupClusters,
-    "q_word_ngrams" -> qWordNgrams
+    "q_word_ngrams" -> qWordNgrams,
+    "q_vocab_topk" -> qVocabTopk
   )
 
   val oracles: Map[String, String] = Map(
@@ -435,6 +454,7 @@ object DocQueries {
     "q_embed_neardup" -> qEmbedNearDupOracle,
     "q_cosine_topk" -> qCosineTopKOracle,
     "q_dup_clusters" -> qDupClustersOracle,
-    "q_word_ngrams" -> qWordNgramsOracle
+    "q_word_ngrams" -> qWordNgramsOracle,
+    "q_vocab_topk" -> qVocabTopkOracle
   )
 }

@@ -130,6 +130,22 @@ class FeatureEvalSpec extends SparkSpec {
     ps.release()
   }
 
+  test("binned AUC approximates the exact rank AUC") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 4000).map { i =>
+      val s = rnd.nextDouble()
+      (i.toLong, if (rnd.nextDouble() < s) 1 else 0, s)
+    }
+    val df = rows.toDF("id", "label", "score")
+    val exact = Evaluator.binaryMetrics(df, "label", "score", "id", 0.5, 0.5)
+      .head().getAs[Double]("roc_auc")
+    val approx = Evaluator.binnedAuc(df, "label", "score", 100)
+    assert(math.abs(approx - exact) < 0.01, s"exact $exact approx $approx")
+    // finer grid → closer
+    val approx1000 = Evaluator.binnedAuc(df, "label", "score", 1000)
+    assert(math.abs(approx1000 - exact) <= math.abs(approx - exact) + 1e-6)
+  }
+
   test("grouped AUC equals per-group binaryMetrics AUC") {
     val df = Seq(
       ("a", 1, 1, 0.9), ("a", 2, 0, 0.8), ("a", 3, 1, 0.8), ("a", 4, 0, 0.1),

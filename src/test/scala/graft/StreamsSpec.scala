@@ -151,6 +151,33 @@ class StreamsSpec extends SparkSpec {
     assert(out == Seq((1L, 100L, "a"), (1L, 200L, "c"), (2L, 50L, null)))
   }
 
+  test("asof forward and nearest follow merge_asof semantics, tolerance nulls out") {
+    import graft.operators.AsofJoin
+    val lefts = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
+      .toDF("k", "ts", "id")
+    val rights = Seq((1L, 90L, 1L, "a"), (1L, 150L, 2L, "b"), (1L, 150L, 3L, "c"), (2L, 60L, 4L, "d"))
+      .toDF("k", "ts", "id", "v")
+    def m(df: org.apache.spark.sql.DataFrame) = df.orderBy($"k", $"ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(3)).orNull)).toSeq
+    // forward: left(1,100)→next at 150, max id wins → "c"; left(1,200)→none; left(2,50)→"d"
+    val fwd = m(AsofJoin.asofForward(lefts, rights, "k", "ts", "id", Seq("v")))
+    assert(fwd == Seq((1L, 100L, "c"), (1L, 200L, null), (2L, 50L, "d")))
+    // nearest: left(1,100): back=90 (d10) vs fwd=150 (d50) → "a";
+    // left(1,200): back=150 → "c"; left(2,50): fwd=60 → "d"
+    val near = m(AsofJoin.asofNearest(lefts, rights, "k", "ts", "id", Seq("v")))
+    assert(near == Seq((1L, 100L, "a"), (1L, 200L, "c"), (2L, 50L, "d")))
+    // equal distances prefer backward
+    val l2 = Seq((9L, 100L, 1L)).toDF("k", "ts", "id")
+    val r2 = Seq((9L, 90L, 1L, "back"), (9L, 110L, 2L, "fwd")).toDF("k", "ts", "id", "v")
+    assert(m(AsofJoin.asofNearest(l2, r2, "k", "ts", "id", Seq("v"))) ==
+      Seq((9L, 100L, "back")))
+    // tolerance: 10s keeps only matches within 10
+    val tolB = m(AsofJoin.asofBackward(lefts, rights, "k", "ts", "id", Seq("v"), Some(10.0)))
+    assert(tolB == Seq((1L, 100L, "a"), (1L, 200L, null), (2L, 50L, null)))
+    val tolN = m(AsofJoin.asofNearest(lefts, rights, "k", "ts", "id", Seq("v"), Some(10.0)))
+    assert(tolN == Seq((1L, 100L, "a"), (1L, 200L, null), (2L, 50L, "d")))
+  }
+
   test("multimodal extract keeps schema and batch shape through mapPartitions") {
     val docs = Tables.documents(spark, sf).limit(50)
     val media = Multimodal.mediaFromDocuments(docs)
