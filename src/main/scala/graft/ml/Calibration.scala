@@ -28,6 +28,9 @@ object Calibration {
       .setFeaturesCol("__cal_features")
       .setLabelCol(labelCol)
       .setIsotonic(true)
+      // scratch output name: the calibration frame may already carry a
+      // model's `prediction` column (fit validates the output schema)
+      .setPredictionCol("__cal_pred")
       .fit(calib.withColumn("__cal_features",
         array_to_vector(array(col(scoreCol).cast("double")))))
 
@@ -50,6 +53,11 @@ object Calibration {
       .setFeaturesCol("__cal_features")
       .setLabelCol(labelCol)
       .setMaxIter(100)
+      // scratch output names: the calibration frame may already carry
+      // a model's prediction/probability columns
+      .setPredictionCol("__cal_pred")
+      .setRawPredictionCol("__cal_raw")
+      .setProbabilityCol("__cal_prob")
       .fit(calib.withColumn("__cal_features",
         array_to_vector(array(col(scoreCol).cast("double")))))
 

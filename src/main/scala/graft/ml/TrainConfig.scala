@@ -90,7 +90,10 @@ object TrainConfig {
         p.get("deployment_threshold").map(_.toDouble).getOrElse(base.deploymentThreshold),
       fbetaBeta = p.get("fbeta_beta").map(_.toDouble).getOrElse(base.fbetaBeta),
       thresholdGrid = p.get("threshold_grid").map(parseGrid).getOrElse(base.thresholdGrid),
-      balanceClasses = p.get("balance_classes").map(_.toBoolean).getOrElse(base.balanceClasses))
+      balanceClasses = p.get("balance_classes").map(_.toBoolean).getOrElse(base.balanceClasses),
+      searchStrategy = p.getOrElse("search_strategy", base.searchStrategy),
+      calibrate = p.get("calibrate").map(_.toBoolean).getOrElse(base.calibrate),
+      trackerDir = p.get("tracker_dir"))
   }
 
   /** Load a properties file into a Config. */

@@ -31,7 +31,17 @@ object TrainPipeline {
       deploymentThreshold: Double = 0.5,
       fbetaBeta: Double = 0.5,
       thresholdGrid: Seq[Double] = (1 to 19).map(_ * 0.05),
-      balanceClasses: Boolean = true)
+      balanceClasses: Boolean = true,
+      /** "random" (trialsPerModel trials) or "halving"
+        * (trialsPerModel initial configs, eta=3 rungs). */
+      searchStrategy: String = "random",
+      /** Calibrate the champion's scores before threshold tuning
+        * (champion.py calibrate_pipeline; isotonic/sigmoid auto-picked
+        * by calibration-set size). */
+      calibrate: Boolean = false,
+      /** When set, every searched model logs a tracker run here, and
+        * the champion logs its confusion matrix + model path. */
+      trackerDir: Option[String] = None)
 
   final case class ModelReport(name: String, auc: Double, bestParams: Map[String, Double])
 
@@ -39,7 +49,8 @@ object TrainPipeline {
       champion: Option[Champion.Candidate],
       reports: Seq[ModelReport],
       tunedThreshold: Double,
-      validMetrics: Map[String, Double])
+      validMetrics: Map[String, Double],
+      calibrationMethod: Option[String] = None)
 
   /** Run the full flow; if `modelDir` is set, persist the champion and
     * batch-score the validation split there (predict.py analog).
@@ -62,27 +73,55 @@ object TrainPipeline {
       feats, "label", cfg.pkCol, cfg.trainFraction, cfg.seed)
     val train = train0.cache(); val valid = valid0.cache()
 
-    // 3. per-model random search on the shared splits
+    // 3. per-model search (random or successive-halving) on the shared splits
     val searched = cfg.models.map { case (kind, space) =>
-      val r = Trainer.randomSearch(kind, space, train, valid, cfg.trialsPerModel,
-        cfg.seed, weightCol = Some("weight"))
+      val r = cfg.searchStrategy match {
+        case "halving" => Trainer.successiveHalving(kind, space, train, valid,
+          initialConfigs = cfg.trialsPerModel, eta = 3, cfg.seed, weightCol = Some("weight"))
+        case _ => Trainer.randomSearch(kind, space, train, valid, cfg.trialsPerModel,
+          cfg.seed, weightCol = Some("weight"))
+      }
       (kind.toString, r)
     }
     val reports = searched.map { case (name, r) => ModelReport(name, r.bestMetric, r.bestParams) }
+    cfg.trackerDir.foreach { dir =>
+      searched.zipWithIndex.foreach { case ((name, r), i) =>
+        ExperimentTracker.logRun(spark, dir, ExperimentTracker.Run(
+          runId = s"run_${name}_$i", model = name, params = r.bestParams,
+          metrics = Map("valid_auc" -> r.bestMetric),
+          timestampMs = System.currentTimeMillis() + i))
+      }
+    }
 
     // 4. champion selection with deployment gate
     val champion = Champion.select(
       searched.map { case (name, r) => Champion.Candidate(name, r.bestModel, r.bestMetric) },
       cfg.deploymentThreshold)
 
-    // 5. threshold tuning + validation metrics for the champion
-    val (tuned, metrics) = champion match {
+    // 5. (optional) score calibration, then threshold tuning +
+    // validation metrics for the champion
+    val (tuned, metrics, calMethod) = champion match {
       case Some(c) =>
-        val scored = c.model.transform(valid).withColumn("p", Trainer.posProb("probability"))
+        val raw = c.model.transform(valid).withColumn("p", Trainer.posProb("probability"))
+        val (scored, method) =
+          if (!cfg.calibrate) (raw, None)
+          else {
+            val cal = Calibration.fitAuto(raw, "p", "label")
+            (cal.calibrate(raw, "p", "pc").withColumn("p", col("pc")).drop("pc"),
+              Some(cal.method))
+          }
         val (t, _) = Calibration.tuneThreshold(scored, "label", "p", cfg.fbetaBeta, cfg.thresholdGrid)
         val m = Evaluator.binaryMetrics(scored, "label", "p", cfg.pkCol, t, cfg.fbetaBeta).head()
-        (t, m.schema.fieldNames.map(f => f -> m.getAs[Double](f)).toMap)
-      case None => (0.5, Map.empty[String, Double])
+        (t, m.schema.fieldNames.map(f => f -> m.getAs[Double](f)).toMap, method)
+      case None => (0.5, Map.empty[String, Double], None)
+    }
+    (champion, cfg.trackerDir) match {
+      case (Some(c), Some(dir)) =>
+        val scored = c.model.transform(valid).withColumn("p", Trainer.posProb("probability"))
+          .withColumn("pred", Evaluator.predictAt(col("p"), tuned))
+        ExperimentTracker.logConfusionMatrix(dir, "champion",
+          Evaluator.confusionMatrix(scored, "label", "pred"))
+      case _ => ()
     }
 
     // 6. persistence + batch scoring (inference analog)
@@ -95,6 +134,6 @@ object TrainPipeline {
       case _ => ()
     }
     train.unpersist(); valid.unpersist()
-    Result(champion, reports, tuned, metrics)
+    Result(champion, reports, tuned, metrics, calMethod)
   }
 }

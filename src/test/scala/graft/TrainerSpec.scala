@@ -214,6 +214,26 @@ class TrainerSpec extends SparkSpec {
     assert(gated.champion.isEmpty && gated.validMetrics.isEmpty)
   }
 
+  test("TrainPipeline with halving search, calibration, and tracker wired in") {
+    import graft.ml.{ExperimentTracker, TrainPipeline}
+    val data = blobs.select($"id", $"label", $"arr")
+    val dir = java.nio.file.Files.createTempDirectory("graft-track").toString
+    val res = TrainPipeline.run(spark, data,
+      TrainPipeline.Config(labelCol = "label", pkCol = "id", featureArrayCol = "arr",
+        models = Seq((Trainer.LogReg, Seq(Trainer.ParamRange("regParam", 1e-4, 1.0, log = true)))),
+        trialsPerModel = 3, deploymentThreshold = 0.6,
+        searchStrategy = "halving", calibrate = true, trackerDir = Some(dir)))
+    assert(res.champion.isDefined)
+    assert(res.calibrationMethod.contains("sigmoid")) // valid split ≪ 1000 rows
+    assert(res.validMetrics("roc_auc") > 0.9)
+    // tracker got one run per model plus the champion's confusion matrix
+    assert(ExperimentTracker.listRuns(spark, dir).count() == 1)
+    assert(ExperimentTracker.bestRun(spark, dir, "valid_auc", 10).exists(_.model == "LogReg"))
+    val cm = ExperimentTracker.confusionMatrix(spark, dir, "champion")
+    val cmTotal = cm.agg(sum($"n")).head().getLong(0)
+    assert(cmTotal > 0 && cmTotal < data.count()) // covers exactly the valid split
+  }
+
   test("end-to-end: embeddings table trains through the full pipeline") {
     import graft.features.LabelOps
     val emb = Tables.embeddings(spark, sf)
