@@ -247,4 +247,51 @@ object Dedup {
     }
     labels
   }
+
+  /** Alternating large-star / small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the
+    * scale path [[dupClusters]]'s scaladoc promises: each round SQUARES
+    * the distance labels can jump, so adversarially long chains
+    * converge in O(log² n) rounds instead of O(diameter). Per round:
+    * two groupBy shuffles + a dedup. At fixpoint every component is a
+    * star rooted at its min id; equality-spec'd against [[dupClusters]]
+    * on random graphs.
+    */
+  def dupClustersStar(ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    // large-star: every neighbor LARGER than u links to m = min(Γ(u) ∪ {u})
+    def largeStar(edges: DataFrame): DataFrame = {
+      val bi = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = bi.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("m"))
+      bi.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+    // small-star: u's smaller neighbors (and u) all link to their min
+    def smallStar(edges: DataFrame): DataFrame = {
+      val dir = canon(edges) // (u = larger, v = smaller)
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      dir.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+    }
+    var edges = canon(pairs.select(col("id_a").cast("long").as("u"),
+      col("id_b").cast("long").as("v"))).localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = canon(smallStar(largeStar(edges))).localCheckpoint()
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      it += 1
+    }
+    // star edges: (non-root, root); singletons label themselves
+    val roots = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("__root"))
+    ids.select(col(idCol).cast("long").as("id"))
+      .join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__root"), col("id")).as("cluster"))
+  }
 }

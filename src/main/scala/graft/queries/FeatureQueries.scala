@@ -293,7 +293,38 @@ object FeatureQueries {
       |WHERE event_type = 'purchase' OR event_id % 4 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** IQR outlier audit (Tukey fences fit on the full column — the
+    * fit-once/apply-everywhere shape of the feature pipeline): per
+    * returnflag, row count and rows outside [q1−1.5·IQR, q3+1.5·IQR].
+    */
+  def qOutlierIqr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val q = li.agg(expr("percentile(l_extendedprice, 0.25)").as("q1"),
+      expr("percentile(l_extendedprice, 0.75)").as("q3")).head()
+    val (q1, q3) = (q.getDouble(0), q.getDouble(1))
+    val lo = q1 - 1.5 * (q3 - q1)
+    val hi = q3 + 1.5 * (q3 - q1)
+    li.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"l_extendedprice" < lo || $"l_extendedprice" > hi, 1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("lo", r4(lit(lo)))
+      .withColumn("hi", r4(lit(hi)))
+      .orderBy($"l_returnflag")
+  }
+
+  val qOutlierIqrOracle: String =
+    """WITH st AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+      |                   quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem),
+      |f AS (SELECT q1 - 1.5*(q3-q1) AS lo, q3 + 1.5*(q3-q1) AS hi FROM st)
+      |SELECT l_returnflag, count(*) AS n,
+      | CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      | round(max(lo),4) + 0 AS lo, round(max(hi),4) + 0 AS hi
+      |FROM lineitem CROSS JOIN f
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_outlier_iqr" -> qOutlierIqr,
     "q_downsample" -> qDownsample,
     "q_target_encode" -> qTargetEncode,
     "q_correlation" -> qCorrelation,
@@ -310,6 +341,7 @@ object FeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_outlier_iqr" -> qOutlierIqrOracle,
     "q_downsample" -> qDownsampleOracle,
     "q_target_encode" -> qTargetEncodeOracle,
     "q_correlation" -> qCorrelationOracle,

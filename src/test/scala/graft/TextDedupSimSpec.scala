@@ -151,6 +151,24 @@ class TextDedupSimSpec extends SparkSpec {
     assert(got2.toSeq == Seq(1L))
   }
 
+  test("large-star/small-star components equal min-label propagation") {
+    val rnd = new scala.util.Random(17)
+    val n = 200
+    val ids = (1L to n).toDF("doc_id")
+    val pairs = (1 to 150).map { _ =>
+      val a = rnd.nextInt(n) + 1L; val b = rnd.nextInt(n) + 1L; (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(Dedup.dupClustersStar(ids, "doc_id", pairs)) ==
+      m(Dedup.dupClusters(ids, "doc_id", pairs, maxIter = 100)))
+    // adversarial chain: diameter 99, must converge well under maxIter 30
+    val chainIds = (1L to 100L).toDF("doc_id")
+    val chain = (1L to 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.dupClustersStar(chainIds, "doc_id", chain).collect().map(_.getLong(1))
+    assert(labels.forall(_ == 1L))
+  }
+
   test("poly_hash expression equals the lambda fold it replaced; SQL-registered") {
     val df = Seq((1L, "hello world"), (2L, "a"), (3L, "Spark SQL!")).toDF("id", "text")
     // the pre-r3 lambda implementation, inlined as the reference
