@@ -32,7 +32,7 @@ object FeatureStore {
     val features = spark.read.parquet(s"$dir/features.parquet")
     val target = spark.read.parquet(s"$dir/target.parquet")
     val dup = target.columns.filter(features.columns.contains).filterNot(_ == pkCol)
-    features.join(target.drop(dup: _*), Seq(pkCol))
+    features.join(target.drop(dup.toIndexedSeq: _*), Seq(pkCol))
   }
 
   /** Point-in-time retrieval: for each entity row (pk, ts), the latest

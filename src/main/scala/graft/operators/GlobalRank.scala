@@ -101,7 +101,7 @@ object GlobalRank {
       sums: Seq[(String, Column)]): Ranked = {
     val spark = df.sparkSession
     val valCols = sums.map { case (name, e) => coalesce(e.cast("double"), lit(0.0)).as(s"__v_$name") }
-    val ranged = df.select((df.columns.map(col) ++ valCols): _*)
+    val ranged = df.select((df.columns.map(col).toIndexedSeq ++ valCols): _*)
       .repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .withColumn("__pid", spark_partition_id())

@@ -26,7 +26,7 @@ object Profiler {
         min(c).cast("string").as(s"${f.name}__min"),
         max(c).cast("string").as(s"${f.name}__max"))
     } :+ total.as("__total")
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
     val n = row.getAs[Long]("__total")
     val rows = df.schema.fields.map { f =>
       (f.name, f.dataType.simpleString,

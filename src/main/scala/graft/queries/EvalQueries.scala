@@ -48,7 +48,7 @@ object EvalQueries {
 
   def qEvalMetrics(s: SparkSession, d: String): DataFrame = {
     val m = Evaluator.binaryMetrics(scored(s, d), "label", "score", "event_id", 0.5, 0.5)
-    m.select(m.columns.map(c => r6(col(c)).as(c)): _*)
+    m.select(m.columns.toIndexedSeq.map(c => r6(col(c)).as(c)): _*)
   }
 
   val qEvalMetricsOracle: String =
