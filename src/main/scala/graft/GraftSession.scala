@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated SparkSession builder carrying graft's 100 TB defaults —
+  * the knobs every query in this library assumes (SURVEY.md §4). A
+  * user can still override any of them afterwards; `Bench`/`Verify`
+  * set their own core counts for the local harness.
+  */
+object GraftSession {
+
+  /** @param shufflePartitions initial shuffle width. On a real cluster
+    *        size this ≈ 2-3× total executor cores (AQE coalesces the
+    *        excess); the local harness passes the core count.
+    */
+  def builder(appName: String = "graft", shufflePartitions: Int = 200): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      // AQE re-plans at runtime from real stage stats: coalesces
+      // over-provisioned shuffle partitions, converts sort-merge joins
+      // to broadcast when a side turns out small, and splits skewed
+      // partitions — all load-bearing at 100 TB where estimates lie.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // 128 MB scan splits: big enough to amortize task overhead,
+      // small enough that a task's columnar batches fit in executor
+      // memory alongside shuffle buffers.
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      // registered custom expressions (sorted_intersect_size,
+      // simhash60, poly_hash) available to SQL users session-wide
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+}

@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (SURVEY.md §2.6).
@@ -149,9 +148,8 @@ object Similarity {
     val scored = assignedCorpus.join(assignedQueries, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 4) + lit(0.0))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    TopKAggregator.topKPerKey(scored, "query_id", "neighbor_id", "cos", k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
@@ -169,9 +167,8 @@ object Similarity {
     val scored = a.join(b, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         round(dotCol(col("qv"), col("cv")) / (col("qn") * col("cn")), 4) + lit(0.0))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    TopKAggregator.topKPerKey(scored, "query_id", "neighbor_id", "cos", k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 }

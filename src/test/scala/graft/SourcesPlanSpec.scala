@@ -190,6 +190,16 @@ class SourcesPlanSpec extends SparkSpec {
     assert(cfg2.trainFraction == 0.8 && cfg2.balanceClasses)
   }
 
+  test("GraftSession builder carries the scale defaults") {
+    // getOrCreate applies runtime SQL confs to the session (static
+    // confs like extensions need a fresh JVM — registration is
+    // spec'd separately via GraftFunctions.register)
+    val s = graft.GraftSession.builder(shufflePartitions = 16).getOrCreate()
+    assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(s.conf.get("spark.sql.files.maxPartitionBytes") == (128L * 1024 * 1024).toString)
+  }
+
   test("MLlib composite pipeline fits and selects features") {
     val df = Tables.customer(spark, sf)
       .select($"c_custkey", $"c_acctbal", $"c_mktsegment",

@@ -151,6 +151,20 @@ class StreamsSpec extends SparkSpec {
     assert(out == Seq((1L, 100L, "a"), (1L, 200L, "c"), (2L, 50L, null)))
   }
 
+  test("AvailableNow trigger drains the backlog then stops on its own") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(
+      Ev(t("2024-01-01 00:10:00"), "click", 1.0, 1, 1),
+      Ev(t("2024-01-01 01:10:00"), "view", 3.0, 2, 2))
+    val q = Streams.streamingWindowedAgg(ms.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("avail_now").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(!q.isActive) // batch-drain semantics: terminates unaided
+    assert(spark.table("avail_now").count() == 2)
+  }
+
   test("asof forward and nearest follow merge_asof semantics, tolerance nulls out") {
     import graft.operators.AsofJoin
     val lefts = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
