@@ -356,6 +356,29 @@ object Evaluator {
         count(lit(1)).as("n_bins"))
   }
 
+  /** Champion evaluation across named splits (reference:
+    * evaluation/orchestrator.py TestSetEvaluationOrchestrator
+    * evaluate_on_test_set — metrics on train AND test plus class
+    * distributions, so overfit and label shift are visible in one
+    * table). One long-format row per (split, metric); includes n and
+    * pos_rate alongside the classifier metrics.
+    */
+  def evaluateSplits(model: org.apache.spark.ml.Transformer,
+      splits: Seq[(String, DataFrame)], labelCol: String,
+      threshold: Double, beta: Double): DataFrame = {
+    val spark = splits.head._2.sparkSession
+    import spark.implicits._
+    val rows = splits.flatMap { case (name, df) =>
+      val scored = model.transform(df).withColumn("__p", Trainer.posProb("probability"))
+      val m = binaryMetrics(scored, labelCol, "__p", labelCol, threshold, beta).head()
+      val dist = df.agg(count(lit(1)).cast("double").as("n"),
+        avg(col(labelCol).cast("double")).as("pos_rate")).head()
+      m.schema.fieldNames.map(f => (name, f, m.getAs[Double](f))).toSeq ++
+        Seq((name, "n", dist.getDouble(0)), (name, "pos_rate", dist.getDouble(1)))
+    }
+    rows.toDF("split", "metric", "value")
+  }
+
   /** Best threshold by F-beta (ties → smaller threshold). */
   def bestThreshold(df: DataFrame, labelCol: String, scoreCol: String,
       thresholds: Seq[Double], beta: Double): Double =

@@ -30,6 +30,24 @@ object ExperimentTracker {
   def listRuns(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/runs").orderBy(col("timestampMs").desc)
 
+  /** Log EVERY trial of a hyperparameter search, not just the winner
+    * (reference: tracking/study_logger.py log_study_trials — the part
+    * of an Optuna study users query to understand the search surface).
+    */
+  def logTrials(spark: SparkSession, dir: String, runId: String,
+      trials: Seq[Trainer.Trial]): Unit = {
+    import spark.implicits._
+    trials.zipWithIndex
+      .map { case (t, i) => (runId, i, t.params, t.metric) }
+      .toDF("runId", "trial", "params", "metric")
+      .write.mode("append").partitionBy("runId").parquet(s"$dir/trials")
+  }
+
+  /** A run's logged search trials, in trial order (pruned read). */
+  def trialsOf(spark: SparkSession, dir: String, runId: String): DataFrame =
+    spark.read.parquet(s"$dir/trials")
+      .filter(col("runId") === runId).drop("runId").orderBy(col("trial"))
+
   /** Log a run's confusion-matrix frame as a queryable artifact
     * (reference: experiment_tracker.py log_confusion_matrix). Stored
     * partitioned by runId, so per-run reads prune to one partition.

@@ -96,11 +96,35 @@ object TrainConfig {
       trackerDir = p.get("tracker_dir"))
   }
 
-  /** Load a properties file into a Config. */
+  /** Config sanity checks (reference: schemas.py:74 check_params) —
+    * fail fast at load time, not mid-training. Returns the config for
+    * chaining.
+    */
+  def validate(cfg: TrainPipeline.Config): TrainPipeline.Config = {
+    def req(cond: Boolean, msg: String): Unit =
+      if (!cond) throw new IllegalArgumentException(msg)
+    req(cfg.trainFraction > 0 && cfg.trainFraction < 1,
+      s"train_fraction must be in (0,1), got ${cfg.trainFraction}")
+    req(cfg.trialsPerModel >= 1, s"trials_per_model must be >= 1, got ${cfg.trialsPerModel}")
+    req(cfg.models.nonEmpty, "at least one model required")
+    req(cfg.models.forall(_._2.nonEmpty), "every model needs a non-empty search space")
+    req(cfg.models.forall(_._2.forall(r => r.lo <= r.hi && (!r.log || r.lo > 0))),
+      "param ranges must have lo <= hi (and lo > 0 when log-scaled)")
+    req(cfg.thresholdGrid.nonEmpty && cfg.thresholdGrid.forall(t => t >= 0 && t <= 1),
+      "threshold_grid values must lie in [0,1]")
+    req(cfg.deploymentThreshold >= 0 && cfg.deploymentThreshold <= 1.01,
+      s"deployment_threshold out of range: ${cfg.deploymentThreshold}")
+    req(Set("random", "halving").contains(cfg.searchStrategy),
+      s"search_strategy must be random|halving, got ${cfg.searchStrategy}")
+    req(cfg.fbetaBeta > 0, s"fbeta_beta must be positive, got ${cfg.fbetaBeta}")
+    cfg
+  }
+
+  /** Load a properties file into a validated Config. */
   def load(path: String): TrainPipeline.Config = {
     val props = new Properties()
     val in = new FileInputStream(path)
     try props.load(in) finally in.close()
-    fromMap(props.asScala.toMap)
+    validate(fromMap(props.asScala.toMap))
   }
 }

@@ -90,6 +90,7 @@ object TrainPipeline {
           runId = s"run_${name}_$i", model = name, params = r.bestParams,
           metrics = Map("valid_auc" -> r.bestMetric),
           timestampMs = System.currentTimeMillis() + i))
+        ExperimentTracker.logTrials(spark, dir, s"run_${name}_$i", r.trials)
       }
     }
 

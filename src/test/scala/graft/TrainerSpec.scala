@@ -234,6 +234,40 @@ class TrainerSpec extends SparkSpec {
     assert(cmTotal > 0 && cmTotal < data.count()) // covers exactly the valid split
   }
 
+  test("config validation rejects nonsense; tracker keeps every search trial") {
+    import graft.ml.{ExperimentTracker, TrainConfig, TrainPipeline}
+    val good = TrainPipeline.Config("label", "id", "arr")
+    assert(TrainConfig.validate(good) eq good)
+    def bad(f: TrainPipeline.Config => TrainPipeline.Config): Unit =
+      intercept[IllegalArgumentException](TrainConfig.validate(f(good)))
+    bad(_.copy(trainFraction = 1.5))
+    bad(_.copy(trialsPerModel = 0))
+    bad(_.copy(models = Seq((Trainer.LogReg, Seq()))))
+    bad(_.copy(models = Seq((Trainer.LogReg, Seq(Trainer.ParamRange("r", -1, 1, log = true))))))
+    bad(_.copy(thresholdGrid = Seq(1.5)))
+    bad(_.copy(searchStrategy = "bayes"))
+    // every trial of a search is logged and queryable in order
+    val (train, valid) = trainValid
+    val res = Trainer.randomSearch(Trainer.LogReg,
+      Seq(Trainer.ParamRange("regParam", 1e-4, 1.0, log = true)), train, valid, 3, 7L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-trials").toString
+    ExperimentTracker.logTrials(spark, dir, "r1", res.trials)
+    val back = ExperimentTracker.trialsOf(spark, dir, "r1").collect()
+    assert(back.length == 3)
+    assert(back.map(_.getAs[Double]("metric")).toSeq == res.trials.map(_.metric))
+  }
+
+  test("evaluateSplits reports metrics and class distribution per split") {
+    val (train, valid) = trainValid
+    val m = Trainer.classifier(Trainer.LogReg, Map("regParam" -> 0.01), None).fit(train)
+    val out = Evaluator.evaluateSplits(m, Seq("train" -> train, "valid" -> valid),
+      "label", 0.5, 0.5)
+    val byKey = out.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(byKey(("train", "roc_auc")) > 0.95 && byKey(("valid", "roc_auc")) > 0.95)
+    assert(byKey(("train", "n")) == train.count().toDouble)
+    assert(math.abs(byKey(("valid", "pos_rate")) - 0.5) < 0.2)
+  }
+
   test("end-to-end: embeddings table trains through the full pipeline") {
     import graft.features.LabelOps
     val emb = Tables.embeddings(spark, sf)
