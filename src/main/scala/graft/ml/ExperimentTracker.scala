@@ -70,4 +70,17 @@ object ExperimentTracker {
       .sortBy(r => (-r.metrics.getOrElse(metric, Double.NegativeInfinity), -r.timestampMs))
       .headOption
   }
+
+  /** Best run that ALSO carries a registered model artifact — the
+    * deployable-only selection rule (reference: selector.py
+    * select_best_model skips experiments without model files).
+    */
+  def bestDeployableRun(spark: SparkSession, dir: String, metric: String,
+      maxRuns: Int, modelArtifact: String = "model"): Option[Run] = {
+    import spark.implicits._
+    listRuns(spark, dir).limit(maxRuns).as[Run].collect()
+      .filter(_.artifacts.contains(modelArtifact))
+      .sortBy(r => (-r.metrics.getOrElse(metric, Double.NegativeInfinity), -r.timestampMs))
+      .headOption
+  }
 }

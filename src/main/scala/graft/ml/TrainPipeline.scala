@@ -125,13 +125,21 @@ object TrainPipeline {
       case _ => ()
     }
 
-    // 6. persistence + batch scoring (inference analog)
+    // 6. persistence + batch scoring (inference analog); the persisted
+    // champion registers as a deployable tracker run (model artifact)
     (champion, modelDir) match {
       case (Some(c), Some(dir)) =>
         Champion.save(c.model, s"$dir/champion")
         valid.select(col(cfg.pkCol), col("label"), col(cfg.featureArrayCol))
           .write.mode("overwrite").parquet(s"$dir/valid_in")
         Champion.batchPredict(spark, c.model, s"$dir/valid_in", s"$dir/valid_scored", cfg.featureArrayCol)
+        cfg.trackerDir.foreach { td =>
+          ExperimentTracker.logRun(spark, td, ExperimentTracker.Run(
+            runId = "champion", model = c.name, params = Map.empty,
+            metrics = metrics + ("valid_auc" -> c.metric),
+            timestampMs = System.currentTimeMillis(),
+            artifacts = Map("model" -> s"$dir/champion")))
+        }
       case _ => ()
     }
     train.unpersist(); valid.unpersist()

@@ -222,13 +222,16 @@ class TrainerSpec extends SparkSpec {
       TrainPipeline.Config(labelCol = "label", pkCol = "id", featureArrayCol = "arr",
         models = Seq((Trainer.LogReg, Seq(Trainer.ParamRange("regParam", 1e-4, 1.0, log = true)))),
         trialsPerModel = 3, deploymentThreshold = 0.6,
-        searchStrategy = "halving", calibrate = true, trackerDir = Some(dir)))
+        searchStrategy = "halving", calibrate = true, trackerDir = Some(dir)),
+      modelDir = Some(dir + "/models"))
     assert(res.champion.isDefined)
     assert(res.calibrationMethod.contains("sigmoid")) // valid split ≪ 1000 rows
     assert(res.validMetrics("roc_auc") > 0.9)
-    // tracker got one run per model plus the champion's confusion matrix
-    assert(ExperimentTracker.listRuns(spark, dir).count() == 1)
-    assert(ExperimentTracker.bestRun(spark, dir, "valid_auc", 10).exists(_.model == "LogReg"))
+    // tracker got the search run + the deployable champion run (with
+    // model artifact), plus the champion's confusion matrix
+    assert(ExperimentTracker.listRuns(spark, dir).count() == 2)
+    assert(ExperimentTracker.bestDeployableRun(spark, dir, "valid_auc", 10)
+      .exists(r => r.runId == "champion" && r.artifacts("model").endsWith("/champion")))
     val cm = ExperimentTracker.confusionMatrix(spark, dir, "champion")
     val cmTotal = cm.agg(sum($"n")).head().getLong(0)
     assert(cmTotal > 0 && cmTotal < data.count()) // covers exactly the valid split
