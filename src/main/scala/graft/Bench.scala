@@ -9,6 +9,13 @@ import org.apache.spark.sql.SparkSession
   * first (round-2 driver captures showed 10-25x cold-start inflation on
   * the first ~12 queries). Failures are reported as failures, never as
   * a (fast-looking) elapsed time.
+  *
+  * Materialization is a NOOP WRITE, not count(): under count() the
+  * optimizer prunes every non-aggregate projected expression, so a
+  * query whose cost lives in its select list (percentiles,
+  * fingerprints, simhash) would time only its scan. The noop sink
+  * computes every output column and discards the rows — the same thing
+  * Verify's parquet write computes, minus the I/O.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,8 +34,10 @@ object Bench {
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-      catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable => Left(e.getClass.getSimpleName) }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -16,9 +16,12 @@ object PlanDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      df.count() // materialize so AQE finalizes the plan
-      println(s"===== $name")
+      var df = SparkEntry.queries(name)(spark, sfDir)
+      df.count() // warm + materialize so AQE finalizes the plan
+      val t0 = System.nanoTime()
+      df = SparkEntry.queries(name)(spark, sfDir)
+      df.count()
+      println(f"===== $name  warm ${(System.nanoTime() - t0) / 1e9}%.2f s")
       println(df.queryExecution.executedPlan.toString.take(4000))
     }
     spark.stop()
