@@ -111,8 +111,11 @@ object DocQueries {
 
   def qShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // codegen'd one-pass distinct count — the declarative
+    // size(array_distinct(...)) form materializes the shingle array
+    // per row just to measure it (spec-equal, oracle unchanged)
     Tables.documents(s, d)
-      .select($"lang", size(TextFunctions.shingleSet($"text", 3)).as("ns"))
+      .select($"lang", graft.functions.NgramCounts.countDistinctCharNgrams($"text", 3).as("ns"))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"), r4(avg($"ns")).as("avg_shingles"))
       .orderBy($"lang")
@@ -129,7 +132,8 @@ object DocQueries {
   def qWordNgrams(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"lang", size(array_distinct(TextFunctions.wordNgrams($"text", 2))).as("nb"))
+      .select($"lang", graft.functions.NgramCounts
+        .countDistinctWordBigrams(TextFunctions.tokens($"text")).as("nb"))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"), r4(avg($"nb")).as("avg_bigrams"))
       .orderBy($"lang")

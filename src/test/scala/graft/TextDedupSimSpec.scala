@@ -183,6 +183,21 @@ class TextDedupSimSpec extends SparkSpec {
     assert(df.selectExpr("poly_hash(text) AS h").where("h IS NULL").count() == 0)
   }
 
+  test("ngram-count expressions equal the declarative array forms") {
+    import graft.functions.NgramCounts
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abc d"
+    val docs = (1 to 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("id", "text")
+    val cmp = docs
+      .withColumn("fastC", NgramCounts.countDistinctCharNgrams($"text", 3))
+      .withColumn("refC", size(TextFunctions.shingleSet($"text", 3)))
+      .withColumn("fastW", NgramCounts.countDistinctWordBigrams(TextFunctions.tokens($"text")))
+      .withColumn("refW", size(array_distinct(TextFunctions.wordNgrams($"text", 2))))
+    assert(cmp.filter($"fastC" =!= $"refC" || $"fastW" =!= $"refW").count() == 0)
+  }
+
   test("simhash: near-identical texts have small hamming distance") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
