@@ -17,6 +17,20 @@ import org.apache.spark.sql.DataFrame
   */
 object MLlibPipeline {
 
+  /** Hashed TF-IDF vectorization (HashingTF → IDF) — the MLlib scale
+    * path for text features when the vocabulary is too large for an
+    * explicit token↔index map (the hashing trick: tokens bucket into
+    * `numFeatures` slots, no global vocab build, no extra shuffle
+    * beyond IDF's one document-frequency aggregation). The exact,
+    * relational TF-IDF twin is the q_tfidf query.
+    */
+  def tfidf(train: DataFrame, tokensCol: String, numFeatures: Int): PipelineModel = {
+    val htf = new HashingTF()
+      .setInputCol(tokensCol).setOutputCol("__tf").setNumFeatures(numFeatures)
+    val idf = new IDF().setInputCol("__tf").setOutputCol("tfidf")
+    new Pipeline().setStages(Array(htf, idf)).fit(train)
+  }
+
   /** Build the unfitted pipeline.
     *
     * @param numCols numeric feature columns (imputed median + robust-scaled)

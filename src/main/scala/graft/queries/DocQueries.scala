@@ -405,6 +405,37 @@ object DocQueries {
       | SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
       |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
 
+  /** TF-IDF head: top-20 (doc, token) pairs by tf·ln(N/df) over a doc
+    * subset — the classic text-vectorization weighting, DataFrame-
+    * native (explode → per-(doc,token) tf → per-token df → weight).
+    * Two shuffles; df per token is corpus-bounded (vocabulary size).
+    */
+  def qTfidf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sub = Tables.documents(s, d).filter($"doc_id" % 10 === 0)
+    val n = sub.count()
+    val tok = sub.select($"doc_id", explode(TextFunctions.tokens($"text")).as("token"))
+    val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df_ = tok.select($"doc_id", $"token").distinct()
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df_), Seq("token"))
+      .withColumn("tfidf", r4($"tf" * log(lit(n.toDouble) / $"df")))
+      .select($"doc_id", $"token", $"tf", $"df", $"tfidf")
+      .orderBy($"tfidf".desc, $"doc_id", $"token")
+      .limit(20)
+  }
+
+  val qTfidfOracle: String =
+    """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sub),
+      |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM sub),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1)
+      |SELECT doc_id, tf.token AS token, tf, df,
+      | round(tf * ln(n.n / df), 4) + 0 AS tfidf
+      |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+      |ORDER BY tfidf DESC, doc_id, token LIMIT 20""".stripMargin
+
   /** Token-count histogram (bucket width 20). */
   def qTokenHist(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -438,7 +469,8 @@ object DocQueries {
     "q_cosine_topk" -> qCosineTopK,
     "q_dup_clusters" -> qDupClusters,
     "q_word_ngrams" -> qWordNgrams,
-    "q_vocab_topk" -> qVocabTopk
+    "q_vocab_topk" -> qVocabTopk,
+    "q_tfidf" -> qTfidf
   )
 
   val oracles: Map[String, String] = Map(
@@ -459,6 +491,7 @@ object DocQueries {
     "q_cosine_topk" -> qCosineTopKOracle,
     "q_dup_clusters" -> qDupClustersOracle,
     "q_word_ngrams" -> qWordNgramsOracle,
-    "q_vocab_topk" -> qVocabTopkOracle
+    "q_vocab_topk" -> qVocabTopkOracle,
+    "q_tfidf" -> qTfidfOracle
   )
 }

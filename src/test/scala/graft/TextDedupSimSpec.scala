@@ -183,6 +183,25 @@ class TextDedupSimSpec extends SparkSpec {
     assert(df.selectExpr("poly_hash(text) AS h").where("h IS NULL").count() == 0)
   }
 
+  test("hashed TF-IDF downweights ubiquitous tokens") {
+    import graft.features.MLlibPipeline
+    val docs = Tables.documents(spark, sf).limit(200)
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+    val model = MLlibPipeline.tfidf(docs, "toks", numFeatures = 1024)
+    val out = model.transform(docs)
+    val v = out.select("tfidf").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.size == 1024 && v.numNonzeros > 0)
+    // a token present in EVERY doc gets idf = ln((N+1)/(N+1)) = 0 → its
+    // hash slot contributes nothing even with high tf
+    val all = docs.withColumn("toks", array_union($"toks", array(lit("__everywhere__"))))
+    val m2 = MLlibPipeline.tfidf(all, "toks", 1024)
+    val slot = new org.apache.spark.ml.feature.HashingTF().setNumFeatures(1024)
+      .indexOf("__everywhere__")
+    val w = m2.transform(all).select("tfidf").collect()
+      .map(_.getAs[org.apache.spark.ml.linalg.Vector](0)(slot))
+    assert(w.forall(math.abs(_) < 1e-12))
+  }
+
   test("ngram-count expressions equal the declarative array forms") {
     import graft.functions.NgramCounts
     val rnd = new scala.util.Random(23)
