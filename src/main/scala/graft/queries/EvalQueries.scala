@@ -328,7 +328,83 @@ object EvalQueries {
       |      FROM j CROSS JOIN t)
       |SELECT round(sum((p - q) * ln(p / q)), 6) + 0 AS psi, count(*) AS n_bins FROM p""".stripMargin
 
+  /** Matthews correlation coefficient at threshold 0.5 — the balanced
+    * single-number summary of the confusion matrix (robust to class
+    * imbalance); pure integer arithmetic + sqrt, oracle-exact.
+    */
+  def qMcc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val df = scored(s, d)
+    df.agg(
+        sum(when($"label" === 1 && $"score" >= 0.5, 1L).otherwise(0L)).as("tp"),
+        sum(when($"label" === 0 && $"score" >= 0.5, 1L).otherwise(0L)).as("fp"),
+        sum(when($"label" === 1 && $"score" < 0.5, 1L).otherwise(0L)).as("fn"),
+        sum(when($"label" === 0 && $"score" < 0.5, 1L).otherwise(0L)).as("tn"))
+      .select($"tp", $"fp", $"fn", $"tn",
+        r6(($"tp" * $"tn" - $"fp" * $"fn").cast("double") /
+          sqrt(($"tp" + $"fp").cast("double") * ($"tp" + $"fn") * ($"tn" + $"fp") * ($"tn" + $"fn")))
+          .as("mcc"))
+  }
+
+  val qMccOracle: String =
+    s"""WITH sc AS ($scoredSql),
+       |cm AS (SELECT
+       |  CAST(sum(CASE WHEN label = 1 AND score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(sum(CASE WHEN label = 0 AND score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(sum(CASE WHEN label = 1 AND score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  CAST(sum(CASE WHEN label = 0 AND score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       | FROM sc)
+       |SELECT tp, fp, fn, tn,
+       | round(CAST(tp*tn - fp*fn AS DOUBLE)
+       |   / sqrt(CAST(tp+fp AS DOUBLE) * (tp+fn) * (tn+fp) * (tn+fn)), 6) + 0 AS mcc
+       |FROM cm""".stripMargin
+
+  /** Jensen-Shannon divergence of the binned score distributions of
+    * the even/odd event cohorts — the symmetric, bounded cousin of
+    * [[qPsi]]'s drift measure. Same fixed-bin shape.
+    */
+  def qJsDiv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sc = Tables.events(s, d).select(
+      $"event_id",
+      (least($"value", lit(200.0)) / lit(200.0) * lit(0.7) +
+        ($"event_id" % 100).cast("double") / lit(1000.0) * lit(3.0) / lit(10.0)).as("score"))
+    def binned(df: DataFrame, out: String) =
+      df.groupBy(least(floor($"score" * 10), lit(9)).cast("int").as("bin"))
+        .agg(count(lit(1)).as(out))
+    val grid = s.range(0, 10).select($"id".cast("int").as("bin"))
+    val j = grid
+      .join(binned(sc.filter($"event_id" % 2 === 0), "nb"), Seq("bin"), "left")
+      .join(binned(sc.filter($"event_id" % 2 === 1), "nc"), Seq("bin"), "left")
+      .select($"bin", coalesce($"nb", lit(0L)).as("nb"), coalesce($"nc", lit(0L)).as("nc"))
+    val tot = j.agg(sum($"nb").as("tb"), sum($"nc").as("tc"))
+    j.crossJoin(tot)
+      .select(($"nb" / $"tb").as("p"), ($"nc" / $"tc").as("q"))
+      .withColumn("m", ($"p" + $"q") / 2)
+      .agg(r6((sum(when($"p" > 0, $"p" * log($"p" / $"m")).otherwise(0.0)) +
+        sum(when($"q" > 0, $"q" * log($"q" / $"m")).otherwise(0.0))) / 2).as("js_div"),
+        count(lit(1)).as("n_bins"))
+  }
+
+  val qJsDivOracle: String =
+    """WITH sc AS (SELECT event_id,
+      |  least(value, 200.0) / 200.0 * 0.7 + CAST(event_id % 100 AS DOUBLE) / 1000.0 * 3.0 / 10.0 AS score
+      | FROM events),
+      |g AS (SELECT unnest(range(0, 10)) AS bin),
+      |b AS (SELECT CAST(least(floor(score*10), 9) AS INT) AS bin, count(*) AS nb FROM sc WHERE event_id % 2 = 0 GROUP BY 1),
+      |c AS (SELECT CAST(least(floor(score*10), 9) AS INT) AS bin, count(*) AS nc FROM sc WHERE event_id % 2 = 1 GROUP BY 1),
+      |j AS (SELECT g.bin, coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+      |      FROM g LEFT JOIN b ON g.bin = b.bin LEFT JOIN c ON g.bin = c.bin),
+      |t AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM j),
+      |p AS (SELECT nb / tb AS p, nc / tc AS q, (nb / tb + nc / tc) / 2 AS m FROM j CROSS JOIN t)
+      |SELECT round((sum(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END)
+      |      + sum(CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END)) / 2, 6) + 0 AS js_div,
+      | count(*) AS n_bins
+      |FROM p""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_mcc" -> qMcc,
+    "q_js_div" -> qJsDiv,
     "q_auc_by_type" -> qAucByType,
     "q_psi" -> qPsi,
     "q_brier" -> qBrier,
@@ -346,6 +422,8 @@ object EvalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mcc" -> qMccOracle,
+    "q_js_div" -> qJsDivOracle,
     "q_auc_by_type" -> qAucByTypeOracle,
     "q_psi" -> qPsiOracle,
     "q_brier" -> qBrierOracle,
