@@ -200,7 +200,7 @@ object Dedup {
     * pipeline it replaced walked the array once per bit), whose integer
     * arithmetic is engine-independent and oracle-checked (q_simhash).
     */
-  def simhash64(textCol: Column): Column =
+  def simhash60(textCol: Column): Column =
     graft.functions.SimHash60.simhash60(TextFunctions.tokens(textCol))
 
   /** Hamming distance between two simhash longs. */
@@ -245,6 +245,11 @@ object Dedup {
       labels = next
       it += 1
     }
+    // partially-propagated labels are WRONG labels (a long chain would
+    // silently split one component in two) — refuse to return them
+    if (changed > 0) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxIter rounds (component diameter too large); " +
+        "raise maxIter or use dupClustersStar (O(log^2 n) rounds)")
     labels
   }
 
@@ -288,6 +293,8 @@ object Dedup {
       edges = next
       it += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"dupClustersStar did not converge in $maxIter rounds — raise maxIter")
     // star edges: (non-root, root); singletons label themselves
     val roots = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("__root"))
     ids.select(col(idCol).cast("long").as("id"))

@@ -97,7 +97,10 @@ case class CountDistinctWordBigrams(child: Expression) extends UnaryExpression {
       val space = UTF8String.fromString(" ")
       var i = 0
       while (i < m - 1) {
-        seen.add(UTF8String.concat(arr.getUTF8String(i), space, arr.getUTF8String(i + 1)))
+        // bigrams touching a null token are skipped (no NPE for SQL input)
+        if (!arr.isNullAt(i) && !arr.isNullAt(i + 1)) {
+          seen.add(UTF8String.concat(arr.getUTF8String(i), space, arr.getUTF8String(i + 1)))
+        }
         i += 1
       }
       seen.size()
@@ -116,6 +119,7 @@ case class CountDistinctWordBigrams(child: Expression) extends UnaryExpression {
          |  final org.apache.spark.unsafe.types.UTF8String $sp =
          |    org.apache.spark.unsafe.types.UTF8String.fromString(" ");
          |  for (int $i = 0; $i < $m - 1; $i++) {
+         |    if ($a.isNullAt($i) || $a.isNullAt($i + 1)) { continue; }
          |    $seen.add(org.apache.spark.unsafe.types.UTF8String.concat(
          |      $a.getUTF8String($i), $sp, $a.getUTF8String($i + 1)));
          |  }

@@ -14,9 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Replaces the `aggregate(transform(sequence(1, length(c)), …))`
   * lambda pipeline, which materializes an O(len) array of substrings
   * per row and walks it through HigherOrderFunction interpreters; this
-  * is one tight byte loop in generated Java. Byte-wise folding equals
-  * the DuckDB oracle's per-codepoint `ascii()` fold for ASCII corpora
-  * (same contract as [[SimHash60]]).
+  * is one tight byte loop in generated Java on ASCII input (where
+  * byte == codepoint), with a per-codepoint fallback ([[HashUtil]])
+  * for strings containing multi-byte characters — so values are
+  * codepoint-exact for ALL input, same as the lambda form and the
+  * DuckDB oracle's `ascii()` fold.
   */
 case class PolyHash(child: Expression) extends UnaryExpression {
 
@@ -31,27 +33,32 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   private val P = 1000000007L
 
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
     var h = 0L
     var i = 0
-    while (i < bytes.length) {
-      h = (h * 31 + (bytes(i) & 0xffL)) % P
-      i += 1
+    var ascii = true
+    while (ascii && i < bytes.length) {
+      if (bytes(i) < 0) ascii = false
+      else { h = (h * 31 + bytes(i)) % P; i += 1 }
     }
-    h
+    if (ascii) h else HashUtil.poly31(s)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val bytes = ctx.freshName("bytes")
       val h = ctx.freshName("h"); val i = ctx.freshName("i")
+      val ascii = ctx.freshName("ascii")
       s"""
          |final byte[] $bytes = $a.getBytes();
          |long $h = 0L;
-         |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  $h = ($h * 31L + ($bytes[$i] & 0xffL)) % ${P}L;
+         |boolean $ascii = true;
+         |for (int $i = 0; $ascii && $i < $bytes.length; ) {
+         |  if ($bytes[$i] < 0) { $ascii = false; }
+         |  else { $h = ($h * 31L + $bytes[$i]) % ${P}L; $i++; }
          |}
-         |${ev.value} = $h;
+         |${ev.value} = $ascii ? $h : graft.functions.HashUtil$$.MODULE$$.poly31($a);
        """.stripMargin
     })
 

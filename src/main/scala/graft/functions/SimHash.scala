@@ -25,8 +25,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * generated Java inside whole-stage codegen — the difference between
   * "subset only" and "full corpus" at 100 TB.
   *
-  * Characters are iterated as bytes; identical to per-codepoint
-  * folding for ASCII corpora (the oracle's `ascii()` likewise).
+  * Characters iterate as bytes on ASCII tokens (byte == codepoint ==
+  * the oracle's `ascii()`); tokens with multi-byte characters fall
+  * back to the per-codepoint [[HashUtil]] path, so the value is
+  * codepoint-exact for all input. Null tokens contribute nothing.
   */
 case class SimHash60(child: Expression) extends UnaryExpression {
 
@@ -46,20 +48,29 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     val n = arr.numElements()
     var t = 0
     while (t < n) {
-      val bytes = arr.getUTF8String(t).getBytes
-      var h1 = 0L; var h2 = 0L
-      var i = 0
-      while (i < bytes.length) {
-        val c = bytes(i) & 0xffL
-        h1 = (h1 * 31 + c) % P
-        h2 = (h2 * 37 + c) % P
-        i += 1
-      }
-      val h = h1 | (h2 << 30)
-      var b = 0
-      while (b < 60) {
-        counts(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)
-        b += 1
+      if (!arr.isNullAt(t)) { // null tokens contribute nothing
+        val s = arr.getUTF8String(t)
+        val bytes = s.getBytes
+        var h1 = 0L; var h2 = 0L
+        var i = 0
+        var ascii = true
+        while (ascii && i < bytes.length) {
+          if (bytes(i) < 0) ascii = false
+          else {
+            h1 = (h1 * 31 + bytes(i)) % P
+            h2 = (h2 * 37 + bytes(i)) % P
+            i += 1
+          }
+        }
+        if (!ascii) { // codepoint-exact fallback for multi-byte input
+          val hs = HashUtil.polyPair(s); h1 = hs(0); h2 = hs(1)
+        }
+        val h = h1 | (h2 << 30)
+        var b = 0
+        while (b < 60) {
+          counts(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)
+          b += 1
+        }
       }
       t += 1
     }
@@ -78,18 +89,29 @@ case class SimHash60(child: Expression) extends UnaryExpression {
       val t = ctx.freshName("t"); val bytes = ctx.freshName("bytes")
       val h1 = ctx.freshName("h1"); val h2 = ctx.freshName("h2")
       val h = ctx.freshName("h"); val i = ctx.freshName("i")
-      val b = ctx.freshName("b"); val c = ctx.freshName("c")
+      val b = ctx.freshName("b"); val s = ctx.freshName("s")
+      val ascii = ctx.freshName("ascii"); val hs = ctx.freshName("hs")
       val out = ctx.freshName("out")
       s"""
          |long[] $counts = new long[60];
          |final int $n = $a.numElements();
          |for (int $t = 0; $t < $n; $t++) {
-         |  final byte[] $bytes = $a.getUTF8String($t).getBytes();
+         |  if ($a.isNullAt($t)) { continue; }
+         |  final org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($t);
+         |  final byte[] $bytes = $s.getBytes();
          |  long $h1 = 0L, $h2 = 0L;
-         |  for (int $i = 0; $i < $bytes.length; $i++) {
-         |    final long $c = $bytes[$i] & 0xffL;
-         |    $h1 = ($h1 * 31L + $c) % ${P}L;
-         |    $h2 = ($h2 * 37L + $c) % ${P}L;
+         |  boolean $ascii = true;
+         |  for (int $i = 0; $ascii && $i < $bytes.length; ) {
+         |    if ($bytes[$i] < 0) { $ascii = false; }
+         |    else {
+         |      $h1 = ($h1 * 31L + $bytes[$i]) % ${P}L;
+         |      $h2 = ($h2 * 37L + $bytes[$i]) % ${P}L;
+         |      $i++;
+         |    }
+         |  }
+         |  if (!$ascii) {
+         |    final long[] $hs = graft.functions.HashUtil$$.MODULE$$.polyPair($s);
+         |    $h1 = $hs[0]; $h2 = $hs[1];
          |  }
          |  final long $h = $h1 | ($h2 << 30);
          |  for (int $b = 0; $b < 60; $b++) {

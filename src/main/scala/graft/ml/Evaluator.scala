@@ -330,15 +330,13 @@ object Evaluator {
           (col("npos") * col("nneg"))).as("roc_auc"))
   }
 
-  /** Population stability index between a baseline and a current score
-    * distribution over `bins` equal-width bins on [0,1] — the standard
-    * serving-drift monitor. PSI = Σ_b (p_b − q_b)·ln(p_b/q_b); bins
-    * empty on either side get a floor count of `eps` of mass (the
-    * conventional guard against ln 0). Two aggregation passes, one per
-    * side, joined on the fixed bin grid.
+  /** Per-bin proportions (p, q) of two score cohorts over a fixed
+    * `bins`-wide grid on [0,1] — the shared scaffolding of the drift
+    * measures ([[psi]], [[jsDivergence]]): two aggregation passes, one
+    * per side, left-joined onto the grid so empty bins stay visible.
     */
-  def psi(baseline: DataFrame, current: DataFrame, scoreCol: String,
-      bins: Int, eps: Double = 1e-4): DataFrame = {
+  private def binnedCohorts(baseline: DataFrame, current: DataFrame,
+      scoreCol: String, bins: Int): DataFrame = {
     def binned(df: DataFrame, out: String): DataFrame =
       df.groupBy(least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int").as("bin"))
         .agg(count(lit(1)).as(out))
@@ -349,12 +347,36 @@ object Evaluator {
       .select(col("bin"), coalesce(col("nb"), lit(0L)).as("nb"), coalesce(col("nc"), lit(0L)).as("nc"))
     val tot = joined.agg(sum(col("nb")).as("tb"), sum(col("nc")).as("tc"))
     joined.crossJoin(tot)
+      .select(col("bin"), (col("nb") / col("tb")).as("p"), (col("nc") / col("tc")).as("q"))
+  }
+
+  /** Population stability index between a baseline and a current score
+    * distribution over `bins` equal-width bins on [0,1] — the standard
+    * serving-drift monitor. PSI = Σ_b (p_b − q_b)·ln(p_b/q_b); bins
+    * empty on either side get a floor of `eps` mass (the conventional
+    * guard against ln 0).
+    */
+  def psi(baseline: DataFrame, current: DataFrame, scoreCol: String,
+      bins: Int, eps: Double = 1e-4): DataFrame =
+    binnedCohorts(baseline, current, scoreCol, bins)
       .select(col("bin"),
-        greatest(col("nb") / col("tb"), lit(eps)).as("p"),
-        greatest(col("nc") / col("tc"), lit(eps)).as("q"))
+        greatest(col("p"), lit(eps)).as("p"),
+        greatest(col("q"), lit(eps)).as("q"))
       .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"),
         count(lit(1)).as("n_bins"))
-  }
+
+  /** Jensen-Shannon divergence of the same binned cohorts — symmetric
+    * and bounded (≤ ln 2), the better-behaved cousin of [[psi]] when
+    * cohorts have empty bins (0·ln 0 terms vanish, no eps needed).
+    */
+  def jsDivergence(baseline: DataFrame, current: DataFrame, scoreCol: String,
+      bins: Int): DataFrame =
+    binnedCohorts(baseline, current, scoreCol, bins)
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .agg(((sum(when(col("p") > 0, col("p") * log(col("p") / col("m"))).otherwise(0.0)) +
+        sum(when(col("q") > 0, col("q") * log(col("q") / col("m"))).otherwise(0.0))) / 2)
+        .as("js_div"),
+        count(lit(1)).as("n_bins"))
 
   /** Champion evaluation across named splits (reference:
     * evaluation/orchestrator.py TestSetEvaluationOrchestrator

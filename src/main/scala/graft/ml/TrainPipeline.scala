@@ -45,12 +45,17 @@ object TrainPipeline {
 
   final case class ModelReport(name: String, auc: Double, bestParams: Map[String, Double])
 
+  /** `tunedThreshold` is on the CALIBRATED score scale whenever
+    * `calibrator` is present — apply `calibrator.get.calibrate` to raw
+    * champion scores before thresholding in deployment.
+    */
   final case class Result(
       champion: Option[Champion.Candidate],
       reports: Seq[ModelReport],
       tunedThreshold: Double,
       validMetrics: Map[String, Double],
-      calibrationMethod: Option[String] = None)
+      calibrationMethod: Option[String] = None,
+      calibrator: Option[Calibration.Calibrator] = None)
 
   /** Run the full flow; if `modelDir` is set, persist the champion and
     * batch-score the validation split there (predict.py analog).
@@ -100,29 +105,31 @@ object TrainPipeline {
       cfg.deploymentThreshold)
 
     // 5. (optional) score calibration, then threshold tuning +
-    // validation metrics for the champion
-    val (tuned, metrics, calMethod) = champion match {
+    // validation metrics for the champion. The fitted calibrator is
+    // RETURNED (Result.calibrator) — tunedThreshold lives on the
+    // calibrated scale, so a deployment must apply the same map.
+    val (tuned, metrics, calibrator) = champion match {
       case Some(c) =>
         val raw = c.model.transform(valid).withColumn("p", Trainer.posProb("probability"))
-        val (scored, method) =
+        val (scored, cal) =
           if (!cfg.calibrate) (raw, None)
           else {
-            val cal = Calibration.fitAuto(raw, "p", "label")
-            (cal.calibrate(raw, "p", "pc").withColumn("p", col("pc")).drop("pc"),
-              Some(cal.method))
+            val fitted = Calibration.fitAuto(raw, "p", "label")
+            (fitted.calibrate(raw, "p", "pc").withColumn("p", col("pc")).drop("pc"),
+              Some(fitted))
           }
         val (t, _) = Calibration.tuneThreshold(scored, "label", "p", cfg.fbetaBeta, cfg.thresholdGrid)
         val m = Evaluator.binaryMetrics(scored, "label", "p", cfg.pkCol, t, cfg.fbetaBeta).head()
-        (t, m.schema.fieldNames.map(f => f -> m.getAs[Double](f)).toMap, method)
+        // confusion matrix from the SAME (calibrated) scores the
+        // threshold was tuned on — raw scores + a calibrated-scale
+        // threshold would make the logged CM disagree with metrics
+        cfg.trackerDir.foreach { dir =>
+          val withPred = scored.withColumn("pred", Evaluator.predictAt(col("p"), t))
+          ExperimentTracker.logConfusionMatrix(dir, "champion",
+            Evaluator.confusionMatrix(withPred, "label", "pred"))
+        }
+        (t, m.schema.fieldNames.map(f => f -> m.getAs[Double](f)).toMap, cal)
       case None => (0.5, Map.empty[String, Double], None)
-    }
-    (champion, cfg.trackerDir) match {
-      case (Some(c), Some(dir)) =>
-        val scored = c.model.transform(valid).withColumn("p", Trainer.posProb("probability"))
-          .withColumn("pred", Evaluator.predictAt(col("p"), tuned))
-        ExperimentTracker.logConfusionMatrix(dir, "champion",
-          Evaluator.confusionMatrix(scored, "label", "pred"))
-      case _ => ()
     }
 
     // 6. persistence + batch scoring (inference analog); the persisted
@@ -143,6 +150,6 @@ object TrainPipeline {
       case _ => ()
     }
     train.unpersist(); valid.unpersist()
-    Result(champion, reports, tuned, metrics, calMethod)
+    Result(champion, reports, tuned, metrics, calibrator.map(_.method), calibrator)
   }
 }

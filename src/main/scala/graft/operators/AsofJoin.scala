@@ -109,6 +109,12 @@ object AsofJoin {
     * row, whichever of the backward / forward match is closer in time;
     * equal distances prefer backward. Two windows over the same
     * single-shuffle union — still no theta-join.
+    *
+    * PRECONDITION: (keyCol, tsCol, tieBreakCol) must uniquely identify
+    * left rows — the backward and forward passes are recombined by
+    * joining on that triple, so duplicate left rows would multiply.
+    * (backward/forward alone preserve duplicates; only nearest needs
+    * the join.)
     */
   def asofNearest(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, tieBreakCol: String, valueCols: Seq[String],

@@ -258,7 +258,7 @@ object DocQueries {
   def qSimhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sub = Tables.documents(s, d).filter($"doc_id" % 10 === 0)
-      .select($"doc_id", Dedup.simhash64($"text").as("simhash"))
+      .select($"doc_id", Dedup.simhash60($"text").as("simhash"))
     sub.orderBy($"doc_id")
   }
 

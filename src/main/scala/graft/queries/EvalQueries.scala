@@ -341,7 +341,9 @@ object EvalQueries {
         sum(when($"label" === 1 && $"score" < 0.5, 1L).otherwise(0L)).as("fn"),
         sum(when($"label" === 0 && $"score" < 0.5, 1L).otherwise(0L)).as("tn"))
       .select($"tp", $"fp", $"fn", $"tn",
-        r6(($"tp" * $"tn" - $"fp" * $"fn").cast("double") /
+        // numerator in DOUBLE: tp*tn in Long wraps past 2^63 around
+        // ~3e9 rows per cell (the 100 TB regime this repo targets)
+        r6(($"tp".cast("double") * $"tn" - $"fp".cast("double") * $"fn") /
           sqrt(($"tp" + $"fp").cast("double") * ($"tp" + $"fn") * ($"tn" + $"fp") * ($"tn" + $"fn")))
           .as("mcc"))
   }
@@ -369,21 +371,9 @@ object EvalQueries {
       $"event_id",
       (least($"value", lit(200.0)) / lit(200.0) * lit(0.7) +
         ($"event_id" % 100).cast("double") / lit(1000.0) * lit(3.0) / lit(10.0)).as("score"))
-    def binned(df: DataFrame, out: String) =
-      df.groupBy(least(floor($"score" * 10), lit(9)).cast("int").as("bin"))
-        .agg(count(lit(1)).as(out))
-    val grid = s.range(0, 10).select($"id".cast("int").as("bin"))
-    val j = grid
-      .join(binned(sc.filter($"event_id" % 2 === 0), "nb"), Seq("bin"), "left")
-      .join(binned(sc.filter($"event_id" % 2 === 1), "nc"), Seq("bin"), "left")
-      .select($"bin", coalesce($"nb", lit(0L)).as("nb"), coalesce($"nc", lit(0L)).as("nc"))
-    val tot = j.agg(sum($"nb").as("tb"), sum($"nc").as("tc"))
-    j.crossJoin(tot)
-      .select(($"nb" / $"tb").as("p"), ($"nc" / $"tc").as("q"))
-      .withColumn("m", ($"p" + $"q") / 2)
-      .agg(r6((sum(when($"p" > 0, $"p" * log($"p" / $"m")).otherwise(0.0)) +
-        sum(when($"q" > 0, $"q" * log($"q" / $"m")).otherwise(0.0))) / 2).as("js_div"),
-        count(lit(1)).as("n_bins"))
+    Evaluator.jsDivergence(
+        sc.filter($"event_id" % 2 === 0), sc.filter($"event_id" % 2 === 1), "score", 10)
+      .select(r6($"js_div").as("js_div"), $"n_bins")
   }
 
   val qJsDivOracle: String =

@@ -83,6 +83,15 @@ object Similarity {
     * configuration to exact recall at the test SFs — necessary because
     * that synthetic corpus's qualifying pairs sit at cos≈0.35, far
     * below any realistic near-dup threshold).
+    *
+    * Cost honesty: candidates per table ≈ n²/2^nPlanes (2^nPlanes
+    * buckets), so at FIXED nPlanes the candidate set is still
+    * quadratic and L tables of few planes can exceed the n²/2 all-pairs
+    * join — as the shipped q_embed_neardup config does at test SF.
+    * The sub-quadratic win requires nPlanes to grow with corpus size
+    * (higher thresholds keep per-table recall high as planes grow);
+    * at cos 0.35 no LSH configuration prunes meaningfully — that
+    * threshold is below the background similarity of random vectors.
     */
   def nearDupPairsLsh(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
       nPlanes: Int, seeds: Seq[Long], threshold: Double): DataFrame = {

@@ -44,6 +44,11 @@ object TopKAggregator {
 
   /** Per-key top-k of (scoreCol, idCol): (key, id, score, rank) rows —
     * equality-tested against the window implementation in specs.
+    *
+    * PRECONDITION: `keyCol` and `idCol` must be integral (they are cast
+    * to long) — string ids need a surrogate long key first. The window
+    * form this replaces accepted any id type; this constraint buys the
+    * map-side-combinable typed aggregation.
     */
   def topKPerKey(df: DataFrame, keyCol: String, idCol: String, scoreCol: String, k: Int): DataFrame = {
     import df.sparkSession.implicits._

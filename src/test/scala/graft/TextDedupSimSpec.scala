@@ -181,6 +181,22 @@ class TextDedupSimSpec extends SparkSpec {
     assert(bad == 0)
     graft.functions.GraftFunctions.register(spark)
     assert(df.selectExpr("poly_hash(text) AS h").where("h IS NULL").count() == 0)
+    // non-ASCII input stays codepoint-exact (byte fast path falls back)
+    def fpCp(s: String): Long = {
+      var h = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i); h = (h * 31 + cp) % 1000000007L; i += Character.charCount(cp)
+      }
+      h
+    }
+    val uni = Seq((1L, "café résumé — naïve")).toDF("id", "text")
+      .select(graft.functions.PolyHash.polyHash($"text").as("h")).head().getLong(0)
+    assert(uni == fpCp("café résumé — naïve"))
+    // null array elements are skipped, not NPE'd, in the SQL surface
+    val r = spark.sql(
+      """SELECT simhash60(array('a', cast(null as string), 'é')) AS sh,
+        |       simhash60(array('a', 'é')) AS sh2""".stripMargin).head()
+    assert(!r.isNullAt(0) && r.getLong(0) == r.getLong(1))
   }
 
   test("hashed TF-IDF downweights ubiquitous tokens") {
@@ -222,7 +238,7 @@ class TextDedupSimSpec extends SparkSpec {
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
       (2L, "alpha beta gamma delta epsilon zeta eta iota"),
       (3L, "one two three four five six seven eight")
-    ).toDF("id", "text").withColumn("sh", Dedup.simhash64($"text"))
+    ).toDF("id", "text").withColumn("sh", Dedup.simhash60($"text"))
     val m = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
@@ -290,7 +306,7 @@ class TextDedupSimSpec extends SparkSpec {
       (0 until 60).foldLeft(0L)((acc, bit) => if (counts(bit) >= 0) acc | (1L << bit) else acc)
     }
     val df = Seq((1L, "the quick brown fox"), (2L, "lorem ipsum dolor sit amet"))
-      .toDF("id", "text").withColumn("sh", Dedup.simhash64($"text"))
+      .toDF("id", "text").withColumn("sh", Dedup.simhash60($"text"))
     val m = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(m(1L) == ref("the quick brown fox"))
     assert(m(2L) == ref("lorem ipsum dolor sit amet"))
