@@ -98,6 +98,27 @@ object Calibration {
     else SigmoidCalibrator(fitSigmoid(calib, scoreCol, labelCol))
   }
 
+  /** Persist a fitted calibrator (method marker + MLlib model) — the
+    * tuned decision threshold lives on the calibrated scale, so the
+    * map must ship with the champion it calibrates.
+    */
+  def save(cal: Calibrator, path: String): Unit = cal match {
+    case IsotonicCalibrator(m) => m.write.overwrite().save(s"$path/isotonic")
+    case SigmoidCalibrator(m)  => m.write.overwrite().save(s"$path/sigmoid")
+  }
+
+  /** Load a calibrator persisted by [[save]] (method inferred from the
+    * on-disk layout).
+    */
+  def load(path: String): Calibrator = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/isotonic")))
+      IsotonicCalibrator(IsotonicRegressionModel.load(s"$path/isotonic"))
+    else
+      SigmoidCalibrator(LogisticRegressionModel.load(s"$path/sigmoid"))
+  }
+
   /** Tune the decision threshold by F-beta on a validation frame and
     * return (bestThreshold, sweep) — delegates to Evaluator.
     */

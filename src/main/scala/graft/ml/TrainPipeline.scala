@@ -137,6 +137,7 @@ object TrainPipeline {
     (champion, modelDir) match {
       case (Some(c), Some(dir)) =>
         Champion.save(c.model, s"$dir/champion")
+        calibrator.foreach(Calibration.save(_, s"$dir/calibrator"))
         valid.select(col(cfg.pkCol), col("label"), col(cfg.featureArrayCol))
           .write.mode("overwrite").parquet(s"$dir/valid_in")
         Champion.batchPredict(spark, c.model, s"$dir/valid_in", s"$dir/valid_scored", cfg.featureArrayCol)

@@ -235,6 +235,15 @@ class TrainerSpec extends SparkSpec {
     val cm = ExperimentTracker.confusionMatrix(spark, dir, "champion")
     val cmTotal = cm.agg(sum($"n")).head().getLong(0)
     assert(cmTotal > 0 && cmTotal < data.count()) // covers exactly the valid split
+    // the calibrator ships with the champion and round-trips: the tuned
+    // threshold is on the calibrated scale
+    assert(res.calibrator.isDefined)
+    val loaded = Calibration.load(dir + "/models/calibrator")
+    assert(loaded.method == "sigmoid")
+    val probe = Seq((1L, 0.3), (2L, 0.9)).toDF("id", "p")
+    val a = res.calibrator.get.calibrate(probe, "p", "c").orderBy($"id").collect().map(_.getDouble(2))
+    val b = loaded.calibrate(probe, "p", "c").orderBy($"id").collect().map(_.getDouble(2))
+    assert(a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-12 })
   }
 
   test("config validation rejects nonsense; tracker keeps every search trial") {
