@@ -34,12 +34,16 @@ object DocQueries {
 
   def qTextQuality(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // one-pass codegen'd counters; all four outputs derive from the
+    // same struct (CollapseProject keeps the non-cheap expression in
+    // its own Project, so the text is scanned once per row)
     Tables.documents(s, d)
+      .select($"source", TextFunctions.qualityStats($"text", stop).as("st"))
       .select($"source",
-        length($"text").as("len"),
-        TextFunctions.stopwordRatio($"text", stop).as("sr"),
-        TextFunctions.punctRatio($"text").as("pr"),
-        TextFunctions.qualityScore($"text", stop).as("q"))
+        $"st".getField("len").as("len"),
+        TextFunctions.stopwordRatioOf($"st").as("sr"),
+        TextFunctions.punctRatioOf($"st").as("pr"),
+        TextFunctions.qualityScoreOf($"st").as("q"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), r4(avg($"len")).as("avg_len"),
         r4(avg($"sr")).as("avg_stop_ratio"), r4(avg($"pr")).as("avg_punct_ratio"),
@@ -330,7 +334,8 @@ object DocQueries {
   def qCorpusClean(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val flagged = Tables.documents(s, d).select(
-      ($"n_chars" >= 100 && TextFunctions.stopwordRatio($"text", stop) > 0).as("q_ok"),
+      ($"n_chars" >= 100 &&
+        TextFunctions.qualityStats($"text", stop).getField("stop_hits") > 0).as("q_ok"),
       (TextFunctions.langId($"text", langProfiles) === "en").as("lang_ok"),
       md5($"text").as("digest"))
     flagged.agg(
@@ -413,13 +418,17 @@ object DocQueries {
   def qTfidf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sub = Tables.documents(s, d).filter($"doc_id" % 10 === 0)
-    val n = sub.count()
+    // N as a 1-row broadcast agg (the oracle's scalar CTE shape) —
+    // a driver-side count() here would scan the subset in a separate
+    // job just to inline a literal; at 100 TB that's a full extra scan
+    val nDf = sub.agg(count(lit(1)).cast("double").as("n_docs_sub"))
     val tok = sub.select($"doc_id", explode(TextFunctions.tokens($"text")).as("token"))
     val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
     val df_ = tok.select($"doc_id", $"token").distinct()
       .groupBy($"token").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df_), Seq("token"))
-      .withColumn("tfidf", r4($"tf" * log(lit(n.toDouble) / $"df")))
+      .crossJoin(broadcast(nDf))
+      .withColumn("tfidf", r4($"tf" * log($"n_docs_sub" / $"df")))
       .select($"doc_id", $"token", $"tf", $"df", $"tfidf")
       .orderBy($"tfidf".desc, $"doc_id", $"token")
       .limit(20)

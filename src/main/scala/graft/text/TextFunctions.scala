@@ -4,9 +4,11 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions for large-scale corpus pipelines
-  * (SURVEY.md §2.7). Everything here is built from codegen'd
-  * `functions._` lambdas — no UDFs — so the hot path stays inside
-  * whole-stage codegen and scales linearly with the scan.
+  * (SURVEY.md §2.7). No UDFs anywhere; note that Spark's higher-order
+  * functions (`filter`/`transform`/`aggregate`) are INTERPRETED, not
+  * codegen'd — fine for a single ratio, but hot paths that need
+  * several counters per row should use [[qualityStats]] (a one-pass
+  * codegen'd expression) instead of stacking the lambda forms.
   */
 object TextFunctions {
 
@@ -61,15 +63,41 @@ object TextFunctions {
     aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t)
   }
 
+  /** One-pass quality counters {len, n_tokens, stop_hits, punct,
+    * upper} as a struct — the codegen'd
+    * [[graft.functions.TextQualityStats]] expression. Select this ONCE
+    * and derive every ratio from its fields; the lambda forms above
+    * would re-tokenize per ratio in interpreted eval.
+    */
+  def qualityStats(c: Column, stopwords: Seq[String]): Column =
+    graft.functions.TextQualityStats.stats(c, stopwords)
+
+  /** stopwordRatio derived from a [[qualityStats]] struct. */
+  def stopwordRatioOf(st: Column): Column =
+    st.getField("stop_hits").cast("double") / st.getField("n_tokens")
+
+  /** punctRatio derived from a [[qualityStats]] struct. */
+  def punctRatioOf(st: Column): Column =
+    st.getField("punct").cast("double") / st.getField("len")
+
+  /** upperRatio derived from a [[qualityStats]] struct. */
+  def upperRatioOf(st: Column): Column =
+    st.getField("upper").cast("double") / st.getField("len")
+
+  /** Composite quality score from a [[qualityStats]] struct. */
+  def qualityScoreOf(st: Column): Column =
+    least(st.getField("len").cast("double") / lit(500.0), lit(1.0)) * lit(0.4) +
+      least(stopwordRatioOf(st) * lit(10.0), lit(1.0)) * lit(0.3) +
+      (lit(1.0) - least(punctRatioOf(st) * lit(5.0), lit(1.0))) * lit(0.2) +
+      (lit(1.0) - upperRatioOf(st)) * lit(0.1)
+
   /** Composite quality score in [0,1]-ish: rewards mid-length docs and
     * stopword presence, penalizes punctuation soup and shouting —
-    * the shape of a C4/Gopher-style quality filter.
+    * the shape of a C4/Gopher-style quality filter. One pass over the
+    * text (subexpression elimination collapses the struct accesses).
     */
   def qualityScore(c: Column, stopwords: Seq[String]): Column =
-    least(length(c).cast("double") / lit(500.0), lit(1.0)) * lit(0.4) +
-      least(stopwordRatio(c, stopwords) * lit(10.0), lit(1.0)) * lit(0.3) +
-      (lit(1.0) - least(punctRatio(c) * lit(5.0), lit(1.0))) * lit(0.2) +
-      (lit(1.0) - upperRatio(c)) * lit(0.1)
+    qualityScoreOf(qualityStats(c, stopwords))
 
   /** Rolling polynomial hash fingerprint over the full text:
     * fold(acc*31 + codepoint) mod 1e9+7. Deterministic across engines

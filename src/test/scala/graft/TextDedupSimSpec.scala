@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.sim.Similarity
@@ -19,6 +20,48 @@ class TextDedupSimSpec extends SparkSpec {
     assert(out(0).getDouble(1) == 1.0 / 3)
     assert(out(2).getDouble(2) == 2.0 / 14)
     assert(out(2).getDouble(3) == 8.0 / 14)
+  }
+
+  test("qualityStats matches the declarative forms on edge cases") {
+    // adversarial inputs: empty, space-only, tab-only (trim keeps it),
+    // leading/trailing non-space whitespace (leading/trailing empty
+    // split tokens), multi-byte UTF-8, punctuation soup, caps
+    val texts = Seq(
+      "", " ", "\t", " \t ", "a", "the", " the  a ", "a\tb\nthe c",
+      "\tthe a\n", "é the à naïve", "ALL CAPS!! yes?;:", "the,a the.a",
+      "x" * 600 + " the")
+    val df = texts.toDF("t")
+    val st = TextFunctions.qualityStats($"t", Seq("the", "a"))
+    val got = df.select(
+      st.getField("len").as("len"),
+      st.getField("n_tokens").as("nt"),
+      TextFunctions.stopwordRatioOf(st).as("sr"),
+      // pr/ur divide by length(t): ANSI throws on "" for BOTH the
+      // struct-derived and declarative forms — guard identically
+      when(length($"t") > 0, TextFunctions.punctRatioOf(st)).as("pr"),
+      when(length($"t") > 0, TextFunctions.upperRatioOf(st)).as("ur"),
+      when(length($"t") > 0, TextFunctions.qualityScoreOf(st)).as("q")).collect()
+    val want = df.select(
+      length($"t").as("len"),
+      size(TextFunctions.tokens($"t")).as("nt"),
+      TextFunctions.stopwordRatio($"t", Seq("the", "a")).as("sr"),
+      when(length($"t") > 0, TextFunctions.punctRatio($"t")).as("pr"),
+      when(length($"t") > 0, TextFunctions.upperRatio($"t")).as("ur")).collect()
+    def same(a: Row, b: Row, idx: Int) =
+      (a.isNullAt(idx) && b.isNullAt(idx)) ||
+        java.lang.Double.compare(a.getDouble(idx), b.getDouble(idx)) == 0
+    texts.indices.foreach { i =>
+      assert(got(i).getInt(0) == want(i).getInt(0), s"len for '${texts(i)}'")
+      assert(got(i).getInt(1) == want(i).getInt(1), s"n_tokens for '${texts(i)}'")
+      assert(same(got(i), want(i), 2), s"sr for '${texts(i)}'")
+      assert(same(got(i), want(i), 3), s"pr for '${texts(i)}'")
+      assert(same(got(i), want(i), 4), s"ur for '${texts(i)}'")
+    }
+    // qualityScore delegates to the same struct — spot-check the formula
+    val i = texts.indexOf("the,a the.a")
+    val exp = math.min(11 / 500.0, 1.0) * 0.4 + math.min((0.0 / 3) * 10, 1.0) * 0.3 +
+      (1.0 - math.min(2.0 / 11 * 5, 1.0)) * 0.2 + 1.0 * 0.1
+    assert(math.abs(got(i).getDouble(5) - exp) < 1e-12)
   }
 
   test("fingerprint matches the reference fold") {
