@@ -214,18 +214,20 @@ object DocQueries {
 
   val qMinhashPairsOracle: String = pairOracle.replace("doc_id % 5", "doc_id % 20")
 
-  /** Embedding near-dup pairs via hyperplane-LSH candidate buckets +
-    * exact within-candidate verification — no all-pairs join. The seed
-    * set (9 tables × 3 planes) was tuned by graft.tools.SeedSearch to
-    * exact recall vs the all-pairs oracle at sf0.001/0.01/0.1: this
-    * corpus's qualifying pairs sit at cos≈0.35-0.46 (background level,
-    * not planted dups), where single-table LSH recall is ~50%.
+  /** Embedding near-dup pairs on a bounded subset, exact (all-pairs
+    * within the subset, norms precomputed). Exact is the HONEST oracle
+    * implementation here: this corpus's qualifying pairs sit at
+    * cos≈0.35-0.46 — the background similarity of random vectors —
+    * where NO LSH configuration prunes (per-table recall ~50%, and a
+    * seed set tuned to full recall on one dataset silently drops pairs
+    * on any other). The scale path for real near-dup thresholds
+    * (cos ≥ 0.7) is [[Similarity.nearDupPairsLsh]] configured via
+    * [[Similarity.planesFor]], recall-spec'd in TextDedupSimSpec.
     */
   def qEmbedNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sub = Tables.embeddings(s, d).filter($"vec_id" % 5 === 0)
-    Similarity.nearDupPairsLsh(sub, "vec_id", "embedding", dim = 64, nPlanes = 3,
-        seeds = Seq(19L, 56L, 35L, 59L, 63L, 36L, 9L, 97L, 13L), threshold = 0.35)
+    Similarity.nearDupPairs(sub, "vec_id", "embedding", threshold = 0.35)
       .orderBy($"id_a", $"id_b")
   }
 

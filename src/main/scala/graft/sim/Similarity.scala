@@ -77,21 +77,18 @@ object Similarity {
     * Recall: a pair at angle θ collides in one table with probability
     * (1−θ/π)^nPlanes, missed by all L tables with probability
     * (1−(1−θ/π)^nPlanes)^L — vanishing for production thresholds
-    * (cos ≥ 0.7). Everything is seeded and deterministic, so a seed set
-    * can be validated to cover every qualifying pair at a given scale
-    * (see graft.tools.SeedSearch, which tuned the q_embed_neardup
-    * configuration to exact recall at the test SFs — necessary because
-    * that synthetic corpus's qualifying pairs sit at cos≈0.35, far
-    * below any realistic near-dup threshold).
+    * (cos ≥ 0.7). Everything is seeded and deterministic.
     *
     * Cost honesty: candidates per table ≈ n²/2^nPlanes (2^nPlanes
     * buckets), so at FIXED nPlanes the candidate set is still
-    * quadratic and L tables of few planes can exceed the n²/2 all-pairs
-    * join — as the shipped q_embed_neardup config does at test SF.
-    * The sub-quadratic win requires nPlanes to grow with corpus size
-    * (higher thresholds keep per-table recall high as planes grow);
-    * at cos 0.35 no LSH configuration prunes meaningfully — that
-    * threshold is below the background similarity of random vectors.
+    * quadratic and L tables of few planes can exceed the n²/2
+    * all-pairs join. The sub-quadratic win requires nPlanes to grow
+    * with corpus size; at thresholds near the background similarity of
+    * random vectors no LSH configuration prunes meaningfully. Use
+    * [[planesFor]] to derive (nPlanes, nTables) that are provably
+    * sub-quadratic with bounded miss probability — it rejects
+    * thresholds where that's impossible (there, use exact
+    * [[nearDupPairs]] on a bounded subset, as q_embed_neardup does).
     */
   def nearDupPairsLsh(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
       nPlanes: Int, seeds: Seq[Long], threshold: Double): DataFrame = {
@@ -116,6 +113,57 @@ object Similarity {
     val res = verified.localCheckpoint()
     vd.unpersist()
     res
+  }
+
+  /** LSH configuration for [[nearDupPairsLsh]] that is actually
+    * sub-quadratic at the given corpus size — encodes the recall/cost
+    * math the Scaladoc above warns about, so a 100 TB caller can't
+    * ship a fixed-planes config that silently degrades to all-pairs
+    * (or to ~50% recall, as a hand-tuned seed set does off its tuning
+    * corpus).
+    *
+    * A pair at cosine `threshold` (angle θ) collides per table with
+    * probability p1^p, p1 = 1−θ/π; L tables miss it with probability
+    * (1−p1^p)^L ≤ `maxMissProb`. More planes prune random collisions
+    * harder (n²/2^p expected background candidates per table) but need
+    * more tables for the same recall, and each table is a shuffle —
+    * so: pick the LARGEST p whose required L fits `maxTables` (capped
+    * at log2(n); beyond that buckets are already singletons), then
+    * require the background-candidate cost 2^p/L to beat the all-pairs
+    * join by ≥4× or refuse. At thresholds near the background
+    * similarity of random vectors (≲0.6–0.7) no (p, L) qualifies —
+    * the correct answers there are exact [[nearDupPairs]] on a
+    * bounded subset or [[annIvf]].
+    *
+    * @return (nPlanes, nTables); generate seeds as `0L until nTables`
+    *         or any distinct values — recall needs independence, not
+    *         tuning.
+    */
+  def planesFor(corpusSize: Long, threshold: Double,
+      maxMissProb: Double = 1e-3, maxTables: Int = 128): (Int, Int) = {
+    require(corpusSize > 1, "corpusSize must be > 1")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1), got $threshold")
+    require(maxMissProb > 0.0 && maxMissProb < 1.0, "maxMissProb must be in (0,1)")
+    val p1 = 1.0 - math.acos(threshold) / math.Pi // per-plane collision prob
+    val lnNeed = math.log(1.0 / maxMissProb)
+    // largest p with L(p) ≈ ln(1/miss)/p1^p <= maxTables
+    val pBudget = math.floor(math.log(lnNeed / maxTables) / math.log(p1)).toInt
+    val pCap = math.ceil(math.log(corpusSize.toDouble) / math.log(2.0)).toInt
+    val p = math.min(pBudget, pCap)
+    def refuse(detail: String): Nothing = throw new IllegalArgumentException(
+      s"cosine threshold $threshold at corpus size $corpusSize: $detail. " +
+        "Raise the threshold (real near-dup regimes are >=0.7), or use exact " +
+        "nearDupPairs on a bounded subset / annIvf instead.")
+    if (p < 1) refuse(s"no plane count reaches miss<=$maxMissProb within $maxTables tables")
+    val perTable = math.pow(p1, p)
+    val nTables = math.max(1,
+      math.ceil(math.log(maxMissProb) / math.log1p(-perTable)).toInt)
+    val speedup = math.pow(2.0, p) / nTables
+    if (speedup < 4.0) refuse(
+      f"the best config ($p planes x $nTables tables) only beats the all-pairs " +
+        f"join by $speedup%.1fx on background candidates")
+    (p, nTables)
   }
 
   /** Random-hyperplane LSH bucket id: sign bits of dot products with

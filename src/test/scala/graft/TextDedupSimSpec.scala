@@ -370,6 +370,83 @@ class TextDedupSimSpec extends SparkSpec {
     assert(n1.contains(2L), s"IVF neighbors of 1: ${n1.mkString(",")}")
   }
 
+  test("planesFor: sub-quadratic configs at real thresholds, rejects background-similarity thresholds") {
+    // production near-dup regime: bounded table count, real pruning
+    val (p8, l8) = Similarity.planesFor(1000000L, 0.8)
+    assert(p8 >= 10 && p8 <= 16, s"nPlanes $p8")
+    assert(l8 >= 1 && l8 <= 128, s"nTables $l8")
+    assert(math.pow(2.0, p8) / l8 >= 4.0, "must beat all-pairs by >=4x")
+    // higher threshold -> sharper per-plane collision gap -> more
+    // pruning power within the same table budget
+    val (p9, _) = Similarity.planesFor(1000000L, 0.9)
+    val (p7, _) = Similarity.planesFor(1000000L, 0.7)
+    assert(p9 > p7, s"p(0.9)=$p9 should exceed p(0.7)=$p7")
+    // at cos 0.35 (background similarity of random vectors) no config
+    // is affordable — the helper must refuse, not silently degrade
+    intercept[IllegalArgumentException] {
+      Similarity.planesFor(1000000L, 0.35)
+    }
+    intercept[IllegalArgumentException] { Similarity.planesFor(100L, 0.0) }
+  }
+
+  test("nearDupPairsLsh with a planesFor config: full recall on planted near-dups") {
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // 120 random vectors + 15 planted pairs at cos ~0.95
+    val base = (1 to 120).map(i => (i.toLong, unit()))
+    val planted = (1 to 15).flatMap { i =>
+      val a = unit()
+      val b = a.zipWithIndex.map { case (x, j) => x + (if (j % 7 == 0) 0.12f else 0.0f) }
+      Seq((200L + 2 * i, a), (201L + 2 * i, b))
+    }
+    val vecs = (base ++ planted).toDF("id", "v")
+    val threshold = 0.85
+    val (nPlanes, nTables) = Similarity.planesFor(vecs.count(), threshold)
+    val lsh = Similarity.nearDupPairsLsh(vecs, "id", "v", dim, nPlanes,
+      seeds = (0L until nTables.toLong), threshold = threshold)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.nearDupPairs(vecs, "id", "v", threshold)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "planted pairs should qualify")
+    // verification makes LSH a subset of exact; recall is the question
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.99, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("annLsh/annIvf recall@k vs exact topK on the real embeddings (deterministic floor)") {
+    val all = Tables.embeddings(spark, sf)
+    val queries = all.filter($"vec_id" % 100 === 0)
+    val k = 5
+    def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"query_id".cast("long"), $"neighbor_id".cast("long"))
+        .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = neighborSets(Similarity.topK(all, queries, "vec_id", "embedding", k))
+    def recallOf(approx: Map[Long, Set[Long]]): Double = {
+      val hits = exact.map { case (q, nn) => (approx.getOrElse(q, Set.empty) & nn).size }.sum
+      hits.toDouble / exact.map(_._2.size).sum
+    }
+    // annLsh ranks every vector; restrict to the query subset
+    val qIds = exact.keySet
+    val lsh = neighborSets(
+      Similarity.annLsh(all, "vec_id", "embedding", dim = 64, nPlanes = 2, seed = 42L, k = k)
+        .filter($"query_id".isin(qIds.toSeq: _*)))
+    val ivf = neighborSets(
+      Similarity.annIvf(all, queries, "vec_id", "embedding", nCells = 4, k = k))
+    val (rLsh, rIvf) = (recallOf(lsh), recallOf(ivf))
+    info(f"recall@$k: annLsh $rLsh%.3f, annIvf $rIvf%.3f")
+    // this corpus's neighbors sit near background similarity — the
+    // hardest case for bucketing; floors document the trade honestly
+    // (deterministic: fixed seeds, fixed data)
+    assert(rLsh >= 0.25, s"annLsh recall@$k $rLsh")
+    assert(rIvf >= 0.25, s"annIvf recall@$k $rIvf")
+  }
+
   test("hyperplane bucket assigns identical vectors identically") {
     val vecs = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
     val b = vecs.select(Similarity.hyperplaneBucket($"v", 3, 4, 9L)).collect().map(_.getLong(0))
