@@ -395,7 +395,11 @@ object Evaluator {
       val m = binaryMetrics(scored, labelCol, "__p", labelCol, threshold, beta).head()
       val dist = df.agg(count(lit(1)).cast("double").as("n"),
         avg(col(labelCol).cast("double")).as("pos_rate")).head()
-      m.schema.fieldNames.map(f => (name, f, m.getAs[Double](f))).toSeq ++
+      // degenerate splits yield null metrics (precision with tp+fp=0,
+      // auc on a single-class split) — report NaN, don't NPE
+      m.schema.fieldNames.zipWithIndex.map { case (f, idx) =>
+        (name, f, if (m.isNullAt(idx)) Double.NaN else m.getDouble(idx))
+      }.toSeq ++
         Seq((name, "n", dist.getDouble(0)), (name, "pos_rate", dist.getDouble(1)))
     }
     rows.toDF("split", "metric", "value")

@@ -26,9 +26,30 @@ object ExperimentTracker {
     Seq(run).toDF().write.mode("append").parquet(s"$dir/runs")
   }
 
-  /** All runs, most recent first. */
-  def listRuns(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/runs").orderBy(col("timestampMs").desc)
+  /** All runs, most recent first. Reads BOTH storage layouts: the
+    * current `dir/runs` and the legacy one (run parquet files directly
+    * under `dir`, written before trials/artifacts landed), with the
+    * Run schema imposed so pre-`artifacts` logs decode (missing column
+    * → empty map) instead of failing `.as[Run]`.
+    */
+  def listRuns(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val schema = org.apache.spark.sql.Encoders.product[Run].schema
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val runsDir = new Path(root, "runs")
+    val legacy =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root).filter(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet")).map(_.getPath.toString)
+    val parts =
+      (if (fs.exists(runsDir)) Seq(runsDir.toString) else Nil) ++ legacy.toSeq
+    require(parts.nonEmpty, s"no experiment runs found under $dir")
+    spark.read.schema(schema).parquet(parts: _*)
+      .withColumn("artifacts",
+        coalesce(col("artifacts"), map().cast("map<string,string>")))
+      .orderBy(col("timestampMs").desc)
+  }
 
   /** Log EVERY trial of a hyperparameter search, not just the winner
     * (reference: tracking/study_logger.py log_study_trials — the part

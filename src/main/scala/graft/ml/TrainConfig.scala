@@ -58,9 +58,12 @@ object TrainConfig {
     * drift) or an explicit comma list.
     */
   def parseGrid(s: String): Seq[Double] =
-    if (s.contains(":")) {
-      val Array(lo, hi, step) = s.split(":").map(x => BigDecimal(x.trim))
-      Iterator.iterate(lo)(_ + step).takeWhile(_ <= hi).map(_.toDouble).toSeq
+    if (s.contains(":")) s.split(":") match {
+      case Array(loS, hiS, stepS) =>
+        val Seq(lo, hi, step) = Seq(loS, hiS, stepS).map(x => BigDecimal(x.trim))
+        Iterator.iterate(lo)(_ + step).takeWhile(_ <= hi).map(_.toDouble).toSeq
+      case _ => throw new IllegalArgumentException(
+        s"grid '$s' must have exactly 3 fields lo:hi:step")
     } else s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toDouble)
 
   /** Build a Config from a key→value map; unset keys keep the

@@ -55,13 +55,21 @@ object TrainPipeline {
       tunedThreshold: Double,
       validMetrics: Map[String, Double],
       calibrationMethod: Option[String] = None,
-      calibrator: Option[Calibration.Calibrator] = None)
+      calibrator: Option[Calibration.Calibrator] = None,
+      /** Unique tag of this pipeline invocation: tracker runIds are
+        * `run_<tag>_<model>_<i>` and `champion_<tag>`, so repeated runs
+        * into one trackerDir never mix trials or confusion matrices.
+        */
+      runTag: String = "")
 
   /** Run the full flow; if `modelDir` is set, persist the champion and
     * batch-score the validation split there (predict.py analog).
     */
   def run(spark: SparkSession, data: DataFrame, cfg: Config,
       modelDir: Option[String] = None): Result = {
+    // unique per invocation — fixed runIds would mix repeated runs
+    // sharing one trackerDir (trials under one id, clobbered champion)
+    val runTag = s"${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}"
     // 1. features + (optional) balanced class weights
     val feats0 = Trainer.withFeaturesFromArray(
       data.withColumn("label", col(cfg.labelCol).cast("double")), cfg.featureArrayCol)
@@ -92,10 +100,10 @@ object TrainPipeline {
     cfg.trackerDir.foreach { dir =>
       searched.zipWithIndex.foreach { case ((name, r), i) =>
         ExperimentTracker.logRun(spark, dir, ExperimentTracker.Run(
-          runId = s"run_${name}_$i", model = name, params = r.bestParams,
+          runId = s"run_${runTag}_${name}_$i", model = name, params = r.bestParams,
           metrics = Map("valid_auc" -> r.bestMetric),
           timestampMs = System.currentTimeMillis() + i))
-        ExperimentTracker.logTrials(spark, dir, s"run_${name}_$i", r.trials)
+        ExperimentTracker.logTrials(spark, dir, s"run_${runTag}_${name}_$i", r.trials)
       }
     }
 
@@ -125,7 +133,7 @@ object TrainPipeline {
         // threshold would make the logged CM disagree with metrics
         cfg.trackerDir.foreach { dir =>
           val withPred = scored.withColumn("pred", Evaluator.predictAt(col("p"), t))
-          ExperimentTracker.logConfusionMatrix(dir, "champion",
+          ExperimentTracker.logConfusionMatrix(dir, s"champion_$runTag",
             Evaluator.confusionMatrix(withPred, "label", "pred"))
         }
         (t, m.schema.fieldNames.map(f => f -> m.getAs[Double](f)).toMap, cal)
@@ -143,7 +151,7 @@ object TrainPipeline {
         Champion.batchPredict(spark, c.model, s"$dir/valid_in", s"$dir/valid_scored", cfg.featureArrayCol)
         cfg.trackerDir.foreach { td =>
           ExperimentTracker.logRun(spark, td, ExperimentTracker.Run(
-            runId = "champion", model = c.name, params = Map.empty,
+            runId = s"champion_$runTag", model = c.name, params = Map.empty,
             metrics = metrics + ("valid_auc" -> c.metric),
             timestampMs = System.currentTimeMillis(),
             artifacts = Map("model" -> s"$dir/champion")))
@@ -151,6 +159,6 @@ object TrainPipeline {
       case _ => ()
     }
     train.unpersist(); valid.unpersist()
-    Result(champion, reports, tuned, metrics, calibrator.map(_.method), calibrator)
+    Result(champion, reports, tuned, metrics, calibrator.map(_.method), calibrator, runTag)
   }
 }

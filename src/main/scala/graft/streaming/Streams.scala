@@ -101,9 +101,15 @@ object Streams {
     */
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
       watermark: String, within: String): DataFrame = {
-    val l = left.withWatermark("ts", watermark).alias("l")
-    val r = right.withWatermark("ts", watermark).alias("r")
+    // the right side's key/ts are pre-renamed so the output carries ONE
+    // key column and distinct ts columns — identical names would make
+    // any downstream select-by-name an ambiguous-column analysis error
+    val l = left.withWatermark("ts", watermark)
+    val r = right
+      .withColumnRenamed(key, "__rk").withColumnRenamed("ts", "right_ts")
+      .withWatermark("right_ts", watermark)
     l.join(r, expr(
-      s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + interval $within"))
+        s"$key = __rk AND right_ts >= ts AND right_ts <= ts + interval $within"))
+      .drop("__rk")
   }
 }

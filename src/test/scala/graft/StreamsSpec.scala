@@ -43,8 +43,11 @@ class StreamsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val msI = MemoryStream[Imp]
     val msC = MemoryStream[Clk]
+    // selecting the key and both ts columns BY NAME proves the output
+    // schema is unambiguous (right side's key dropped, ts renamed)
     val out = Streams.streamStreamJoin(msI.toDF(), msC.toDF(), "user_id",
         watermark = "1 minute", within = "10 minutes")
+      .select($"user_id", $"ts", $"right_ts", $"imp_id", $"click_id")
       .select($"imp_id", $"click_id")
     val q = out.writeStream.format("memory").queryName("ss_join")
       .outputMode("append").start()

@@ -230,9 +230,11 @@ class TrainerSpec extends SparkSpec {
     // tracker got the search run + the deployable champion run (with
     // model artifact), plus the champion's confusion matrix
     assert(ExperimentTracker.listRuns(spark, dir).count() == 2)
+    assert(res.runTag.nonEmpty)
     assert(ExperimentTracker.bestDeployableRun(spark, dir, "valid_auc", 10)
-      .exists(r => r.runId == "champion" && r.artifacts("model").endsWith("/champion")))
-    val cm = ExperimentTracker.confusionMatrix(spark, dir, "champion")
+      .exists(r => r.runId == s"champion_${res.runTag}" &&
+        r.artifacts("model").endsWith("/champion")))
+    val cm = ExperimentTracker.confusionMatrix(spark, dir, s"champion_${res.runTag}")
     val cmTotal = cm.agg(sum($"n")).head().getLong(0)
     assert(cmTotal > 0 && cmTotal < data.count()) // covers exactly the valid split
     // the calibrator ships with the champion and round-trips: the tuned
@@ -267,6 +269,26 @@ class TrainerSpec extends SparkSpec {
     val back = ExperimentTracker.trialsOf(spark, dir, "r1").collect()
     assert(back.length == 3)
     assert(back.map(_.getAs[Double]("metric")).toSeq == res.trials.map(_.metric))
+    // malformed range grids fail fast with the config error type, not MatchError
+    intercept[IllegalArgumentException](TrainConfig.parseGrid("0.1:0.9"))
+    assert(TrainConfig.parseGrid("0.1:0.3:0.1") == Seq(0.1, 0.2, 0.3))
+  }
+
+  test("listRuns reads the legacy layout (runs at dir root, no artifacts column)") {
+    import graft.ml.ExperimentTracker
+    val dir = java.nio.file.Files.createTempDirectory("graft-legacy").toString
+    // a pre-artifacts log: parquet directly under dir, old Run schema
+    Seq(("old_run", "logreg", Map("regParam" -> 0.1), Map("valid_auc" -> 0.9), 100L))
+      .toDF("runId", "model", "params", "metrics", "timestampMs")
+      .write.mode("append").parquet(dir)
+    // plus a current-layout run
+    ExperimentTracker.logRun(spark, dir, ExperimentTracker.Run(
+      "new_run", "rf", Map.empty, Map("valid_auc" -> 0.95), 200L,
+      artifacts = Map("model" -> "/tmp/m")))
+    val runs = ExperimentTracker.listRuns(spark, dir).as[ExperimentTracker.Run].collect()
+    assert(runs.map(_.runId).toSeq == Seq("new_run", "old_run")) // recent first
+    assert(runs.find(_.runId == "old_run").get.artifacts == Map.empty)
+    assert(ExperimentTracker.bestRun(spark, dir, "valid_auc", 10).get.runId == "new_run")
   }
 
   test("evaluateSplits reports metrics and class distribution per split") {
