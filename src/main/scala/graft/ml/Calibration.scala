@@ -88,13 +88,59 @@ object Calibration {
       applySigmoid(df, model, scoreCol, calibratedCol)
   }
 
+  /** CV-fold-averaged calibration — sklearn `CalibratedClassifierCV`
+    * ensemble semantics for the calibration-map seat (reference:
+    * champion.py:84 calibrate_pipeline): one calibrator per fold (each
+    * fit on the other k−1 folds), applied to new data as the MEAN of
+    * the per-fold maps. Averaging k step functions / sigmoids smooths
+    * the single-fit map's overfit steps on small calibration sets.
+    */
+  final case class CvCalibrator(folds: Seq[Calibrator]) extends Calibrator {
+    require(folds.nonEmpty, "CvCalibrator needs at least one fold")
+    val method = s"cv${folds.size}_${folds.head.method}"
+    def calibrate(df: DataFrame, scoreCol: String, calibratedCol: String): DataFrame = {
+      val perFold = folds.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+        c.calibrate(d, scoreCol, s"__cvc_$i")
+      }
+      perFold
+        .withColumn(calibratedCol,
+          folds.indices.map(i => col(s"__cvc_$i")).reduce(_ + _) / folds.size)
+        .drop(folds.indices.map(i => s"__cvc_$i"): _*)
+    }
+  }
+
+  /** Fit a [[CvCalibrator]]: seeded fold assignment (frozen via
+    * persist), isotonic-vs-sigmoid auto-selected per the same
+    * size rule as [[fitAuto]] on the per-fold TRAINING size.
+    */
+  def fitCvAuto(calib: DataFrame, scoreCol: String, labelCol: String,
+      k: Int = 5, seed: Long = 42L, isotonicMinRows: Long = 1000L): CvCalibrator = {
+    require(k >= 2, "k must be >= 2")
+    val withFold = calib
+      .withColumn("__fold", floor(rand(seed) * k).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nRows = withFold.count() // materializes the frozen folds
+      val foldTrainRows = nRows - nRows / k
+      CvCalibrator((0 until k).map { i =>
+        val trainFolds = withFold.filter(col("__fold") =!= i).drop("__fold")
+        if (foldTrainRows > isotonicMinRows)
+          IsotonicCalibrator(fitIsotonic(trainFolds, scoreCol, labelCol))
+        else SigmoidCalibrator(fitSigmoid(trainFolds, scoreCol, labelCol))
+      })
+    } finally withFold.unpersist()
+  }
+
   /** The reference's method-selection rule (champion.py:127): isotonic
     * when the calibration set is large enough to support a stepwise
-    * monotone fit, Platt sigmoid below the cutoff.
+    * monotone fit, Platt sigmoid below the cutoff. The size probe is a
+    * BOUNDED count (limit cutoff+1) — deciding a binary rule never
+    * needs the full-frame count a 100 TB scan would pay.
     */
   def fitAuto(calib: DataFrame, scoreCol: String, labelCol: String,
       isotonicMinRows: Long = 1000L): Calibrator = {
-    if (calib.count() > isotonicMinRows) IsotonicCalibrator(fitIsotonic(calib, scoreCol, labelCol))
+    val boundedRows = calib.limit(isotonicMinRows.toInt + 1).count()
+    if (boundedRows > isotonicMinRows) IsotonicCalibrator(fitIsotonic(calib, scoreCol, labelCol))
     else SigmoidCalibrator(fitSigmoid(calib, scoreCol, labelCol))
   }
 
@@ -105,6 +151,8 @@ object Calibration {
   def save(cal: Calibrator, path: String): Unit = cal match {
     case IsotonicCalibrator(m) => m.write.overwrite().save(s"$path/isotonic")
     case SigmoidCalibrator(m)  => m.write.overwrite().save(s"$path/sigmoid")
+    case CvCalibrator(folds) =>
+      folds.zipWithIndex.foreach { case (c, i) => save(c, s"$path/cv/$i") }
   }
 
   /** Load a calibrator persisted by [[save]] (method inferred from the
@@ -113,7 +161,12 @@ object Calibration {
   def load(path: String): Calibrator = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/isotonic")))
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    if (exists(s"$path/cv")) {
+      val folds = Iterator.from(0).takeWhile(i => exists(s"$path/cv/$i"))
+        .map(i => load(s"$path/cv/$i")).toSeq
+      CvCalibrator(folds)
+    } else if (exists(s"$path/isotonic"))
       IsotonicCalibrator(IsotonicRegressionModel.load(s"$path/isotonic"))
     else
       SigmoidCalibrator(LogisticRegressionModel.load(s"$path/sigmoid"))

@@ -117,8 +117,8 @@ object TrainConfig {
       "threshold_grid values must lie in [0,1]")
     req(cfg.deploymentThreshold >= 0 && cfg.deploymentThreshold <= 1.01,
       s"deployment_threshold out of range: ${cfg.deploymentThreshold}")
-    req(Set("random", "halving").contains(cfg.searchStrategy),
-      s"search_strategy must be random|halving, got ${cfg.searchStrategy}")
+    req(Set("random", "halving", "tpe", "parallel").contains(cfg.searchStrategy),
+      s"search_strategy must be random|halving|tpe|parallel, got ${cfg.searchStrategy}")
     req(cfg.fbetaBeta > 0, s"fbeta_beta must be positive, got ${cfg.fbetaBeta}")
     cfg
   }

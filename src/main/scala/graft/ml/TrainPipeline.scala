@@ -91,6 +91,10 @@ object TrainPipeline {
       val r = cfg.searchStrategy match {
         case "halving" => Trainer.successiveHalving(kind, space, train, valid,
           initialConfigs = cfg.trialsPerModel, eta = 3, cfg.seed, weightCol = Some("weight"))
+        case "tpe" => Trainer.tpeSearch(kind, space, train, valid, cfg.trialsPerModel,
+          cfg.seed, weightCol = Some("weight"))
+        case "parallel" => Trainer.randomSearchParallel(kind, space, train, valid,
+          cfg.trialsPerModel, cfg.seed, weightCol = Some("weight"))
         case _ => Trainer.randomSearch(kind, space, train, valid, cfg.trialsPerModel,
           cfg.seed, weightCol = Some("weight"))
       }

@@ -209,6 +209,138 @@ object Trainer {
     SearchResult(bm, bp, bmetric, allTrials)
   }
 
+  /** Tree-structured Parzen Estimator optimization loop over `space` —
+    * the history-guided sampler behind the reference's
+    * `optuna.samplers.TPESampler` (reference: optimizer.py:371),
+    * re-implemented from the public algorithm (Bergstra et al. 2011,
+    * "Algorithms for Hyper-Parameter Optimization"):
+    *
+    *   1. `nStartup` seeded random trials;
+    *   2. afterwards, split history at the top-`gamma` quantile into
+    *      good/bad sets, model each as a per-dimension Parzen mixture
+    *      (Gaussians at the observed values + a uniform floor, in
+    *      log-space for log ranges), draw `nCandidates` samples from
+    *      the GOOD density and evaluate the one maximizing
+    *      Σ_dims [log l(x) − log g(x)] — expected-improvement-greedy.
+    *
+    * MAXIMIZES the objective. Fully seeded/deterministic for a given
+    * (space, seed, objective). The objective is a plain function so
+    * the sampler is testable against rigged surfaces; [[tpeSearch]]
+    * wraps it with the fit-and-score objective.
+    */
+  def tpeOptimize(space: Seq[ParamRange], maxTrials: Int, seed: Long,
+      nStartup: Int = 8, gamma: Double = 0.25, nCandidates: Int = 24)
+      (objective: Map[String, Double] => Double): Seq[Trial] = {
+    require(space.nonEmpty, "search space must be non-empty")
+    require(maxTrials >= 1 && nStartup >= 1 && nCandidates >= 1)
+    require(gamma > 0.0 && gamma < 1.0, "gamma must be in (0,1)")
+    val rnd = new scala.util.Random(seed)
+    def toT(r: ParamRange, x: Double) = if (r.log) math.log(x) else x
+    def fromT(r: ParamRange, t: Double) = if (r.log) math.exp(t) else t
+    val lo = space.map(r => toT(r, r.lo))
+    val hi = space.map(r => toT(r, r.hi))
+    val width = space.indices.map(i => math.max(hi(i) - lo(i), 1e-12))
+
+    // Parzen mixture density at x over observed transformed values:
+    // equal-weight Gaussians (bandwidth shrinks ~1/sqrt(n)) plus a
+    // uniform floor so the bad-density never zeroes the ratio
+    def logDensity(obs: IndexedSeq[Double], x: Double, dim: Int): Double = {
+      val sigma = math.max(width(dim) * 1e-3,
+        width(dim) / math.max(1.0, math.sqrt(obs.size.toDouble)))
+      val gauss = obs.map { mu =>
+        val z = (x - mu) / sigma
+        math.exp(-0.5 * z * z) / (sigma * math.sqrt(2.0 * math.Pi))
+      }.sum / obs.size
+      math.log(0.9 * gauss + 0.1 / width(dim))
+    }
+
+    var history = Vector.empty[Trial]
+    def randomParams(): Map[String, Double] =
+      space.map(r => r.name -> r.sample(rnd)).toMap
+    while (history.size < maxTrials) {
+      val params =
+        if (history.size < nStartup) randomParams()
+        else {
+          val sorted = history.sortBy(-_.metric)
+          val nGood = math.max(1, math.ceil(gamma * history.size).toInt)
+          val goodT = space.indices.map(i =>
+            sorted.take(nGood).map(t => toT(space(i), t.params(space(i).name))).toIndexedSeq)
+          val badT = space.indices.map(i =>
+            sorted.drop(nGood).map(t => toT(space(i), t.params(space(i).name))).toIndexedSeq)
+          val candidates = Vector.fill(nCandidates) {
+            space.indices.map { i =>
+              val obs = goodT(i)
+              val mu = obs(rnd.nextInt(obs.size))
+              val sigma = math.max(width(i) * 1e-3,
+                width(i) / math.max(1.0, math.sqrt(obs.size.toDouble)))
+              math.min(hi(i), math.max(lo(i), mu + rnd.nextGaussian() * sigma))
+            }
+          }
+          val bestCand = candidates.maxBy { xs =>
+            space.indices.map { i =>
+              logDensity(goodT(i), xs(i), i) -
+                (if (badT(i).isEmpty) 0.0 else logDensity(badT(i), xs(i), i))
+            }.sum
+          }
+          space.indices.map(i => space(i).name -> fromT(space(i), bestCand(i))).toMap
+        }
+      history :+= Trial(params, objective(params))
+    }
+    history
+  }
+
+  /** TPE-guided hyperparameter search: [[tpeOptimize]] with the same
+    * fit-on-train / ROC-AUC-on-valid objective and SearchResult surface
+    * as [[randomSearch]], so the tracker logs it identically
+    * (reference: optimizer.py:329-400 tune_model with TPESampler).
+    */
+  def tpeSearch(kind: ModelKind, space: Seq[ParamRange], train: DataFrame,
+      valid: DataFrame, maxTrials: Int, seed: Long,
+      weightCol: Option[String] = None, nStartup: Int = 8,
+      gamma: Double = 0.25, nCandidates: Int = 24): SearchResult = {
+    var best: Option[(Map[String, Double], Model[_], Double)] = None
+    val trials = tpeOptimize(space, maxTrials, seed, nStartup, gamma, nCandidates) { params =>
+      val m: Model[_] = classifier(kind, params, weightCol).fit(train)
+      val auc = validationAuc(m, valid)
+      if (best.forall(_._3 < auc)) best = Some((params, m, auc))
+      auc
+    }
+    val (bp, bm, bmetric) = best.get
+    SearchResult(bm, bp, bmetric, trials)
+  }
+
+  /** Random search with trials fitted CONCURRENTLY from a fixed thread
+    * pool (reference: optimizer.py:402 tune_model_in_parallel).
+    * Results are IDENTICAL to [[randomSearch]]: the parameter sets come
+    * from the same seeded sampling sequence drawn up front, trial order
+    * is preserved, and MLlib fits are deterministic — only wall-clock
+    * changes. On a cluster, each trial is an independent chain of Spark
+    * jobs, so concurrent submission overlaps scheduling gaps and keeps
+    * executors busy while another trial's driver-side phase runs.
+    */
+  def randomSearchParallel(kind: ModelKind, space: Seq[ParamRange], train: DataFrame,
+      valid: DataFrame, maxTrials: Int, seed: Long,
+      weightCol: Option[String] = None, parallelism: Int = 4): SearchResult = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    require(parallelism >= 1)
+    val rnd = new scala.util.Random(seed)
+    val paramSets = (1 to maxTrials).map(_ => space.map(r => r.name -> r.sample(rnd)).toMap)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = paramSets.map { p =>
+        Future {
+          val m: Model[_] = classifier(kind, p, weightCol).fit(train)
+          (p, m, validationAuc(m, valid))
+        }
+      }
+      val scored = Await.result(Future.sequence(futures), Duration.Inf)
+      val (bp, bm, bmetric) = scored.maxBy(_._3)
+      SearchResult(bm, bp, bmetric, scored.map(t => Trial(t._1, t._3)))
+    } finally pool.shutdown()
+  }
+
   /** Feature importances (tree models) / coefficients (linear) as a
     * (feature_index, importance) DataFrame
     * (reference: evaluator.py:109-206 extract_feature_importance).

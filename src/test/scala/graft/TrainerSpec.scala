@@ -46,6 +46,89 @@ class TrainerSpec extends SparkSpec {
     assert(rf.bestMetric > 0.9)
   }
 
+  test("TPE beats random search on a rigged objective at equal trial budget") {
+    // 2-d surface with a sharp optimum at (0.7, log-space 1e-2):
+    // history-guided sampling must concentrate there; random won't
+    val space = Seq(
+      Trainer.ParamRange("x", 0.0, 1.0),
+      Trainer.ParamRange("r", 1e-4, 1.0, log = true))
+    def objective(p: Map[String, Double]): Double = {
+      val dx = p("x") - 0.7
+      val dr = (math.log(p("r")) - math.log(1e-2)) / math.log(10)
+      1.0 - (dx * dx + 0.1 * dr * dr)
+    }
+    val budget = 40
+    val seeds = Seq(11L, 23L, 47L)
+    val (tpeBests, rndBests) = seeds.map { s =>
+      val tpe = Trainer.tpeOptimize(space, budget, s, nStartup = 8)(objective)
+      val rnd = new scala.util.Random(s)
+      val rand = (1 to budget).map(_ => objective(space.map(r => r.name -> r.sample(rnd)).toMap))
+      (tpe.map(_.metric).max, rand.max)
+    }.unzip
+    // per-seed regret: TPE should dominate on every seed here, and by
+    // a clear margin on average (deterministic: fixed seeds)
+    seeds.indices.foreach { i =>
+      assert(tpeBests(i) >= rndBests(i) - 1e-6,
+        s"seed ${seeds(i)}: tpe ${tpeBests(i)} vs random ${rndBests(i)}")
+    }
+    assert(tpeBests.sum / 3 > rndBests.sum / 3)
+    // late trials concentrate near the optimum
+    val lateX = Trainer.tpeOptimize(space, budget, 11L, nStartup = 8)(objective)
+      .drop(30).map(t => math.abs(t.params("x") - 0.7))
+    assert(lateX.sum / lateX.size < 0.15, s"late mean |x-0.7| = ${lateX.sum / lateX.size}")
+  }
+
+  test("tpeSearch returns the SearchResult surface and a usable model") {
+    val (train, valid) = trainValid
+    val res = Trainer.tpeSearch(Trainer.LogReg,
+      Seq(Trainer.ParamRange("regParam", 1e-4, 1.0, log = true)),
+      train, valid, maxTrials = 6, seed = 3L, nStartup = 3)
+    assert(res.trials.size == 6)
+    assert(res.bestMetric == res.trials.map(_.metric).max)
+    assert(res.bestMetric > 0.9)
+  }
+
+  test("parallel random search: identical results to sequential, all trials complete") {
+    val (train, valid) = trainValid
+    val space = Seq(Trainer.ParamRange("regParam", 1e-4, 1.0, log = true),
+      Trainer.ParamRange("elasticNetParam", 0.0, 1.0))
+    val seq_ = Trainer.randomSearch(Trainer.LogReg, space, train, valid, 4, 13L)
+    val par = Trainer.randomSearchParallel(Trainer.LogReg, space, train, valid, 4, 13L,
+      parallelism = 4)
+    assert(par.trials.size == 4)
+    assert(par.trials.map(_.params) == seq_.trials.map(_.params))
+    assert(par.trials.map(_.metric) == seq_.trials.map(_.metric))
+    assert(par.bestParams == seq_.bestParams && par.bestMetric == seq_.bestMetric)
+  }
+
+  test("CV-fold calibration reduces Brier vs single-fit on a held-out set") {
+    // miscalibrated scores: true P(y=1|s) = s^2; small calibration set
+    // (isotonic single-fit overfits its steps), large held-out probe
+    val rnd = new scala.util.Random(5)
+    def mk(n: Int, offset: Int) = (1 to n).map { i =>
+      val s = rnd.nextDouble()
+      ((offset + i).toLong, s, if (rnd.nextDouble() < s * s) 1.0 else 0.0)
+    }
+    val calib = mk(300, 0).toDF("id", "p", "label")
+    val holdout = mk(4000, 1000000).toDF("id", "p", "label").cache()
+    val single = Calibration.IsotonicCalibrator(Calibration.fitIsotonic(calib, "p", "label"))
+    val cv = Calibration.fitCvAuto(calib, "p", "label", k = 5, seed = 9L,
+      isotonicMinRows = 100L) // force isotonic per fold (240 rows > 100)
+    assert(cv.method == "cv5_isotonic")
+    def brier(c: Calibration.Calibrator): Double =
+      c.calibrate(holdout, "p", "pc")
+        .agg(avg(pow($"pc" - $"label", 2))).head().getDouble(0)
+    val (bs, bcv) = (brier(single), brier(cv))
+    info(f"brier single=$bs%.5f cv=$bcv%.5f")
+    assert(bcv < bs, s"cv $bcv should beat single-fit $bs")
+    // persistence round-trip preserves the fold ensemble
+    val dir = java.nio.file.Files.createTempDirectory("graft-cvcal").toString
+    Calibration.save(cv, dir)
+    val loaded = Calibration.load(dir)
+    assert(loaded.method == "cv5_isotonic")
+    assert(math.abs(brier(loaded) - bcv) < 1e-12)
+  }
+
   test("cross-validated grid search picks a reg param") {
     val (train, _) = trainValid
     val cv = Trainer.crossValidateLogReg(train, Seq(0.001, 10.0), folds = 3)
