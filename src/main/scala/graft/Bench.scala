@@ -49,11 +49,20 @@ object Bench {
     }
     val ok = results.collect { case (k, Right(v)) => k -> v }
     val failed = results.collect { case (k, Left(e)) => k -> e }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val fs = failed.map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // The capture harness keeps only the LAST ~2KB of stdout, so the
+    // full per-query line goes first (queries leading, totals trailing —
+    // a front-truncated tail still shows the totals) and a short,
+    // always-parseable summary line goes LAST.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"n_failed":${failed.size},"sf":"$sfDir"}""")
+      s"""{"queries":$qs,"failures":$fs,"n_failed":${failed.size},"sf":"$sfDir","metric":"total","value":${f3(total)},"unit":"sec"}""")
+    val slow = ok.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"n_failed":${failed.size},"slowest":$slow}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

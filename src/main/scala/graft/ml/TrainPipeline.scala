@@ -148,8 +148,9 @@ object TrainPipeline {
     // champion registers as a deployable tracker run (model artifact)
     (champion, modelDir) match {
       case (Some(c), Some(dir)) =>
-        Champion.save(c.model, s"$dir/champion")
-        calibrator.foreach(Calibration.save(_, s"$dir/calibrator"))
+        // full deployable bundle: champion + calibrator + tuned
+        // threshold, reloadable via Deployment.load in a fresh session
+        Deployment.save(spark, dir, c.model, calibrator, tuned)
         valid.select(col(cfg.pkCol), col("label"), col(cfg.featureArrayCol))
           .write.mode("overwrite").parquet(s"$dir/valid_in")
         Champion.batchPredict(spark, c.model, s"$dir/valid_in", s"$dir/valid_scored", cfg.featureArrayCol)

@@ -91,6 +91,28 @@ object Streams {
   def streamDedup(stream: DataFrame, watermark: String, keys: Seq[String]): DataFrame =
     stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming model-scoring sink — the Spark-native seat of the
+    * reference's online scoring API (reference: inference/api_server.py
+    * FastAPI predict endpoint; SURVEY §1 scopes the HTTP server out,
+    * this is the engine-side equivalent): every microbatch runs through
+    * the deployed champion bundle (model → calibrated score → tuned
+    * threshold) and lands as parquet. Exactly-once per batch via the
+    * checkpoint + idempotent batch_id column; the scoring itself is the
+    * same column algebra as batch (Deployment.Bundle.score), so online
+    * and offline predictions can never diverge.
+    */
+  def scoringSink(stream: DataFrame, bundle: graft.ml.Deployment.Bundle,
+      featureArrayCol: String, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        bundle.score(batch, featureArrayCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** Stream-stream inner join with an event-time bound: a left event
     * joins right events on `key` whose `ts` falls in
     * [left.ts, left.ts + within] — the canonical impressions⋈clicks

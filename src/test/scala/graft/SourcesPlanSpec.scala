@@ -125,6 +125,42 @@ class SourcesPlanSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() == 0)
   }
 
+  test("AQE splits a skewed join partition (skew=true in the executed plan)") {
+    // one key holds ~80% of the fact rows with a fat payload; with the
+    // skew thresholds scaled down to test size, AQE must replace the
+    // single oversized SMJ partition with split sub-partitions — the
+    // runtime half of the skew story (SaltedJoin is the manual half)
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // payload must be incompressible — skew detection reads COMPRESSED
+      // map-output sizes, and a constant pad lz4-compresses to nothing
+      val big = spark.range(60000).select(
+        when($"id" < 48000, 1L).otherwise($"id" % 499 + 2).as("k"),
+        concat(sha2(concat($"id".cast("string"), lit("a")), 256),
+          sha2(concat($"id".cast("string"), lit("b")), 256)).as("payload"))
+      val dim = spark.range(600).select(($"id" + 1).as("k"), concat(lit("d"), $"id").as("v"))
+      val q = big.join(dim, "k").agg(sum(length($"payload")).as("bytes"))
+      // collect() (not head()) — head() spawns a separate limited
+      // QueryExecution, leaving q's own adaptive plan unexecuted
+      assert(q.collect().head.getLong(0) > 0)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "AQE skew split did not fire:\n" + plan.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("experiment tracker logs runs and picks the best by metric") {
     import graft.ml.ExperimentTracker
     import graft.ml.ExperimentTracker.Run

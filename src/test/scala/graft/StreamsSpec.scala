@@ -8,6 +8,7 @@ import graft.multimodal.Multimodal
 import graft.streaming.Streams
 
 case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long, event_id: Long)
+case class ScoreIn(id: Long, arr: Seq[Double])
 case class Imp(ts: Timestamp, user_id: Long, imp_id: Long)
 case class Clk(ts: Timestamp, user_id: Long, click_id: Long)
 
@@ -122,6 +123,51 @@ class StreamsSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     assert(spark.read.parquet(s"$dir/out").count() == 2)
+  }
+
+  test("scoring sink: deployed bundle scores stream microbatches identically to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ml._
+    val dir = java.nio.file.Files.createTempDirectory("graft-deploy").toString
+    val rnd = new scala.util.Random(3)
+    def blob(i: Int) = {
+      val shift = if (i % 2 == 1) 1.2 else -1.2
+      Seq.fill(3)(rnd.nextGaussian() + shift)
+    }
+    val data = (1 to 300).map(i => (i.toLong, i % 2, blob(i))).toDF("id", "y", "arr")
+    val res = TrainPipeline.run(spark, data, TrainPipeline.Config(
+      labelCol = "y", pkCol = "id", featureArrayCol = "arr",
+      models = Seq((Trainer.LogReg, Seq(Trainer.ParamRange("regParam", 1e-3, 0.1, log = true)))),
+      trialsPerModel = 1, deploymentThreshold = 0.0, calibrate = true),
+      modelDir = Some(dir))
+    assert(res.champion.nonEmpty)
+
+    // reload the full bundle (model + calibrator + threshold) from disk
+    val bundle = Deployment.load(spark, dir)
+    assert(bundle.calibrator.map(_.method) == res.calibrationMethod)
+    assert(bundle.threshold == res.tunedThreshold)
+
+    val newRows = (1 to 20).map(i => ScoreIn(1000L + i, blob(i)))
+    val ms = MemoryStream[ScoreIn]
+    val q = Streams.scoringSink(ms.toDF(), bundle, "arr", s"$dir/scored", s"$dir/ckpt")
+    ms.addData(newRows.take(10): _*)
+    q.processAllAvailable()
+    ms.addData(newRows.drop(10): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(s"$dir/scored")
+    assert(streamed.count() == 20)
+    assert(streamed.select("batch_id").distinct().count() == 2)
+    // online == offline: same bundle, same rows, same scores/predictions
+    val offline = bundle.score(newRows.toDF(), "arr").collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[Double]("score"), r.getAs[Double]("prediction")))).toMap
+    streamed.collect().foreach { r =>
+      val (s, p) = offline(r.getAs[Long]("id"))
+      assert(math.abs(r.getAs[Double]("score") - s) < 1e-12)
+      assert(r.getAs[Double]("prediction") == p)
+      assert((r.getAs[Double]("score") >= bundle.threshold) == (p == 1.0))
+    }
   }
 
   test("stream-static join enriches a stream with a dimension table") {
