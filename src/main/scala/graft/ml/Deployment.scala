@@ -49,7 +49,11 @@ object Deployment {
     * invoked reflectively.
     */
   def loadModel(spark: SparkSession, path: String): Transformer = {
-    val meta = spark.read.text(s"$path/metadata").head().getString(0)
+    // MLlib writes metadata as single-line JSON, but read the whole file
+    // (it's O(bytes of one JSON object)) so a pretty-printed or
+    // multi-part metadata file can't silently truncate the class name
+    val meta = spark.read.text(s"$path/metadata")
+      .collect().map(_.getString(0)).mkString("\n")
     val cls = """"class"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(meta)
       .getOrElse(sys.error(s"no class in $path/metadata")).group(1)
     Class.forName(cls).getMethod("load", classOf[String])

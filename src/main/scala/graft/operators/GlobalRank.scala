@@ -80,6 +80,45 @@ object GlobalRank {
     Ranked(out, counts.map(_._2).sum, () => { ranged.unpersist(); () })
   }
 
+  /** Exact linear-interpolation quantiles (pandas `quantile` / DuckDB
+    * `quantile_cont` / Spark `percentile` semantics), computed
+    * distributively. Spark's exact `percentile` is an
+    * ImperativeAggregate that buffers EVERY value in one aggregation
+    * buffer — a single-executor OOM at 100 TB. Here the column is
+    * range-partitioned + sorted (the [[withGlobalRowNumber]] backbone),
+    * and only the O(#probs) order statistics the interpolation needs
+    * are fetched: a tiny per-partition-counts job plus one filtered
+    * scan of the cached sorted frame. No single-node buffer anywhere.
+    *
+    * Null values are excluded (matching `percentile`/`quantile_cont`).
+    * Returns NaN per prob on an empty column.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: Column, probs: Seq[Double]): Array[Double] = {
+    require(probs.forall(p => p >= 0.0 && p <= 1.0), s"probs out of [0,1]: $probs")
+    val cleaned = df.select(valueCol.cast("double").as("__v")).filter(col("__v").isNotNull)
+    val ranked = withGlobalRowNumber(cleaned, Seq(col("__v")), "__r")
+    try {
+      val n = ranked.total
+      if (n == 0L) probs.map(_ => Double.NaN).toArray
+      else {
+        // 0-based fractional target rank per prob; fetch floor+ceil order stats
+        val targets = probs.map(p => p * (n - 1))
+        val neededRanks = targets
+          .flatMap(t => Seq(math.floor(t).toLong + 1L, math.ceil(t).toLong + 1L))
+          .distinct
+        val stats = ranked.df.filter(col("__r").isin(neededRanks: _*))
+          .select(col("__r"), col("__v"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        targets.map { t =>
+          val lo = math.floor(t).toLong
+          val hi = math.ceil(t).toLong
+          val vLo = stats(lo + 1L)
+          if (hi == lo) vLo else vLo + (t - lo) * (stats(hi + 1L) - vLo)
+        }.toArray
+      }
+    } finally ranked.release()
+  }
+
   /** Distributed inclusive prefix sums over a total order — the same
     * range-partition + per-partition-offset trick as
     * [[withGlobalRowNumber]], generalized from counts to arbitrary sums.

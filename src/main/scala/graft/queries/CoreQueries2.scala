@@ -138,20 +138,21 @@ object CoreQueries2 {
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Exact multi-quantiles (linear interpolation) of the price column —
-    * one row, six quantiles. At 100 TB use approx_percentile; exact
-    * needs a per-column sort and is here for oracle parity + small SF.
+    * one row, six quantiles. NOT Spark's `percentile` aggregate (which
+    * buffers every value in one aggregation buffer — single-executor
+    * OOM at 100 TB): [[graft.operators.GlobalRank.exactQuantiles]]
+    * range-partitions + sorts and fetches only the order statistics the
+    * interpolation needs, so the plan scales with partitions.
     */
   def qPercentiles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, d)
-      .agg(expr("percentile(l_extendedprice, array(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))").as("q"))
-      .select(
-        (round($"q"(0), 4) + lit(0.0)).as("p10"),
-        (round($"q"(1), 4) + lit(0.0)).as("p25"),
-        (round($"q"(2), 4) + lit(0.0)).as("p50"),
-        (round($"q"(3), 4) + lit(0.0)).as("p75"),
-        (round($"q"(4), 4) + lit(0.0)).as("p90"),
-        (round($"q"(5), 4) + lit(0.0)).as("p99"))
+    val probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val names = Seq("p10", "p25", "p50", "p75", "p90", "p99")
+    val qs = graft.operators.GlobalRank.exactQuantiles(
+      Tables.lineitem(s, d), $"l_extendedprice", probs)
+    s.range(1).select(names.zip(qs).map { case (nm, v) =>
+      (round(lit(v), 4) + lit(0.0)).as(nm)
+    }: _*)
   }
 
   val qPercentilesOracle: String =

@@ -300,11 +300,10 @@ object FeatureQueries {
   def qOutlierIqr(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, d)
-    // ONE percentile buffer with an array of percentages — two scalar
-    // percentile aggs means two independent counts-map buffers over the
-    // same column (measured 10× slower at sf0.1)
-    val q = li.agg(expr("percentile(l_extendedprice, array(0.25, 0.75))").as("q")).head()
-    val qs = q.getSeq[Double](0)
+    // distributed exact quantiles (no single percentile buffer — see
+    // GlobalRank.exactQuantiles); fit once, apply in the agg below
+    val qs = graft.operators.GlobalRank.exactQuantiles(
+      li, $"l_extendedprice", Seq(0.25, 0.75))
     val (q1, q3) = (qs(0), qs(1))
     val lo = q1 - 1.5 * (q3 - q1)
     val hi = q3 + 1.5 * (q3 - q1)

@@ -96,10 +96,13 @@ object Streams {
     * FastAPI predict endpoint; SURVEY §1 scopes the HTTP server out,
     * this is the engine-side equivalent): every microbatch runs through
     * the deployed champion bundle (model → calibrated score → tuned
-    * threshold) and lands as parquet. Exactly-once per batch via the
-    * checkpoint + idempotent batch_id column; the scoring itself is the
-    * same column algebra as batch (Deployment.Bundle.score), so online
-    * and offline predictions can never diverge.
+    * threshold) and lands as parquet. foreachBatch is at-least-once, so
+    * exactly-once output comes from making the write IDEMPOTENT per
+    * batch: each batch lands in its own `batch_id=N` partition via
+    * dynamic partition overwrite, so a replayed batch overwrites its own
+    * partition instead of appending duplicates. The scoring itself is
+    * the same column algebra as batch (Deployment.Bundle.score), so
+    * online and offline predictions can never diverge.
     */
   def scoringSink(stream: DataFrame, bundle: graft.ml.Deployment.Bundle,
       featureArrayCol: String, outPath: String,
@@ -107,11 +110,25 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        bundle.score(batch, featureArrayCol)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outPath)
+        writeScoredBatch(bundle, batch, featureArrayCol, outPath, batchId)
       }
       .start()
+
+  /** The idempotent per-batch write behind [[scoringSink]] (exposed so a
+    * spec can replay a batch id and assert no duplicates). Dynamic
+    * partition overwrite replaces ONLY the partitions present in this
+    * batch's data — i.e. its own `batch_id=N` directory — leaving prior
+    * batches untouched; the STATIC default would wipe the whole table.
+    */
+  private[graft] def writeScoredBatch(bundle: graft.ml.Deployment.Bundle,
+      batch: Dataset[org.apache.spark.sql.Row], featureArrayCol: String,
+      outPath: String, batchId: Long): Unit =
+    bundle.score(batch, featureArrayCol)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outPath)
 
   /** Stream-stream inner join with an event-time bound: a left event
     * joins right events on `key` whose `ts` falls in

@@ -130,6 +130,25 @@ class FeatureEvalSpec extends SparkSpec {
     ps.release()
   }
 
+  test("exactQuantiles matches Spark's percentile aggregate (interpolation semantics)") {
+    val rnd = new scala.util.Random(11)
+    val vals = (1 to 5000).map(_ => Some(rnd.nextDouble() * 1000)) ++ Seq(None, None)
+    val df = vals.toDF("v").repartition(16)
+    val probs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val got = graft.operators.GlobalRank.exactQuantiles(df, $"v", probs)
+    val want = df.agg(expr(s"percentile(v, array(${probs.mkString(",")}))"))
+      .head().getSeq[Double](0)
+    probs.indices.foreach { i =>
+      assert(math.abs(got(i) - want(i)) < 1e-9, s"p=${probs(i)} got ${got(i)} want ${want(i)}")
+    }
+    // empty column → NaN per prob; single row → that value everywhere
+    assert(graft.operators.GlobalRank.exactQuantiles(
+      df.filter(lit(false)), $"v", Seq(0.5)).forall(_.isNaN))
+    val one = graft.operators.GlobalRank.exactQuantiles(
+      Seq(42.0).toDF("v"), $"v", Seq(0.0, 0.5, 1.0))
+    assert(one.forall(_ == 42.0))
+  }
+
   test("binned AUC approximates the exact rank AUC") {
     val rnd = new scala.util.Random(5)
     val rows = (1 to 4000).map { i =>

@@ -168,6 +168,15 @@ class StreamsSpec extends SparkSpec {
       assert(r.getAs[Double]("prediction") == p)
       assert((r.getAs[Double]("score") >= bundle.threshold) == (p == 1.0))
     }
+
+    // foreachBatch is at-least-once: replaying a batch (same id, same
+    // rows — what a post-failure restart from the checkpoint does) must
+    // overwrite its own batch_id partition, not append duplicates
+    Streams.writeScoredBatch(bundle, newRows.drop(10).toDF(), "arr", s"$dir/scored", 1L)
+    val replayed = spark.read.parquet(s"$dir/scored")
+    assert(replayed.count() == 20, "replayed batch must not duplicate rows")
+    assert(replayed.filter($"batch_id" === 1L).count() == 10)
+    assert(replayed.filter($"batch_id" === 0L).count() == 10, "other batches untouched")
   }
 
   test("stream-static join enriches a stream with a dimension table") {
