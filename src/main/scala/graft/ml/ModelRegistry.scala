@@ -1,0 +1,80 @@
+package graft.ml
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.Encoders
+
+/** Model lifecycle stages over a [[TrackerBackend]] (reference:
+  * selector.py:132 select_best_model + the orchestrator's champion
+  * registration — made explicit as candidate → champion → archived
+  * transitions in an append-only stage log).
+  *
+  * Invariant: at most one run is at [[Champion]]; [[promote]] archives
+  * the current champion before promoting the new one, atomically from
+  * the reader's point of view (readers resolve a run's stage as its
+  * highest-`seq` entry, and promote writes the archive entry first, so
+  * a torn read sees either the old champion or the new one — never
+  * two).
+  */
+object ModelRegistry {
+  val Candidate = "candidate"
+  val Champion = "champion"
+  val Archived = "archived"
+
+  // seq source: wall-clock ms, nudged past any entry this JVM already
+  // wrote so two transitions inside one millisecond stay ordered
+  private val lastSeq = new AtomicLong(0L)
+  private def nextSeq(): Long =
+    lastSeq.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
+
+  /** Record a freshly trained run as a deployment candidate. */
+  def register(tracker: TrackerBackend, runId: String): Unit =
+    tracker.logStage(runId, Candidate, nextSeq())
+
+  /** Promote `runId` to champion, archiving the current champion (if
+    * any). Promoting the current champion is a no-op.
+    */
+  def promote(tracker: TrackerBackend, runId: String): Unit = {
+    val current = tracker.runIdsAtStage(Champion)
+    if (!current.contains(runId)) {
+      current.foreach(old => tracker.logStage(old, Archived, nextSeq()))
+      tracker.logStage(runId, Champion, nextSeq())
+    }
+  }
+
+  /** Retire a run outright (champion or candidate). */
+  def archive(tracker: TrackerBackend, runId: String): Unit =
+    tracker.logStage(runId, Archived, nextSeq())
+
+  /** A run's current stage (None = never registered). */
+  def stageOf(tracker: TrackerBackend, runId: String): Option[String] = {
+    import org.apache.spark.sql.functions._
+    tracker.stageLog().filter(col("runId") === runId)
+      .orderBy(col("seq").desc).limit(1)
+      .collect().headOption.map(_.getAs[String]("stage"))
+  }
+
+  def championRunId(tracker: TrackerBackend): Option[String] =
+    tracker.runIdsAtStage(Champion).headOption
+
+  /** The champion's tracker run record (stage log joined back to the
+    * run log).
+    */
+  def championRun(tracker: TrackerBackend): Option[ExperimentTracker.Run] =
+    championRunId(tracker).flatMap { id =>
+      import org.apache.spark.sql.functions._
+      tracker.listRuns().filter(col("runId") === id)
+        .as[ExperimentTracker.Run](Encoders.product[ExperimentTracker.Run])
+        .collect().headOption
+    }
+
+  /** Load the STAGED champion's deployable bundle: the run currently at
+    * [[Champion]] must carry a `bundle` artifact (TrainPipeline records
+    * the Deployment.save directory there). This is how a scorer picks
+    * its model — by lifecycle stage, not by metric ranking.
+    */
+  def loadChampionBundle(tracker: TrackerBackend,
+      bundleArtifact: String = "bundle"): Option[Deployment.Bundle] =
+    championRun(tracker).flatMap(_.artifacts.get(bundleArtifact))
+      .map(dir => Deployment.load(tracker.spark, dir))
+}

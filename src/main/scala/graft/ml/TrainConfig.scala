@@ -96,7 +96,9 @@ object TrainConfig {
       balanceClasses = p.get("balance_classes").map(_.toBoolean).getOrElse(base.balanceClasses),
       searchStrategy = p.getOrElse("search_strategy", base.searchStrategy),
       calibrate = p.get("calibrate").map(_.toBoolean).getOrElse(base.calibrate),
-      trackerDir = p.get("tracker_dir"))
+      trackerDir = p.get("tracker_dir"),
+      trackerBackend = p.getOrElse("tracker_backend", base.trackerBackend),
+      logCurves = p.get("log_curves").map(_.toBoolean).getOrElse(base.logCurves))
   }
 
   /** Config sanity checks (reference: schemas.py:74 check_params) —
@@ -120,6 +122,9 @@ object TrainConfig {
     req(Set("random", "halving", "tpe", "parallel").contains(cfg.searchStrategy),
       s"search_strategy must be random|halving|tpe|parallel, got ${cfg.searchStrategy}")
     req(cfg.fbetaBeta > 0, s"fbeta_beta must be positive, got ${cfg.fbetaBeta}")
+    req(TrackerRegistry.registered.contains(cfg.trackerBackend),
+      s"tracker_backend must be one of ${TrackerRegistry.registered.mkString("|")}, " +
+        s"got ${cfg.trackerBackend}")
     cfg
   }
 

@@ -41,7 +41,14 @@ object TrainPipeline {
       calibrate: Boolean = false,
       /** When set, every searched model logs a tracker run here, and
         * the champion logs its confusion matrix + model path. */
-      trackerDir: Option[String] = None)
+      trackerDir: Option[String] = None,
+      /** Which [[TrackerRegistry]] backend `trackerDir` names: "parquet"
+        * (durable log, the default) or "memory" (shared in-process
+        * store) — or any user-registered factory. */
+      trackerBackend: String = "parquet",
+      /** Log the champion's plot-ready figure set (roc/pr/calibration/
+        * lift — reference visualizer.py) to the tracker. */
+      logCurves: Boolean = true)
 
   final case class ModelReport(name: String, auc: Double, bestParams: Map[String, Double])
 
@@ -70,6 +77,9 @@ object TrainPipeline {
     // unique per invocation — fixed runIds would mix repeated runs
     // sharing one trackerDir (trials under one id, clobbered champion)
     val runTag = s"${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}"
+    // the tracker seam: trackerDir names a store, trackerBackend picks
+    // the impl (parquet | memory | user-registered)
+    val tracker = cfg.trackerDir.map(TrackerRegistry.create(cfg.trackerBackend, spark, _))
     // 1. features + (optional) balanced class weights
     val feats0 = Trainer.withFeaturesFromArray(
       data.withColumn("label", col(cfg.labelCol).cast("double")), cfg.featureArrayCol)
@@ -101,13 +111,13 @@ object TrainPipeline {
       (kind.toString, r)
     }
     val reports = searched.map { case (name, r) => ModelReport(name, r.bestMetric, r.bestParams) }
-    cfg.trackerDir.foreach { dir =>
+    tracker.foreach { t =>
       searched.zipWithIndex.foreach { case ((name, r), i) =>
-        ExperimentTracker.logRun(spark, dir, ExperimentTracker.Run(
+        t.logRun(ExperimentTracker.Run(
           runId = s"run_${runTag}_${name}_$i", model = name, params = r.bestParams,
           metrics = Map("valid_auc" -> r.bestMetric),
           timestampMs = System.currentTimeMillis() + i))
-        ExperimentTracker.logTrials(spark, dir, s"run_${runTag}_${name}_$i", r.trials)
+        t.logTrials(s"run_${runTag}_${name}_$i", r.trials)
       }
     }
 
@@ -135,10 +145,13 @@ object TrainPipeline {
         // confusion matrix from the SAME (calibrated) scores the
         // threshold was tuned on — raw scores + a calibrated-scale
         // threshold would make the logged CM disagree with metrics
-        cfg.trackerDir.foreach { dir =>
+        tracker.foreach { tk =>
           val withPred = scored.withColumn("pred", Evaluator.predictAt(col("p"), t))
-          ExperimentTracker.logConfusionMatrix(dir, s"champion_$runTag",
+          tk.logConfusionMatrix(s"champion_$runTag",
             Evaluator.confusionMatrix(withPred, "label", "pred"))
+          // plot-ready figure set from the same calibrated scores
+          if (cfg.logCurves)
+            EvalArtifacts.logAll(tk, s"champion_$runTag", scored, "label", "p", cfg.pkCol)
         }
         (t, m.schema.fieldNames.map(f => f -> m.getAs[Double](f)).toMap, cal)
       case None => (0.5, Map.empty[String, Double], None)
@@ -154,12 +167,18 @@ object TrainPipeline {
         valid.select(col(cfg.pkCol), col("label"), col(cfg.featureArrayCol))
           .write.mode("overwrite").parquet(s"$dir/valid_in")
         Champion.batchPredict(spark, c.model, s"$dir/valid_in", s"$dir/valid_scored", cfg.featureArrayCol)
-        cfg.trackerDir.foreach { td =>
-          ExperimentTracker.logRun(spark, td, ExperimentTracker.Run(
+        tracker.foreach { tk =>
+          tk.logRun(ExperimentTracker.Run(
             runId = s"champion_$runTag", model = c.name, params = Map.empty,
             metrics = metrics + ("valid_auc" -> c.metric),
             timestampMs = System.currentTimeMillis(),
-            artifacts = Map("model" -> s"$dir/champion")))
+            // `bundle` points at the whole reloadable Deployment.save
+            // directory — what ModelRegistry.loadChampionBundle reads
+            artifacts = Map("model" -> s"$dir/champion", "bundle" -> dir)))
+          // lifecycle: the new run enters as a candidate and is promoted
+          // (archiving any prior champion in this tracker)
+          ModelRegistry.register(tk, s"champion_$runTag")
+          ModelRegistry.promote(tk, s"champion_$runTag")
         }
       case _ => ()
     }

@@ -331,6 +331,100 @@ class TrainerSpec extends SparkSpec {
     assert(a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-12 })
   }
 
+  test("tracker backends swap by name; memory backend shares its store per key") {
+    import graft.ml.{ModelRegistry, TrackerRegistry, TrainConfig, TrainPipeline}
+    val data = blobs.select($"id", $"label", $"arr")
+    val key = s"graft-mem-${java.util.UUID.randomUUID()}"
+    val res = TrainPipeline.run(spark, data,
+      TrainPipeline.Config(labelCol = "label", pkCol = "id", featureArrayCol = "arr",
+        models = Seq((Trainer.LogReg, Seq(Trainer.ParamRange("regParam", 1e-4, 1.0, log = true)))),
+        trialsPerModel = 1, deploymentThreshold = 0.6,
+        trackerDir = Some(key), trackerBackend = "memory"),
+      modelDir = Some(java.nio.file.Files.createTempDirectory("graft-memb").toString))
+    assert(res.champion.isDefined)
+    // the same key resolves to the same in-memory store
+    val t = TrackerRegistry.create("memory", spark, key)
+    assert(t.listRuns().count() == 2)
+    assert(t.bestDeployableRun("valid_auc", 10).exists(_.runId == s"champion_${res.runTag}"))
+    assert(t.trialsOf(s"run_${res.runTag}_LogReg_0").count() == 1)
+    assert(ModelRegistry.stageOf(t, s"champion_${res.runTag}").contains(ModelRegistry.Champion))
+    // nothing leaked to the filesystem under the key
+    assert(!new java.io.File(key).exists())
+    // unknown backends fail fast, at create and at config validation
+    intercept[RuntimeException](TrackerRegistry.create("comet", spark, key))
+    intercept[IllegalArgumentException](TrainConfig.validate(
+      TrainPipeline.Config("label", "id", "arr", trackerBackend = "comet")))
+  }
+
+  test("plot-ready curves: champion logs roc/pr/calibration/lift; artifacts round-trip") {
+    import graft.ml.{EvalArtifacts, ParquetTracker, TrackerRegistry, TrainPipeline}
+    val data = blobs.select($"id", $"label", $"arr")
+    val key = s"graft-curves-${java.util.UUID.randomUUID()}"
+    val res = TrainPipeline.run(spark, data,
+      TrainPipeline.Config(labelCol = "label", pkCol = "id", featureArrayCol = "arr",
+        models = Seq((Trainer.LogReg, Seq(Trainer.ParamRange("regParam", 1e-4, 1.0, log = true)))),
+        trialsPerModel = 1, deploymentThreshold = 0.6, calibrate = true,
+        trackerDir = Some(key), trackerBackend = "memory"))
+    val t = TrackerRegistry.create("memory", spark, key)
+    val champId = s"champion_${res.runTag}"
+    assert(t.curveNames(champId) == Seq("calibration", "lift", "pr", "roc"))
+    val roc = t.curve(champId, "roc")
+    assert(roc.chart == "roc" && roc.xLabel == "fpr" && roc.yLabel == "tpr")
+    val pts = roc.frame.orderBy($"threshold").collect()
+    assert(pts.length == 19) // default grid
+    // fpr/tpr are rates and non-increasing as the threshold rises
+    val fprs = pts.map(_.getAs[Double]("fpr"))
+    assert(fprs.forall(v => v >= 0 && v <= 1) && fprs.zip(fprs.tail).forall { case (a, b) => a >= b })
+    assert(t.curve(champId, "lift").frame.count() == 10)
+    assert(t.curve(champId, "calibration").yLabel == "fraction_positive")
+
+    // parquet backend round-trips a curve exactly (frame + axis metadata)
+    val dir = java.nio.file.Files.createTempDirectory("graft-curve-pq").toString
+    val pq = new ParquetTracker(spark, dir)
+    val src = Seq((0.1, 0.2, 0.9), (0.5, 0.6, 0.5)).toDF("fpr", "tpr", "threshold")
+    pq.logCurve("r1", "roc", EvalArtifacts.rocCurve(src))
+    val back = pq.curve("r1", "roc")
+    assert(back.chart == "roc" && back.xLabel == "fpr" && back.yLabel == "tpr")
+    assert(back.frame.orderBy($"threshold").collect().toSeq ==
+      src.orderBy($"threshold").collect().toSeq)
+    assert(pq.curveNames("r1") == Seq("roc") && pq.curveNames("nope").isEmpty)
+  }
+
+  test("promoting a new champion archives the old; load picks the staged champion") {
+    import graft.ml.{Deployment, ModelRegistry, ParquetTracker, TrainPipeline}
+    val data = blobs.select($"id", $"label", $"arr")
+    val trackDir = java.nio.file.Files.createTempDirectory("graft-stages").toString
+    def fit(modelDir: String) = TrainPipeline.run(spark, data,
+      TrainPipeline.Config(labelCol = "label", pkCol = "id", featureArrayCol = "arr",
+        models = Seq((Trainer.LogReg, Seq(Trainer.ParamRange("regParam", 1e-4, 1.0, log = true)))),
+        trialsPerModel = 1, deploymentThreshold = 0.6, trackerDir = Some(trackDir)),
+      modelDir = Some(modelDir))
+    val t = new ParquetTracker(spark, trackDir)
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-m1").toString
+    val r1 = fit(dir1)
+    assert(ModelRegistry.championRunId(t).contains(s"champion_${r1.runTag}"))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-m2").toString
+    val r2 = fit(dir2)
+    // second deployment auto-promotes: first champion archived, one champion
+    assert(ModelRegistry.stageOf(t, s"champion_${r1.runTag}").contains(ModelRegistry.Archived))
+    assert(ModelRegistry.championRunId(t).contains(s"champion_${r2.runTag}"))
+    assert(t.runIdsAtStage(ModelRegistry.Champion).size == 1)
+    // archived runs are no longer deployable even though still best-by-metric eligible
+    assert(t.bestDeployableRun("valid_auc", 10).exists(_.runId == s"champion_${r2.runTag}"))
+    // the staged champion's bundle loads and scores identically to its saved dir
+    val bundle = ModelRegistry.loadChampionBundle(t).get
+    val direct = Deployment.load(spark, dir2)
+    val probe = data.limit(20)
+    val a = bundle.score(probe, "arr").select($"id", $"score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = direct.score(probe, "arr").select($"id", $"score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet == b.keySet && a.forall { case (k, v) => math.abs(v - b(k)) < 1e-12 })
+    // re-promoting the current champion is a no-op
+    ModelRegistry.promote(t, s"champion_${r2.runTag}")
+    assert(ModelRegistry.stageOf(t, s"champion_${r2.runTag}").contains(ModelRegistry.Champion))
+  }
+
   test("config validation rejects nonsense; tracker keeps every search trial") {
     import graft.ml.{ExperimentTracker, TrainConfig, TrainPipeline}
     val good = TrainPipeline.Config("label", "id", "arr")
