@@ -212,20 +212,45 @@ object Similarity {
 
   /** LSH-bucketed ANN: exact top-k within each bucket. Sub-quadratic;
     * recall depends on nPlanes (fewer planes → bigger buckets → higher
-    * recall, more work).
+    * recall, more work). One table — for production recall targets use
+    * [[annLshMulti]] with a [[planesFor]]-derived (nPlanes, nTables).
     */
   def annLsh(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
-      nPlanes: Int, seed: Long, k: Int): DataFrame = {
-    val withBucket = vecs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("bucket", hyperplaneBucket(col("v"), dim, nPlanes, seed))
+      nPlanes: Int, seed: Long, k: Int): DataFrame =
+    annLshMulti(vecs, idCol, vecCol, dim, nPlanes, Seq(seed), k)
+
+  /** Multi-table hyperplane-LSH ANN: candidate (query, neighbor) pairs
+    * from the union of `seeds.size` independent tables (colliding in
+    * ANY table), deduplicated BEFORE scoring, exact cosine top-k over
+    * the candidate set. This is [[nearDupPairsLsh]]'s recall math
+    * applied to kNN: a neighbor at per-table collision probability
+    * p1^nPlanes is missed by all L tables with probability
+    * (1−p1^nPlanes)^L, so a [[planesFor]] config bounds the miss rate
+    * while each table still prunes ~2^nPlanes× of the all-pairs work.
+    */
+  def annLshMulti(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nPlanes: Int, seeds: Seq[Long], k: Int): DataFrame = {
+    require(seeds.nonEmpty, "at least one LSH table required")
+    val vd = vecs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
-    val a = withBucket.select(col("bucket"), col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val b = withBucket.select(col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val scored = a.join(b, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = seeds.map { s =>
+      val b = vd.select(col("id"), hyperplaneBucket(col("v"), dim, nPlanes, s).as("bucket"))
+      b.select(col("bucket"), col("id").as("query_id"))
+        .join(b.select(col("bucket"), col("id").as("neighbor_id")), Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _).distinct()
+    val scored = cands
+      .join(vd.select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")), Seq("query_id"))
+      .join(vd.select(col("id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn")), Seq("neighbor_id"))
       .withColumn("cos",
         round(dotCol(col("qv"), col("cv")) / (col("qn") * col("cn")), 4) + lit(0.0))
       .select(col("query_id"), col("neighbor_id"), col("cos"))
-    TopKAggregator.topKPerKey(scored, "query_id", "neighbor_id", "cos", k)
+    val res = TopKAggregator.topKPerKey(scored, "query_id", "neighbor_id", "cos", k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+      .localCheckpoint()
+    vd.unpersist()
+    res
   }
 }

@@ -447,6 +447,51 @@ class TextDedupSimSpec extends SparkSpec {
     assert(rIvf >= 0.25, s"annIvf recall@$k $rIvf")
   }
 
+  test("annLshMulti with a planesFor config: recall@k >= 0.8 on planted near-dups") {
+    val rnd = new scala.util.Random(13)
+    val dim = 32
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // 150 background vectors + 20 planted pairs at cos ~0.95: each
+    // planted member's true nearest neighbor is its partner
+    val base = (1 to 150).map(i => (i.toLong, unit()))
+    val planted = (1 to 20).flatMap { i =>
+      val a = unit()
+      val b = a.zipWithIndex.map { case (x, j) => x + (if (j % 7 == 0) 0.12f else 0.0f) }
+      Seq((300L + 2 * i, a), (301L + 2 * i, b))
+    }
+    val vecs = (base ++ planted).toDF("id", "v")
+    val plantedIds = planted.map(_._1).toSet
+    // k=1: each planted member's exact top-1 IS its partner (cos ~0.95
+    // vs ~0.6 max background at dim 32), so recall@1 measures exactly
+    // what planesFor guarantees — retrieval of above-threshold
+    // neighbors. Background-similarity ranks (cos ~0.5) are what LSH
+    // correctly prunes and are covered by the floor test above.
+    val k = 1
+    val (nPlanes, nTables) = Similarity.planesFor(vecs.count(), 0.9)
+    val approx = Similarity.annLshMulti(vecs, "id", "v", dim, nPlanes,
+      seeds = 0L until nTables.toLong, k = k)
+    val exact = Similarity.topK(vecs, vecs, "id", "v", k)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.filter($"query_id".isin(plantedIds.toSeq: _*))
+        .select($"query_id", $"neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val (a, e) = (sets(approx), sets(exact))
+    val hits = e.map { case (q, nn) => (a.getOrElse(q, Set.empty) & nn).size }.sum
+    val recall = hits.toDouble / e.map(_._2.size).sum
+    info(f"planted recall@$k: $recall%.3f ($nPlanes planes x $nTables tables)")
+    assert(recall >= 0.9, s"recall@$k $recall under planesFor($nPlanes, $nTables)")
+    // single-seed annLsh is the one-table special case of annLshMulti
+    val one = Similarity.annLsh(vecs, "id", "v", dim, nPlanes, 0L, k)
+      .select($"query_id", $"neighbor_id", $"cos").collect().toSet
+    val oneM = Similarity.annLshMulti(vecs, "id", "v", dim, nPlanes, Seq(0L), k)
+      .select($"query_id", $"neighbor_id", $"cos").collect().toSet
+    assert(one == oneM)
+  }
+
   test("hyperplane bucket assigns identical vectors identically") {
     val vecs = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
     val b = vecs.select(Similarity.hyperplaneBucket($"v", 3, 4, 9L)).collect().map(_.getLong(0))
