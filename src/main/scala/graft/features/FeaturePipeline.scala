@@ -15,10 +15,14 @@ import org.apache.spark.sql.functions._
   * fit/transform contract — and like sklearn, fitting on train and
   * transforming valid/test leaks nothing.
   *
-  * Exact `percentile` is used at test scale for oracle parity; at
-  * 100 TB swap `exactQuantiles=false` to use `approx_percentile`
-  * (single-pass sketch) — the knob exists precisely because exact
-  * quantiles need a full sort-by-column at scale.
+  * Quantile stats: `exactQuantiles=true` (default) computes exact
+  * interpolated quartiles via GlobalRank.exactQuantiles — distributed
+  * order statistics, one range-partition pass PER numeric column, never
+  * a single percentile buffer, so even the exact path survives a
+  * 100 TB fit. `exactQuantiles=false` keeps all quantiles inside the
+  * one wide aggregation via `approx_percentile` (single scan total) —
+  * the right trade for WIDE feature sets where a pass per column
+  * outweighs sketch error.
   */
 object Imputation extends Enumeration {
   val Mean, Median, Mode, Zero = Value
@@ -139,21 +143,28 @@ object FeaturePipeline {
         spec.scalers.map(_.col) ++
         spec.varianceThreshold.toSeq.flatMap(_ => Nil)).distinct
 
-    val pct: String => String =
-      if (spec.exactQuantiles) c => s"percentile(`$c`, array(0.25, 0.5, 0.75))"
-      else c => s"approx_percentile(`$c`, array(0.25, 0.5, 0.75), 10000)"
-
+    // quantiles: the default is single-pass approx_percentile inside the
+    // wide agg (one scan for ALL numeric stats); exactQuantiles=true
+    // swaps in GlobalRank.exactQuantiles — one range-partition pass PER
+    // COLUMN, but never Spark's exact `percentile`, whose aggregation
+    // buffer holds every value (single-executor OOM on a 100 TB fit)
     val numStats: Map[String, NumStats] =
       if (numCols.isEmpty) Map.empty
       else {
         val aggs = numCols.flatMap { c =>
           Seq(avg(col(c)).as(s"${c}__mean"), stddev_samp(col(c)).as(s"${c}__std"),
-            min(col(c)).cast("double").as(s"${c}__min"), max(col(c)).cast("double").as(s"${c}__max"),
-            expr(pct(c)).as(s"${c}__q"))
+            min(col(c)).cast("double").as(s"${c}__min"), max(col(c)).cast("double").as(s"${c}__max")) ++
+            (if (spec.exactQuantiles) Nil
+             else Seq(expr(s"approx_percentile(`$c`, array(0.25, 0.5, 0.75), 10000)").as(s"${c}__q")))
         }
         val row = train.agg(aggs.head, aggs.tail: _*).head()
+        val quantiles: String => IndexedSeq[Double] =
+          if (spec.exactQuantiles)
+            c => graft.operators.GlobalRank.exactQuantiles(
+              train, col(c), Seq(0.25, 0.5, 0.75)).toIndexedSeq
+          else c => row.getAs[scala.collection.Seq[Double]](s"${c}__q").toIndexedSeq
         numCols.map { c =>
-          val q = row.getAs[scala.collection.Seq[Double]](s"${c}__q")
+          val q = quantiles(c)
           c -> NumStats(row.getAs[Double](s"${c}__mean"), row.getAs[Double](s"${c}__std"),
             row.getAs[Double](s"${c}__min"), row.getAs[Double](s"${c}__max"),
             q(0), q(1), q(2))
@@ -209,12 +220,18 @@ object FeaturePipeline {
         val proj = train.select(refitCols.map(c => coalesce(col(c), imputeBy(c)).as(c)): _*)
         val aggs = refitCols.flatMap { c =>
           Seq(avg(col(c)).as(s"${c}__mean"), stddev_samp(col(c)).as(s"${c}__std"),
-            min(col(c)).cast("double").as(s"${c}__min"), max(col(c)).cast("double").as(s"${c}__max"),
-            expr(pct(c)).as(s"${c}__q"))
+            min(col(c)).cast("double").as(s"${c}__min"), max(col(c)).cast("double").as(s"${c}__max")) ++
+            (if (spec.exactQuantiles) Nil
+             else Seq(expr(s"approx_percentile(`$c`, array(0.25, 0.5, 0.75), 10000)").as(s"${c}__q")))
         }
         val row = proj.agg(aggs.head, aggs.tail: _*).head()
+        val quantiles: String => IndexedSeq[Double] =
+          if (spec.exactQuantiles)
+            c => graft.operators.GlobalRank.exactQuantiles(
+              proj, col(c), Seq(0.25, 0.5, 0.75)).toIndexedSeq
+          else c => row.getAs[scala.collection.Seq[Double]](s"${c}__q").toIndexedSeq
         numStats ++ refitCols.map { c =>
-          val q = row.getAs[scala.collection.Seq[Double]](s"${c}__q")
+          val q = quantiles(c)
           c -> NumStats(row.getAs[Double](s"${c}__mean"), row.getAs[Double](s"${c}__std"),
             row.getAs[Double](s"${c}__min"), row.getAs[Double](s"${c}__max"),
             q(0), q(1), q(2))

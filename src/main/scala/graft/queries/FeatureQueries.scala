@@ -246,13 +246,15 @@ object FeatureQueries {
       |ORDER BY col_a, col_b""".stripMargin
 
   /** Quartile bucketing with exact interpolated edges (QuantileDiscretizer
-    * semantics at oracle parity; approx_percentile is the 100 TB path).
+    * semantics; edges fit via distributed exact quantiles — see
+    * GlobalRank.exactQuantiles — so even a 100 TB fit has no
+    * single-buffer percentile aggregate).
     */
   def qBucketize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val c = Tables.customer(s, d)
-    val edges = c.selectExpr("percentile(c_acctbal, array(0.25, 0.5, 0.75))")
-      .head().getAs[scala.collection.Seq[Double]](0)
+    val edges = graft.operators.GlobalRank.exactQuantiles(
+      c, $"c_acctbal", Seq(0.25, 0.5, 0.75))
     val bucket = when($"c_acctbal" <= edges(0), 0)
       .when($"c_acctbal" <= edges(1), 1)
       .when($"c_acctbal" <= edges(2), 2).otherwise(3)
