@@ -218,6 +218,26 @@ object Evaluator {
       .withColumn("accuracy", sum(col("tp")).over(wAll).cast("double") / sum(col("n_true")).over(wAll))
   }
 
+  /** One-row multiclass summary: accuracy + macro/weighted precision,
+    * recall, F1 (sklearn average='macro'/'weighted' semantics),
+    * aggregated from the k-row [[multiclassMetrics]] frame — O(classes)
+    * work after the two small per-class aggregations.
+    */
+  def multiclassSummary(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val per = multiclassMetrics(df, labelCol, predCol)
+    // macro averages include only true classes (sklearn: labels present
+    // in y_true); weighted averages weight by class support
+    val trueClasses = per.filter(col("n_true") > 0)
+    trueClasses.agg(
+      max(col("accuracy")).as("accuracy"),
+      avg(col("prec")).as("macro_precision"),
+      avg(col("rec")).as("macro_recall"),
+      avg(col("f1")).as("macro_f1"),
+      (sum(col("prec") * col("n_true")) / sum(col("n_true"))).as("weighted_precision"),
+      (sum(col("rec") * col("n_true")) / sum(col("n_true"))).as("weighted_recall"),
+      (sum(col("f1") * col("n_true")) / sum(col("n_true"))).as("weighted_f1"))
+  }
+
   /** Brier score: mean squared error of the probability against the
     * 0/1 label — single aggregation pass.
     */

@@ -88,6 +88,39 @@ object Trainer {
       .evaluate(pred)
   }
 
+  /** Validation weighted F1 for multiclass models (reference:
+    * trainer.py:193 evaluate_model handles "both binary and
+    * multi-class"; the multiclass score is fbeta with
+    * average='weighted' — AUC/ECE are binary-only there too).
+    */
+  def validationF1Weighted(model: Transformer, valid: DataFrame): Double = {
+    val pred = model.transform(valid)
+    new org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName("weightedFMeasure")
+      .evaluate(pred)
+  }
+
+  /** Multiclass seeded random search: the [[randomSearch]] loop scored
+    * by weighted F1 instead of ROC-AUC. LogReg fits multinomial and RF
+    * is natively multiclass in MLlib; GBTClassifier is binary-only, so
+    * it's rejected up front instead of failing mid-fit.
+    */
+  def randomSearchMulticlass(kind: ModelKind, space: Seq[ParamRange], train: DataFrame,
+      valid: DataFrame, maxTrials: Int, seed: Long,
+      weightCol: Option[String] = None): SearchResult = {
+    require(kind != GBT,
+      "GBTClassifier is binary-only in MLlib; use LogReg (multinomial) or RandomForest for multiclass")
+    val rnd = new scala.util.Random(seed)
+    val scoredTrials = (1 to maxTrials).map { _ =>
+      val params = space.map(r => r.name -> r.sample(rnd)).toMap
+      val model: Model[_] = classifier(kind, params, weightCol).fit(train)
+      (params, model, validationF1Weighted(model, valid))
+    }
+    val (bp, bm, bmetric) = scoredTrials.maxBy(_._3)
+    SearchResult(bm, bp, bmetric, scoredTrials.map(t => Trial(t._1, t._3)))
+  }
+
   /** Seeded random search (Optuna-analog): `maxTrials` samples from the
     * declared ranges, each fit on `train`, scored by ROC-AUC on `valid`,
     * best kept. Train/valid stay distributed; only metrics come back.

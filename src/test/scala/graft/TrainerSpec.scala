@@ -32,6 +32,37 @@ class TrainerSpec extends SparkSpec {
     assert(Trainer.validationAuc(m, valid) > 0.95)
   }
 
+  test("multiclass: search by weighted F1; summary matches MLlib evaluator") {
+    // three shifted Gaussian blobs, dim 4 (classes 0/1/2)
+    val rnd = new scala.util.Random(21)
+    val rows = (1 to 450).map { i =>
+      val label = i % 3
+      val shift = (label - 1) * 2.5
+      (i.toLong, label.toDouble, Array.fill(4)(rnd.nextGaussian() + shift))
+    }
+    val data = Trainer.withFeaturesFromArray(rows.toDF("id", "label", "arr"), "arr")
+    val train = data.filter($"id" % 5 =!= 0); val valid = data.filter($"id" % 5 === 0)
+    val res = Trainer.randomSearchMulticlass(Trainer.LogReg,
+      Seq(Trainer.ParamRange("regParam", 1e-4, 0.1, log = true)),
+      train, valid, maxTrials = 2, seed = 3L)
+    assert(res.trials.size == 2)
+    assert(res.bestMetric > 0.9, s"weighted F1 ${res.bestMetric}")
+    // the distributed multiclassSummary agrees with MLlib's evaluator
+    val pred = res.bestModel.transform(valid)
+    val s = Evaluator.multiclassSummary(pred, "label", "prediction").head()
+    def mllib(metric: String): Double =
+      new org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator()
+        .setLabelCol("label").setPredictionCol("prediction")
+        .setMetricName(metric).evaluate(pred)
+    assert(math.abs(s.getAs[Double]("accuracy") - mllib("accuracy")) < 1e-9)
+    assert(math.abs(s.getAs[Double]("weighted_f1") - mllib("weightedFMeasure")) < 1e-9)
+    assert(math.abs(s.getAs[Double]("weighted_precision") - mllib("weightedPrecision")) < 1e-9)
+    assert(math.abs(s.getAs[Double]("weighted_recall") - mllib("weightedRecall")) < 1e-9)
+    // GBT is binary-only in MLlib: rejected up front, not mid-fit
+    intercept[IllegalArgumentException](Trainer.randomSearchMulticlass(
+      Trainer.GBT, Seq(Trainer.ParamRange("maxDepth", 2, 4)), train, valid, 1, 1L))
+  }
+
   test("random search over RF/GBT spaces returns the best trial") {
     val (train, valid) = trainValid
     val res = Trainer.randomSearch(Trainer.GBT,
