@@ -143,11 +143,12 @@ object FeaturePipeline {
         spec.scalers.map(_.col) ++
         spec.varianceThreshold.toSeq.flatMap(_ => Nil)).distinct
 
-    // quantiles: the default is single-pass approx_percentile inside the
-    // wide agg (one scan for ALL numeric stats); exactQuantiles=true
-    // swaps in GlobalRank.exactQuantiles — one range-partition pass PER
-    // COLUMN, but never Spark's exact `percentile`, whose aggregation
-    // buffer holds every value (single-executor OOM on a 100 TB fit)
+    // quantiles: exactQuantiles=true (the spec DEFAULT) uses
+    // GlobalRank.exactQuantiles — one range-partition pass PER COLUMN,
+    // but never Spark's exact `percentile`, whose aggregation buffer
+    // holds every value (single-executor OOM on a 100 TB fit);
+    // exactQuantiles=false keeps quantiles inside the wide agg via
+    // approx_percentile (one scan total — the wide-feature-set trade)
     val numStats: Map[String, NumStats] =
       if (numCols.isEmpty) Map.empty
       else {

@@ -222,13 +222,16 @@ object Evaluator {
     * recall, F1 (sklearn average='macro'/'weighted' semantics),
     * aggregated from the k-row [[multiclassMetrics]] frame — O(classes)
     * work after the two small per-class aggregations.
+    *
+    * Macro averages run over the UNION of classes seen in y_true or
+    * y_pred (sklearn labels=None): a predicted-only class contributes
+    * its zero precision/recall to the macro mean. Weighted averages
+    * weight by true support, so those classes get weight 0 — matching
+    * MLlib's weighted metrics (spec-asserted).
     */
   def multiclassSummary(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
     val per = multiclassMetrics(df, labelCol, predCol)
-    // macro averages include only true classes (sklearn: labels present
-    // in y_true); weighted averages weight by class support
-    val trueClasses = per.filter(col("n_true") > 0)
-    trueClasses.agg(
+    per.agg(
       max(col("accuracy")).as("accuracy"),
       avg(col("prec")).as("macro_precision"),
       avg(col("rec")).as("macro_recall"),

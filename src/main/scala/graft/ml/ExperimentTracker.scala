@@ -84,24 +84,19 @@ object ExperimentTracker {
 
   /** Best run by a metric (ties → most recent), among the most recent
     * `maxRuns` (reference: training-config.yml max_eval_experiments).
+    * Delegates to the [[TrackerBackend]] default so the ranking rule
+    * lives in exactly one place.
     */
-  def bestRun(spark: SparkSession, dir: String, metric: String, maxRuns: Int): Option[Run] = {
-    import spark.implicits._
-    listRuns(spark, dir).limit(maxRuns).as[Run].collect()
-      .sortBy(r => (-r.metrics.getOrElse(metric, Double.NegativeInfinity), -r.timestampMs))
-      .headOption
-  }
+  def bestRun(spark: SparkSession, dir: String, metric: String, maxRuns: Int): Option[Run] =
+    new ParquetTracker(spark, dir).bestRun(metric, maxRuns)
 
   /** Best run that ALSO carries a registered model artifact — the
     * deployable-only selection rule (reference: selector.py
     * select_best_model skips experiments without model files).
+    * Delegates to the [[TrackerBackend]] default, so runs archived via
+    * [[ModelRegistry]] are excluded through THIS legacy surface too.
     */
   def bestDeployableRun(spark: SparkSession, dir: String, metric: String,
-      maxRuns: Int, modelArtifact: String = "model"): Option[Run] = {
-    import spark.implicits._
-    listRuns(spark, dir).limit(maxRuns).as[Run].collect()
-      .filter(_.artifacts.contains(modelArtifact))
-      .sortBy(r => (-r.metrics.getOrElse(metric, Double.NegativeInfinity), -r.timestampMs))
-      .headOption
-  }
+      maxRuns: Int, modelArtifact: String = "model"): Option[Run] =
+    new ParquetTracker(spark, dir).bestDeployableRun(metric, maxRuns, modelArtifact)
 }

@@ -9,12 +9,16 @@ import org.apache.spark.sql.Encoders
   * registration — made explicit as candidate → champion → archived
   * transitions in an append-only stage log).
   *
-  * Invariant: at most one run is at [[Champion]]; [[promote]] archives
-  * the current champion before promoting the new one, atomically from
-  * the reader's point of view (readers resolve a run's stage as its
-  * highest-`seq` entry, and promote writes the archive entry first, so
-  * a torn read sees either the old champion or the new one — never
-  * two).
+  * Invariant: with a SINGLE promoter (the training pipeline), at most
+  * one run settles at [[Champion]]. [[promote]] writes the new champion
+  * entry first and then archives the old one, so a torn read sees the
+  * old champion, the new one, or briefly both — never none; when both
+  * are visible, [[championRunId]] deterministically picks the
+  * highest-`seq` (newest) entry. The stage log is an uncoordinated
+  * append-only store (parquet has no compare-and-swap): CONCURRENT
+  * promoters over one tracker dir, or writers on machines with skewed
+  * clocks, need external coordination — the log records every
+  * transition either way, so such races are auditable after the fact.
   */
 object ModelRegistry {
   val Candidate = "candidate"
@@ -32,13 +36,16 @@ object ModelRegistry {
     tracker.logStage(runId, Candidate, nextSeq())
 
   /** Promote `runId` to champion, archiving the current champion (if
-    * any). Promoting the current champion is a no-op.
+    * any). Promoting the current champion is a no-op. New-champion
+    * entry lands BEFORE the archive entries so no reader ever sees zero
+    * champions mid-promote (see the object doc for the torn-read and
+    * concurrency contract).
     */
   def promote(tracker: TrackerBackend, runId: String): Unit = {
     val current = tracker.runIdsAtStage(Champion)
     if (!current.contains(runId)) {
-      current.foreach(old => tracker.logStage(old, Archived, nextSeq()))
       tracker.logStage(runId, Champion, nextSeq())
+      current.foreach(old => tracker.logStage(old, Archived, nextSeq()))
     }
   }
 
@@ -54,8 +61,18 @@ object ModelRegistry {
       .collect().headOption.map(_.getAs[String]("stage"))
   }
 
-  def championRunId(tracker: TrackerBackend): Option[String] =
-    tracker.runIdsAtStage(Champion).headOption
+  /** The current champion; if a torn read surfaces two (mid-promote),
+    * the newest champion entry (highest seq) wins deterministically.
+    */
+  def championRunId(tracker: TrackerBackend): Option[String] = {
+    import org.apache.spark.sql.functions._
+    val ids = tracker.runIdsAtStage(Champion)
+    if (ids.size <= 1) ids.headOption
+    else tracker.stageLog()
+      .filter(col("runId").isin(ids: _*) && col("stage") === Champion)
+      .orderBy(col("seq").desc).limit(1)
+      .collect().headOption.map(_.getAs[String]("runId"))
+  }
 
   /** The champion's tracker run record (stage log joined back to the
     * run log).

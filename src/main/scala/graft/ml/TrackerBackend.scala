@@ -104,18 +104,24 @@ final class ParquetTracker(val spark: SparkSession, dir: String) extends Tracker
   override def confusionMatrix(runId: String): DataFrame =
     ExperimentTracker.confusionMatrix(spark, dir, runId)
 
-  override def logCurve(runId: String, name: String, curve: EvalArtifacts.Curve): Unit =
-    curve.frame
-      .withColumn("__chart", lit(curve.chart))
-      .withColumn("__x_label", lit(curve.xLabel))
-      .withColumn("__y_label", lit(curve.yLabel))
-      .write.mode("overwrite").parquet(s"$dir/curves/$runId/$name")
+  // curve layout: data frame at .../<name>/data, axis metadata as a
+  // 1-row sidecar at .../<name>/meta — metadata must survive row-free
+  // so an EMPTY curve frame (e.g. calibration over an empty split)
+  // still round-trips with its chart kind and labels
+  override def logCurve(runId: String, name: String, curve: EvalArtifacts.Curve): Unit = {
+    import spark.implicits._
+    val base = s"$dir/curves/$runId/$name"
+    curve.frame.write.mode("overwrite").parquet(s"$base/data")
+    Seq((curve.chart, curve.xLabel, curve.yLabel))
+      .toDF("chart", "x_label", "y_label")
+      .write.mode("overwrite").parquet(s"$base/meta")
+  }
 
   override def curve(runId: String, name: String): EvalArtifacts.Curve = {
-    val raw = spark.read.parquet(s"$dir/curves/$runId/$name")
-    val meta = raw.select("__chart", "__x_label", "__y_label").head()
-    EvalArtifacts.Curve(meta.getString(0), meta.getString(1), meta.getString(2),
-      raw.drop("__chart", "__x_label", "__y_label"))
+    val base = s"$dir/curves/$runId/$name"
+    val meta = spark.read.parquet(s"$base/meta").head()
+    EvalArtifacts.Curve(meta.getAs[String]("chart"), meta.getAs[String]("x_label"),
+      meta.getAs[String]("y_label"), spark.read.parquet(s"$base/data"))
   }
 
   override def curveNames(runId: String): Seq[String] = {
@@ -200,6 +206,12 @@ object TrackerRegistry {
 
   def register(name: String, factory: Factory): Unit = factories.put(name, factory)
   def registered: Set[String] = factories.keySet.toSet
+
+  /** Drop a shared in-memory store (memory trackers are retained per
+    * key for the JVM lifetime otherwise — call this when a test or
+    * notebook is done with a key).
+    */
+  def dropMemoryStore(uri: String): Unit = memoryStores.remove(uri)
 
   def create(name: String, spark: SparkSession, uri: String): TrackerBackend =
     factories.getOrElse(name,

@@ -149,9 +149,12 @@ object TrainPipeline {
           val withPred = scored.withColumn("pred", Evaluator.predictAt(col("p"), t))
           tk.logConfusionMatrix(s"champion_$runTag",
             Evaluator.confusionMatrix(withPred, "label", "pred"))
-          // plot-ready figure set from the same calibrated scores
+          // plot-ready figure set from the same calibrated scores AND
+          // the same threshold grid the tuning ran on, so the curve
+          // frames contain the deployed operating point
           if (cfg.logCurves)
-            EvalArtifacts.logAll(tk, s"champion_$runTag", scored, "label", "p", cfg.pkCol)
+            EvalArtifacts.logAll(tk, s"champion_$runTag", scored, "label", "p", cfg.pkCol,
+              thresholds = cfg.thresholdGrid)
         }
         (t, m.schema.fieldNames.map(f => f -> m.getAs[Double](f)).toMap, cal)
       case None => (0.5, Map.empty[String, Double], None)

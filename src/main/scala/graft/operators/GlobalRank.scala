@@ -101,19 +101,25 @@ object GlobalRank {
       val n = ranked.total
       if (n == 0L) probs.map(_ => Double.NaN).toArray
       else {
-        // 0-based fractional target rank per prob; fetch floor+ceil order stats
-        val targets = probs.map(p => p * (n - 1))
+        // 0-based fractional target rank per prob, in EXACT decimal
+        // arithmetic: p * (n-1) as a Double loses integer precision
+        // past 2^53 rows, silently shifting which order statistic an
+        // "exact" quantile reads (same trap liftGains guards with
+        // integer ceil-div)
+        val targets = probs.map(p => (BigDecimal(p) * BigDecimal(n - 1), p))
+        def floorRank(t: BigDecimal): Long = t.setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+        def ceilRank(t: BigDecimal): Long = t.setScale(0, BigDecimal.RoundingMode.CEILING).toLong
         val neededRanks = targets
-          .flatMap(t => Seq(math.floor(t).toLong + 1L, math.ceil(t).toLong + 1L))
+          .flatMap { case (t, _) => Seq(floorRank(t) + 1L, ceilRank(t) + 1L) }
           .distinct
         val stats = ranked.df.filter(col("__r").isin(neededRanks: _*))
           .select(col("__r"), col("__v"))
           .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-        targets.map { t =>
-          val lo = math.floor(t).toLong
-          val hi = math.ceil(t).toLong
+        targets.map { case (t, _) =>
+          val lo = floorRank(t)
+          val hi = ceilRank(t)
           val vLo = stats(lo + 1L)
-          if (hi == lo) vLo else vLo + (t - lo) * (stats(hi + 1L) - vLo)
+          if (hi == lo) vLo else vLo + (t - lo).toDouble * (stats(hi + 1L) - vLo)
         }.toArray
       }
     } finally ranked.release()

@@ -227,6 +227,12 @@ object Similarity {
     * p1^nPlanes is missed by all L tables with probability
     * (1−p1^nPlanes)^L, so a [[planesFor]] config bounds the miss rate
     * while each table still prunes ~2^nPlanes× of the all-pairs work.
+    *
+    * Like the dedup pipelines, the (bounded, ≤ |ids|·k rows) result is
+    * materialized EAGERLY via localCheckpoint so the input cache can be
+    * released here rather than leaking a release obligation to the
+    * caller. Trade: checkpoint blocks are not fault-tolerant — if the
+    * result must outlive executor churn, write it to storage promptly.
     */
   def annLshMulti(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
       nPlanes: Int, seeds: Seq[Long], k: Int): DataFrame = {

@@ -117,17 +117,22 @@ object Streams {
   /** The idempotent per-batch write behind [[scoringSink]] (exposed so a
     * spec can replay a batch id and assert no duplicates). Dynamic
     * partition overwrite replaces ONLY the partitions present in this
-    * batch's data — i.e. its own `batch_id=N` directory — leaving prior
-    * batches untouched; the STATIC default would wipe the whole table.
+    * batch's data — i.e. its own `__batch_part=N` directory — leaving
+    * prior batches untouched; the STATIC default would wipe the whole
+    * table. The partition column is a SEPARATE internal copy of the id:
+    * partition-column type inference would read a `batch_id` partition
+    * back as int, silently changing the long data column consumers of
+    * the pre-partitioned layout already bind to.
     */
   private[graft] def writeScoredBatch(bundle: graft.ml.Deployment.Bundle,
       batch: Dataset[org.apache.spark.sql.Row], featureArrayCol: String,
       outPath: String, batchId: Long): Unit =
     bundle.score(batch, featureArrayCol)
       .withColumn("batch_id", lit(batchId))
+      .withColumn("__batch_part", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
+      .partitionBy("__batch_part")
       .parquet(outPath)
 
   /** Stream-stream inner join with an event-time bound: a left event

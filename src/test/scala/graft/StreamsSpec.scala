@@ -159,6 +159,10 @@ class StreamsSpec extends SparkSpec {
     val streamed = spark.read.parquet(s"$dir/scored")
     assert(streamed.count() == 20)
     assert(streamed.select("batch_id").distinct().count() == 2)
+    // batch_id stays a LONG data column (partitioning is on an internal
+    // copy — partition-type inference would read batch_id back as int)
+    assert(streamed.schema("batch_id").dataType ==
+      org.apache.spark.sql.types.LongType)
     // online == offline: same bundle, same rows, same scores/predictions
     val offline = bundle.score(newRows.toDF(), "arr").collect()
       .map(r => r.getAs[Long]("id") -> ((r.getAs[Double]("score"), r.getAs[Double]("prediction")))).toMap

@@ -61,6 +61,14 @@ class TrainerSpec extends SparkSpec {
     // GBT is binary-only in MLlib: rejected up front, not mid-fit
     intercept[IllegalArgumentException](Trainer.randomSearchMulticlass(
       Trainer.GBT, Seq(Trainer.ParamRange("maxDepth", 2, 4)), train, valid, 1, 1L))
+    // macro averages over the UNION of true/pred classes (sklearn
+    // labels=None): y_true={0,1}, y_pred={0,2} → class 1 (never
+    // predicted) and class 2 (predicted-only) both contribute zeros
+    val hand = Seq((0.0, 0.0), (1.0, 2.0)).toDF("label", "prediction")
+    val hs = Evaluator.multiclassSummary(hand, "label", "prediction").head()
+    assert(math.abs(hs.getAs[Double]("macro_precision") - 1.0 / 3) < 1e-12)
+    assert(math.abs(hs.getAs[Double]("macro_recall") - 1.0 / 3) < 1e-12)
+    assert(math.abs(hs.getAs[Double]("weighted_precision") - 0.5) < 1e-12)
   }
 
   test("random search over RF/GBT spaces returns the best trial") {
@@ -419,6 +427,12 @@ class TrainerSpec extends SparkSpec {
     assert(back.frame.orderBy($"threshold").collect().toSeq ==
       src.orderBy($"threshold").collect().toSeq)
     assert(pq.curveNames("r1") == Seq("roc") && pq.curveNames("nope").isEmpty)
+    // an EMPTY curve frame keeps its metadata (meta is a sidecar, not rows)
+    pq.logCurve("r1", "empty", graft.ml.EvalArtifacts.Curve("lift", "decile", "lift",
+      src.filter(lit(false))))
+    val emptyBack = pq.curve("r1", "empty")
+    assert(emptyBack.chart == "lift" && emptyBack.xLabel == "decile")
+    assert(emptyBack.frame.count() == 0)
   }
 
   test("promoting a new champion archives the old; load picks the staged champion") {
@@ -442,6 +456,9 @@ class TrainerSpec extends SparkSpec {
     assert(t.runIdsAtStage(ModelRegistry.Champion).size == 1)
     // archived runs are no longer deployable even though still best-by-metric eligible
     assert(t.bestDeployableRun("valid_auc", 10).exists(_.runId == s"champion_${r2.runTag}"))
+    // ... including through the legacy ExperimentTracker surface (one ranking rule)
+    assert(ExperimentTracker.bestDeployableRun(spark, trackDir, "valid_auc", 10)
+      .exists(_.runId == s"champion_${r2.runTag}"))
     // the staged champion's bundle loads and scores identically to its saved dir
     val bundle = ModelRegistry.loadChampionBundle(t).get
     val direct = Deployment.load(spark, dir2)
