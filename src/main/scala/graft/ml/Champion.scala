@@ -40,4 +40,19 @@ object Champion {
       .drop("features", "rawPrediction", "probability")
     scored.write.mode("overwrite").parquet(outPath)
   }
+
+  /** Multiclass batch prediction: `prediction` (class index) plus the
+    * full per-class probability array — pos_prob is a binary concept.
+    */
+  def batchPredictMulticlass(spark: SparkSession, model: Transformer, inPath: String,
+      outPath: String, featureArrayCol: String): Unit = {
+    val in = spark.read.parquet(inPath)
+    val feats = Trainer.withFeaturesFromArray(in, featureArrayCol)
+    val scored = model.transform(feats)
+      .withColumn("class_probs",
+        org.apache.spark.ml.functions.vector_to_array(
+          org.apache.spark.sql.functions.col("probability")))
+      .drop("features", "rawPrediction", "probability")
+    scored.write.mode("overwrite").parquet(outPath)
+  }
 }

@@ -98,7 +98,8 @@ object TrainConfig {
       calibrate = p.get("calibrate").map(_.toBoolean).getOrElse(base.calibrate),
       trackerDir = p.get("tracker_dir"),
       trackerBackend = p.getOrElse("tracker_backend", base.trackerBackend),
-      logCurves = p.get("log_curves").map(_.toBoolean).getOrElse(base.logCurves))
+      logCurves = p.get("log_curves").map(_.toBoolean).getOrElse(base.logCurves),
+      objective = p.getOrElse("objective", base.objective))
   }
 
   /** Config sanity checks (reference: schemas.py:74 check_params) —
@@ -125,6 +126,15 @@ object TrainConfig {
     req(TrackerRegistry.registered.contains(cfg.trackerBackend),
       s"tracker_backend must be one of ${TrackerRegistry.registered.mkString("|")}, " +
         s"got ${cfg.trackerBackend}")
+    req(Set("binary", "multiclass").contains(cfg.objective),
+      s"objective must be binary|multiclass, got ${cfg.objective}")
+    if (cfg.objective == "multiclass") {
+      req(cfg.searchStrategy == "random",
+        "multiclass supports search_strategy=random only (weighted-F1 scoring)")
+      req(!cfg.calibrate, "calibrate applies to binary scores only")
+      req(cfg.models.forall(_._1 != Trainer.GBT),
+        "GBTClassifier is binary-only in MLlib; drop it for multiclass")
+    }
     cfg
   }
 

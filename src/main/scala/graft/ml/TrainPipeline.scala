@@ -46,6 +46,11 @@ object TrainPipeline {
         * (durable log, the default) or "memory" (shared in-process
         * store) — or any user-registered factory. */
       trackerBackend: String = "parquet",
+      /** "binary" (ROC-AUC search, calibration + threshold tuning) or
+        * "multiclass" (weighted-F1 search; calibration/threshold are
+        * binary concepts and are skipped, exactly as the reference
+        * skips ECE for multiclass — trainer.py:277). */
+      objective: String = "binary",
       /** Log the champion's plot-ready figure set (roc/pr/calibration/
         * lift — reference visualizer.py) to the tracker. */
       logCurves: Boolean = true)
@@ -54,7 +59,9 @@ object TrainPipeline {
 
   /** `tunedThreshold` is on the CALIBRATED score scale whenever
     * `calibrator` is present — apply `calibrator.get.calibrate` to raw
-    * champion scores before thresholding in deployment.
+    * champion scores before thresholding in deployment. For the
+    * multiclass objective it is `Double.NaN` (argmax prediction has no
+    * decision threshold).
     */
   final case class Result(
       champion: Option[Champion.Candidate],
@@ -96,18 +103,24 @@ object TrainPipeline {
       feats, "label", cfg.pkCol, cfg.trainFraction, cfg.seed)
     val train = train0.cache(); val valid = valid0.cache()
 
-    // 3. per-model search (random or successive-halving) on the shared splits
+    // 3. per-model search on the shared splits: multiclass scores by
+    // weighted F1 (random search); binary picks the configured strategy
+    val multiclass = cfg.objective == "multiclass"
+    val searchMetric = if (multiclass) "valid_weighted_f1" else "valid_auc"
     val searched = cfg.models.map { case (kind, space) =>
-      val r = cfg.searchStrategy match {
-        case "halving" => Trainer.successiveHalving(kind, space, train, valid,
-          initialConfigs = cfg.trialsPerModel, eta = 3, cfg.seed, weightCol = Some("weight"))
-        case "tpe" => Trainer.tpeSearch(kind, space, train, valid, cfg.trialsPerModel,
-          cfg.seed, weightCol = Some("weight"))
-        case "parallel" => Trainer.randomSearchParallel(kind, space, train, valid,
+      val r =
+        if (multiclass) Trainer.randomSearchMulticlass(kind, space, train, valid,
           cfg.trialsPerModel, cfg.seed, weightCol = Some("weight"))
-        case _ => Trainer.randomSearch(kind, space, train, valid, cfg.trialsPerModel,
-          cfg.seed, weightCol = Some("weight"))
-      }
+        else cfg.searchStrategy match {
+          case "halving" => Trainer.successiveHalving(kind, space, train, valid,
+            initialConfigs = cfg.trialsPerModel, eta = 3, cfg.seed, weightCol = Some("weight"))
+          case "tpe" => Trainer.tpeSearch(kind, space, train, valid, cfg.trialsPerModel,
+            cfg.seed, weightCol = Some("weight"))
+          case "parallel" => Trainer.randomSearchParallel(kind, space, train, valid,
+            cfg.trialsPerModel, cfg.seed, weightCol = Some("weight"))
+          case _ => Trainer.randomSearch(kind, space, train, valid, cfg.trialsPerModel,
+            cfg.seed, weightCol = Some("weight"))
+        }
       (kind.toString, r)
     }
     val reports = searched.map { case (name, r) => ModelReport(name, r.bestMetric, r.bestParams) }
@@ -115,7 +128,7 @@ object TrainPipeline {
       searched.zipWithIndex.foreach { case ((name, r), i) =>
         t.logRun(ExperimentTracker.Run(
           runId = s"run_${runTag}_${name}_$i", model = name, params = r.bestParams,
-          metrics = Map("valid_auc" -> r.bestMetric),
+          metrics = Map(searchMetric -> r.bestMetric),
           timestampMs = System.currentTimeMillis() + i))
         t.logTrials(s"run_${runTag}_${name}_$i", r.trials)
       }
@@ -130,7 +143,20 @@ object TrainPipeline {
     // validation metrics for the champion. The fitted calibrator is
     // RETURNED (Result.calibrator) — tunedThreshold lives on the
     // calibrated scale, so a deployment must apply the same map.
+    // Multiclass: calibration, thresholds, and the binary curve set
+    // don't apply (reference skips ECE for multiclass too) — metrics
+    // come from multiclassSummary, the CM from the argmax prediction,
+    // and tunedThreshold is NaN by contract.
     val (tuned, metrics, calibrator) = champion match {
+      case Some(c) if multiclass =>
+        val pred = c.model.transform(valid)
+        val m = Evaluator.multiclassSummary(pred, "label", "prediction").head()
+        tracker.foreach { tk =>
+          tk.logConfusionMatrix(s"champion_$runTag",
+            Evaluator.confusionMatrix(pred, "label", "prediction"))
+        }
+        (Double.NaN, m.schema.fieldNames.map(f => f -> m.getAs[Double](f)).toMap,
+          Option.empty[Calibration.Calibrator])
       case Some(c) =>
         val raw = c.model.transform(valid).withColumn("p", Trainer.posProb("probability"))
         val (scored, cal) =
@@ -164,20 +190,31 @@ object TrainPipeline {
     // champion registers as a deployable tracker run (model artifact)
     (champion, modelDir) match {
       case (Some(c), Some(dir)) =>
-        // full deployable bundle: champion + calibrator + tuned
-        // threshold, reloadable via Deployment.load in a fresh session
-        Deployment.save(spark, dir, c.model, calibrator, tuned)
         valid.select(col(cfg.pkCol), col("label"), col(cfg.featureArrayCol))
           .write.mode("overwrite").parquet(s"$dir/valid_in")
-        Champion.batchPredict(spark, c.model, s"$dir/valid_in", s"$dir/valid_scored", cfg.featureArrayCol)
+        if (multiclass) {
+          // no Deployment bundle — its score() is positive-probability +
+          // threshold algebra, a binary contract; the champion persists
+          // bare and batch scoring emits prediction + class_probs
+          Champion.save(c.model, s"$dir/champion")
+          Champion.batchPredictMulticlass(spark, c.model, s"$dir/valid_in",
+            s"$dir/valid_scored", cfg.featureArrayCol)
+        } else {
+          // full deployable bundle: champion + calibrator + tuned
+          // threshold, reloadable via Deployment.load in a fresh session
+          Deployment.save(spark, dir, c.model, calibrator, tuned)
+          Champion.batchPredict(spark, c.model, s"$dir/valid_in", s"$dir/valid_scored", cfg.featureArrayCol)
+        }
         tracker.foreach { tk =>
           tk.logRun(ExperimentTracker.Run(
             runId = s"champion_$runTag", model = c.name, params = Map.empty,
-            metrics = metrics + ("valid_auc" -> c.metric),
+            metrics = metrics + (searchMetric -> c.metric),
             timestampMs = System.currentTimeMillis(),
             // `bundle` points at the whole reloadable Deployment.save
             // directory — what ModelRegistry.loadChampionBundle reads
-            artifacts = Map("model" -> s"$dir/champion", "bundle" -> dir)))
+            // (binary only; multiclass has no bundle by contract)
+            artifacts = Map("model" -> s"$dir/champion") ++
+              (if (multiclass) Map.empty else Map("bundle" -> dir))))
           // lifecycle: the new run enters as a candidate and is promoted
           // (archiving any prior champion in this tracker)
           ModelRegistry.register(tk, s"champion_$runTag")

@@ -370,6 +370,56 @@ class TrainerSpec extends SparkSpec {
     assert(a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-12 })
   }
 
+  test("TrainPipeline multiclass objective: weighted-F1 flow end to end") {
+    import graft.ml.{TrackerRegistry, TrainConfig, TrainPipeline}
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 450).map { i =>
+      val label = i % 3
+      val shift = (label - 1) * 2.5
+      (i.toLong, label.toDouble, Array.fill(4)(rnd.nextGaussian() + shift))
+    }
+    val data = rows.toDF("id", "label", "arr")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mc").toString
+    val key = s"graft-mc-${java.util.UUID.randomUUID()}"
+    val res = TrainPipeline.run(spark, data,
+      TrainPipeline.Config(labelCol = "label", pkCol = "id", featureArrayCol = "arr",
+        models = Seq(
+          (Trainer.LogReg, Seq(Trainer.ParamRange("regParam", 1e-4, 0.1, log = true))),
+          (Trainer.RandomForest, Seq(Trainer.ParamRange("maxDepth", 2, 5)))),
+        trialsPerModel = 1, deploymentThreshold = 0.6, objective = "multiclass",
+        trackerDir = Some(key), trackerBackend = "memory"),
+      modelDir = Some(dir))
+    assert(res.champion.isDefined)
+    assert(res.reports.size == 2)
+    assert(res.validMetrics("weighted_f1") > 0.9)
+    assert(res.validMetrics("accuracy") > 0.9)
+    assert(res.tunedThreshold.isNaN) // argmax prediction has no threshold
+    assert(res.calibrator.isEmpty)
+    // batch scoring wrote prediction + per-class probabilities
+    val scored = spark.read.parquet(s"$dir/valid_scored")
+    assert(scored.columns.contains("prediction") && scored.columns.contains("class_probs"))
+    assert(scored.select(size($"class_probs")).head().getInt(0) == 3)
+    // tracker: champion run carries the weighted-F1 metric + model (no binary bundle)
+    val t = TrackerRegistry.create("memory", spark, key)
+    val champ = t.bestDeployableRun("valid_weighted_f1", 10).get
+    assert(champ.runId == s"champion_${res.runTag}")
+    assert(!champ.artifacts.contains("bundle"))
+    // confusion matrix logged from argmax predictions, covers the valid split
+    assert(t.confusionMatrix(s"champion_${res.runTag}")
+      .agg(sum($"n")).head().getLong(0) == scored.count())
+    // config validation: multiclass constraints fail fast (base config
+    // must itself be VALID so each bad() trips exactly its own rule)
+    val mcBase = TrainPipeline.Config("label", "id", "arr", objective = "multiclass",
+      models = Seq((Trainer.LogReg, Seq(Trainer.ParamRange("regParam", 1e-4, 0.1, log = true)))))
+    assert(TrainConfig.validate(mcBase) eq mcBase)
+    def bad(f: TrainPipeline.Config => TrainPipeline.Config): Unit =
+      intercept[IllegalArgumentException](TrainConfig.validate(f(mcBase)))
+    bad(_.copy(searchStrategy = "halving"))
+    bad(_.copy(calibrate = true))
+    bad(_.copy(models = Seq((Trainer.GBT, Seq(Trainer.ParamRange("maxDepth", 2, 4))))))
+    bad(_.copy(objective = "regression"))
+  }
+
   test("tracker backends swap by name; memory backend shares its store per key") {
     import graft.ml.{ModelRegistry, TrackerRegistry, TrainConfig, TrainPipeline}
     val data = blobs.select($"id", $"label", $"arr")
