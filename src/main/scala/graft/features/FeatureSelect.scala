@@ -1,0 +1,60 @@
+package graft.features
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Filter-method feature selection scores (the reference stops at
+  * VarianceThreshold — reference: utils/data.py VarianceThreshold
+  * selector; mutual information is the standard next rung of the same
+  * family, sklearn mutual_info_classif for discrete features).
+  *
+  * Scale shape: ALL features ride ONE shuffle — the frame is melted to
+  * (feature, x, y) rows (map-side partial aggregation absorbs the
+  * ×|features| row blow-up), grouped to joint cells, and the
+  * marginal/total sums run as windows PARTITIONED BY feature over the
+  * tiny per-feature cell frames (O(cardinality × classes) rows each —
+  * never the data). Nothing data-proportional reaches the driver.
+  */
+object FeatureSelect {
+
+  /** Mutual information I(X; Y) in nats between each discrete feature
+    * column and the label: one row (feature, mi) per input, computed
+    * from exact joint counts — I = Σ_cells p(x,y) · ln(p(x,y) /
+    * (p(x)·p(y))). Continuous features must be discretized by the
+    * caller (e.g. a fixed-width bin expression); nulls form their own
+    * category ("__null") rather than silently dropping rows.
+    */
+  def mutualInfo(df: DataFrame, features: Seq[(String, Column)], labelCol: Column): DataFrame = {
+    require(features.nonEmpty, "at least one feature required")
+    val pairs = features.flatMap { case (name, x) =>
+      Seq(lit(name), coalesce(x.cast("string"), lit("__null")))
+    }
+    val melted = df.select(labelCol.cast("string").as("y"),
+      explode(map(pairs: _*)).as(Seq("feature", "x")))
+    val joint = melted.groupBy(col("feature"), col("x"), col("y"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("feature"))
+    val wx = Window.partitionBy(col("feature"), col("x"))
+    val wy = Window.partitionBy(col("feature"), col("y"))
+    joint
+      .withColumn("tot", sum(col("n")).over(wf))
+      .withColumn("nx", sum(col("n")).over(wx))
+      .withColumn("ny", sum(col("n")).over(wy))
+      .withColumn("term",
+        (col("n") / col("tot")) *
+          log((col("n") / col("tot")) / ((col("nx") / col("tot")) * (col("ny") / col("tot")))))
+      .groupBy(col("feature"))
+      .agg(sum(col("term")).as("mi"))
+  }
+
+  /** The top `k` features by mutual information with the label — the
+    * SelectKBest(mutual_info_classif) shape. Deterministic: ties break
+    * by feature name.
+    */
+  def selectKBest(df: DataFrame, features: Seq[(String, Column)], labelCol: Column,
+      k: Int): Seq[String] =
+    mutualInfo(df, features, labelCol)
+      .orderBy(col("mi").desc, col("feature").asc)
+      .limit(k).select("feature").collect().map(_.getString(0)).toSeq
+}

@@ -327,7 +327,49 @@ object FeatureQueries {
       |FROM lineitem CROSS JOIN f
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Mutual information of each candidate feature with the purchase
+    * label (feature-selection scoring beyond variance threshold;
+    * sklearn mutual_info_classif for discrete features). event_type
+    * determines the label, so its MI must equal H(label) — a built-in
+    * sanity anchor the oracle verifies numerically.
+    */
+  def qMutualInfo(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    graft.features.FeatureSelect.mutualInfo(ev,
+      Seq(
+        "event_type" -> $"event_type",
+        "user_mod" -> ($"user_id" % 7),
+        "value_bin" -> floor($"value" / lit(20.0))),
+      when($"event_type" === "purchase", 1).otherwise(0))
+      .select($"feature", (round($"mi", 6) + lit(0.0)).as("mi"))
+      .orderBy($"feature")
+  }
+
+  val qMutualInfoOracle: String =
+    """WITH m AS (
+      |  SELECT 'event_type' AS feature, event_type AS x,
+      |         CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y FROM events
+      |  UNION ALL
+      |  SELECT 'user_mod', CAST(user_id % 7 AS VARCHAR),
+      |         CASE WHEN event_type='purchase' THEN 1 ELSE 0 END FROM events
+      |  UNION ALL
+      |  SELECT 'value_bin', CAST(floor(value / 20.0) AS VARCHAR),
+      |         CASE WHEN event_type='purchase' THEN 1 ELSE 0 END FROM events),
+      |j AS (SELECT feature, x, y, count(*) AS n FROM m GROUP BY 1, 2, 3),
+      |t AS (SELECT feature, sum(n) AS tot FROM j GROUP BY 1),
+      |mx AS (SELECT feature, x, sum(n) AS nx FROM j GROUP BY 1, 2),
+      |my AS (SELECT feature, y, sum(n) AS ny FROM j GROUP BY 1, 2)
+      |SELECT j.feature,
+      | round(sum((n / tot) * ln((n / tot) / ((nx / tot) * (ny / tot)))), 6) + 0 AS mi
+      |FROM j
+      |JOIN t ON j.feature = t.feature
+      |JOIN mx ON j.feature = mx.feature AND j.x = mx.x
+      |JOIN my ON j.feature = my.feature AND j.y = my.y
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_mutual_info" -> qMutualInfo,
     "q_outlier_iqr" -> qOutlierIqr,
     "q_downsample" -> qDownsample,
     "q_target_encode" -> qTargetEncode,
@@ -345,6 +387,7 @@ object FeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mutual_info" -> qMutualInfoOracle,
     "q_outlier_iqr" -> qOutlierIqrOracle,
     "q_downsample" -> qDownsampleOracle,
     "q_target_encode" -> qTargetEncodeOracle,

@@ -149,6 +149,35 @@ class FeatureEvalSpec extends SparkSpec {
     assert(one.forall(_ == 42.0))
   }
 
+  test("mutual information: identity/independence anchors; selectKBest ranks by MI") {
+    import graft.features.FeatureSelect
+    // y uniform over {0,1}; copy == y (MI = H(y) = ln 2); indep alternates
+    // independently of y (MI = 0); noisy agrees 3/4 of the time
+    val rows = (0 until 400).map { i =>
+      val y = i % 2
+      (i.toLong, y, y, (i / 2) % 2, if (i % 4 == 3) 1 - y else y)
+    }
+    val df = rows.toDF("id", "y", "copy", "indep", "noisy")
+    val mi = FeatureSelect.mutualInfo(df,
+      Seq("copy" -> $"copy", "indep" -> $"indep", "noisy" -> $"noisy"), $"y")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(mi("copy") - math.log(2)) < 1e-12, s"MI(copy)=${mi("copy")}")
+    assert(math.abs(mi("indep")) < 1e-12, s"MI(indep)=${mi("indep")}")
+    assert(mi("noisy") > 0.05 && mi("noisy") < math.log(2) - 0.05)
+    // exact value: flips happen only when y=1 (asymmetric channel), so
+    // MI = H(noisy) - H(noisy|y) = H(1/4) - 1/2·ln2
+    val h14 = -(0.25 * math.log(0.25) + 0.75 * math.log(0.75))
+    assert(math.abs(mi("noisy") - (h14 - 0.5 * math.log(2))) < 1e-12)
+    assert(FeatureSelect.selectKBest(df,
+      Seq("copy" -> $"copy", "indep" -> $"indep", "noisy" -> $"noisy"), $"y", 2) ==
+      Seq("copy", "noisy"))
+    // nulls form their own category instead of dropping rows
+    val withNull = df.withColumn("copy", when($"id" % 10 === 0, lit(null)).otherwise($"copy"))
+    val miNull = FeatureSelect.mutualInfo(withNull, Seq("copy" -> $"copy"), $"y")
+      .head().getDouble(1)
+    assert(miNull > 0.5 * math.log(2)) // still highly informative
+  }
+
   test("binned AUC approximates the exact rank AUC") {
     val rnd = new scala.util.Random(5)
     val rows = (1 to 4000).map { i =>
