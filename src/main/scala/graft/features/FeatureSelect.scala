@@ -57,4 +57,46 @@ object FeatureSelect {
     mutualInfo(df, features, labelCol)
       .orderBy(col("mi").desc, col("feature").asc)
       .limit(k).select("feature").collect().map(_.getString(0)).toSeq
+
+  /** Pearson chi-square independence statistic between each discrete
+    * feature and the label (scipy `chi2_contingency` / the SelectKBest
+    * chi2 family), plus degrees of freedom and Cramér's V effect size:
+    * one row (feature, chi2, dof, cramers_v) per input.
+    *
+    * Zero-observed cells need no special handling: Σ(O−E)²/E over ALL
+    * cells equals Σ_observed O²/E − N (expand the square; ΣE over the
+    * full grid is N), so the sum runs over observed joint cells only —
+    * the same melted single-shuffle shape as [[mutualInfo]].
+    */
+  def chiSquare(df: DataFrame, features: Seq[(String, Column)], labelCol: Column): DataFrame = {
+    require(features.nonEmpty, "at least one feature required")
+    val pairs = features.flatMap { case (name, x) =>
+      Seq(lit(name), coalesce(x.cast("string"), lit("__null")))
+    }
+    val melted = df.select(labelCol.cast("string").as("y"),
+      explode(map(pairs: _*)).as(Seq("feature", "x")))
+    val joint = melted.groupBy(col("feature"), col("x"), col("y"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("feature"))
+    val wx = Window.partitionBy(col("feature"), col("x"))
+    val wy = Window.partitionBy(col("feature"), col("y"))
+    joint
+      .withColumn("tot", sum(col("n")).over(wf))
+      .withColumn("nx", sum(col("n")).over(wx))
+      .withColumn("ny", sum(col("n")).over(wy))
+      .groupBy(col("feature"))
+      .agg(
+        (first(col("tot")) *
+          sum(col("n").cast("double") * col("n") / (col("nx").cast("double") * col("ny"))) -
+          first(col("tot"))).as("chi2"),
+        countDistinct(col("x")).as("kx"),
+        countDistinct(col("y")).as("ky"),
+        first(col("tot")).as("tot"))
+      .select(col("feature"), col("chi2"),
+        ((col("kx") - 1) * (col("ky") - 1)).as("dof"),
+        // single-category feature or label → dof 0, V defined as 0
+        when(least(col("kx"), col("ky")) <= 1, lit(0.0))
+          .otherwise(sqrt(col("chi2") / (col("tot").cast("double") *
+            least(col("kx") - 1, col("ky") - 1)))).as("cramers_v"))
+  }
 }

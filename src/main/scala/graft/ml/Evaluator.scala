@@ -434,4 +434,82 @@ object Evaluator {
     thresholdSweep(df, labelCol, scoreCol, thresholds, beta)
       .orderBy(col("fbeta").desc, col("threshold").asc)
       .head().getAs[Double]("threshold")
+
+  /** Regression metrics in ONE map-side-combinable aggregation pass:
+    * n, MAE, RMSE, R² (sklearn mean_absolute_error /
+    * mean_squared_error / r2_score semantics; R² from
+    * 1 − SSE/SST with SST = Σy² − (Σy)²/n — no second pass for the
+    * mean). Nothing data-proportional is buffered anywhere.
+    */
+  def regressionMetrics(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val y = col(labelCol).cast("double")
+    val p = col(predCol).cast("double")
+    df.agg(
+        count(lit(1)).as("n"),
+        sum(abs(y - p)).as("sae"),
+        sum((y - p) * (y - p)).as("sse"),
+        sum(y * y).as("syy"),
+        sum(y).as("sy"))
+      .select(col("n"),
+        (col("sae") / col("n")).as("mae"),
+        sqrt(col("sse") / col("n")).as("rmse"),
+        (lit(1.0) - col("sse") / (col("syy") - col("sy") * col("sy") / col("n"))).as("r2"))
+  }
+
+  /** Binary cross-entropy (log loss) with sklearn's probability
+    * clipping to [eps, 1−eps] — single aggregation pass.
+    */
+  def logLoss(df: DataFrame, labelCol: String, scoreCol: String,
+      eps: Double = 1e-7): DataFrame = {
+    val y = col(labelCol).cast("double")
+    val p = least(greatest(col(scoreCol).cast("double"), lit(eps)), lit(1.0 - eps))
+    df.agg(
+      (-avg(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))).as("log_loss"),
+      count(lit(1)).as("n"))
+  }
+
+  /** NDCG@k per group with exponential gain (2^rel − 1): DCG over the
+    * top-k by score (ties broken by `tieCol` for determinism), divided
+    * by the ideal DCG over the top-k by relevance. One shuffle on the
+    * group key; both rankings are windows over the SAME partitioning,
+    * so they share it. The ideal ranking's tie order cannot change
+    * IDCG (equal rel ⇒ equal gain at fixed positions).
+    */
+  def ndcgAt(df: DataFrame, groupCol: String, scoreCol: String, relCol: String,
+      tieCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+    val byScore = w.orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val byRel = w.orderBy(col(relCol).desc, col(tieCol).asc)
+    val gain = pow(lit(2.0), col(relCol).cast("double")) - lit(1.0)
+    df.select(col(groupCol), col(relCol),
+        row_number().over(byScore).as("pos"),
+        row_number().over(byRel).as("ideal_pos"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(col("pos") <= k, gain / log2(col("pos") + 1)).otherwise(lit(0.0))).as("dcg"),
+        sum(when(col("ideal_pos") <= k, gain / log2(col("ideal_pos") + 1)).otherwise(lit(0.0)))
+          .as("idcg"))
+      .select(col(groupCol), col("dcg"), col("idcg"),
+        when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(lit(0.0)).as("ndcg"))
+  }
+
+  /** Cohen's kappa for two categorical raters: (p_o − p_e)/(1 − p_e)
+    * with p_e from the rater marginals (sklearn cohen_kappa_score).
+    * One pass for agreement + two tiny marginal aggregates joined on
+    * the category — never a row-level join.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.agg(count(lit(1)).cast("double").as("n"),
+      avg((col(aCol) === col(bCol)).cast("double")).as("po"))
+    val ma = df.groupBy(col(aCol).cast("string").as("k")).agg(count(lit(1)).as("na"))
+    val mb = df.groupBy(col(bCol).cast("string").as("k")).agg(count(lit(1)).as("nb"))
+    val pe = ma.join(mb, "k")
+      .agg(sum(col("na").cast("double") * col("nb")).as("sab"))
+    base.crossJoin(pe) // both sides are single rows
+      .select(col("n").cast("long").as("n"), col("po"),
+        (col("sab") / (col("n") * col("n"))).as("pe"))
+      .select(col("n"), col("po"), col("pe"),
+        when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+          .otherwise(lit(0.0)).as("kappa"))
+  }
 }

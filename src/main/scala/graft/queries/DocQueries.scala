@@ -461,7 +461,89 @@ object DocQueries {
       | count(*) AS n_docs
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Gopher-style repetition quality signals per source: duplicate-token
+    * ratio, most-common-token fraction, duplicate-bigram fraction — the
+    * public C4/Gopher "repetitive content" filters. One pass per row via
+    * the codegen'd [[graft.functions.TokenRepetitionStats]] (the
+    * declarative forms re-tokenize the text once per signal).
+    */
+  def qRepetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"source",
+        graft.functions.TokenRepetitionStats.stats(TextFunctions.tokens($"text")).as("st"))
+      .select($"source",
+        $"st".getField("n_tokens").cast("double").as("n"),
+        $"st".getField("n_distinct").cast("double").as("nd"),
+        $"st".getField("top_count").cast("double").as("tc"),
+        $"st".getField("n_distinct_bigrams").cast("double").as("ndb"))
+      .select($"source",
+        (lit(1.0) - $"nd" / $"n").as("dup_ratio"),
+        ($"tc" / $"n").as("top_frac"),
+        when($"n" >= 2, lit(1.0) - $"ndb" / ($"n" - 1)).otherwise(lit(0.0)).as("dup_bigram"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        r4(avg($"dup_ratio")).as("avg_dup_token_ratio"),
+        r4(avg($"top_frac")).as("avg_top_token_frac"),
+        r4(avg($"dup_bigram")).as("avg_dup_bigram_ratio"))
+      .orderBy($"source")
+  }
+
+  val qRepetitionOracle: String =
+    """WITH t AS (
+      | SELECT source, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |m AS (
+      | SELECT source, CAST(len(tk) AS DOUBLE) AS n,
+      |  CAST(len(list_distinct(tk)) AS DOUBLE) AS nd,
+      |  CAST(list_max(list_transform(list_distinct(tk),
+      |        x -> len(list_filter(tk, y -> y = x)))) AS DOUBLE) AS tc,
+      |  CAST(len(list_distinct(list_transform(range(1, len(tk)),
+      |        i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE) AS ndb
+      | FROM t)
+      |SELECT source, count(*) AS n_docs,
+      | round(avg(1.0 - nd / n), 4) + 0 AS avg_dup_token_ratio,
+      | round(avg(tc / n), 4) + 0 AS avg_top_token_frac,
+      | round(avg(CASE WHEN n >= 2 THEN 1.0 - ndb / (n - 1) ELSE 0.0 END), 4) + 0 AS avg_dup_bigram_ratio
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
+  /** Unigram Shannon entropy per document (token-distribution diversity
+    * — low entropy flags templated/repetitive docs), aggregated per
+    * lang. H = ln(n) − Σ c·ln(c)/n from the same one-pass token stats.
+    */
+  def qDocEntropy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"lang",
+        graft.functions.TokenRepetitionStats.stats(TextFunctions.tokens($"text")).as("st"))
+      .select($"lang",
+        (log($"st".getField("n_tokens").cast("double")) -
+          $"st".getField("sum_c_ln_c") / $"st".getField("n_tokens")).as("h"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        (round(avg($"h"), 6) + lit(0.0)).as("avg_entropy"),
+        (round(min($"h"), 6) + lit(0.0)).as("min_entropy"))
+      .orderBy($"lang")
+  }
+
+  val qDocEntropyOracle: String =
+    """WITH t AS (
+      | SELECT lang, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |e AS (
+      | SELECT lang,
+      |  ln(CAST(len(tk) AS DOUBLE))
+      |   - list_sum(list_transform(list_distinct(tk),
+      |       x -> CAST(len(list_filter(tk, y -> y = x)) AS DOUBLE)
+      |            * ln(CAST(len(list_filter(tk, y -> y = x)) AS DOUBLE))))
+      |     / len(tk) AS h
+      | FROM t)
+      |SELECT lang, count(*) AS n_docs,
+      | round(avg(h), 6) + 0 AS avg_entropy,
+      | round(min(h), 6) + 0 AS min_entropy
+      |FROM e GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_repetition" -> qRepetition,
+    "q_doc_entropy" -> qDocEntropy,
     "q_embed_centroid" -> qEmbedCentroid,
     "q_token_hist" -> qTokenHist,
     "q_corpus_clean" -> qCorpusClean,
@@ -485,6 +567,8 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_repetition" -> qRepetitionOracle,
+    "q_doc_entropy" -> qDocEntropyOracle,
     "q_simhash" -> qSimhashOracle,
     "q_embed_centroid" -> qEmbedCentroidOracle,
     "q_token_hist" -> qTokenHistOracle,

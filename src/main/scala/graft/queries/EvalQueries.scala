@@ -392,7 +392,126 @@ object EvalQueries {
       | count(*) AS n_bins
       |FROM p""".stripMargin
 
+  /** Regression metrics of an exact OLS simple-regression fit of
+    * l_extendedprice on l_quantity: fit from raw moment sums (one
+    * aggregation; the SAME closed form both engines — not each
+    * engine's regr_* internals), then MAE/RMSE/R² of the fitted
+    * predictor via Evaluator.regressionMetrics. Fit is a 1-row
+    * broadcast — the fit-once-broadcast pattern of the feature
+    * pipeline.
+    */
+  def qRegressionMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).select(
+      $"l_quantity".cast("double").as("x"), $"l_extendedprice".cast("double").as("y"))
+    val fit = li.agg(count(lit(1)).cast("double").as("fn"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select(
+        (($"fn" * $"sxy" - $"sx" * $"sy") / ($"fn" * $"sxx" - $"sx" * $"sx")).as("slope"),
+        $"sy", $"sx", $"fn")
+      .select($"slope", (($"sy" - $"slope" * $"sx") / $"fn").as("intercept"))
+    val pred = li.crossJoin(broadcast(fit))
+      .withColumn("p", $"intercept" + $"slope" * $"x")
+    Evaluator.regressionMetrics(pred, "y", "p")
+      .crossJoin(broadcast(fit))
+      .select($"n", (round($"slope", 4) + lit(0.0)).as("slope"),
+        (round($"intercept", 4) + lit(0.0)).as("intercept"),
+        (round($"mae", 4) + lit(0.0)).as("mae"),
+        (round($"rmse", 4) + lit(0.0)).as("rmse"),
+        r6($"r2").as("r2"))
+  }
+
+  val qRegressionMetricsOracle: String =
+    """WITH li AS (SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),
+      |mo AS (SELECT CAST(count(*) AS DOUBLE) AS fn, sum(x) AS sx, sum(y) AS sy,
+      |  sum(x*y) AS sxy, sum(x*x) AS sxx FROM li),
+      |f AS (SELECT (fn*sxy - sx*sy) / (fn*sxx - sx*sx) AS slope, sy, sx, fn FROM mo),
+      |f2 AS (SELECT slope, (sy - slope*sx) / fn AS intercept FROM f),
+      |p AS (SELECT x, y, intercept + slope*x AS p FROM li CROSS JOIN f2),
+      |m AS (SELECT count(*) AS n, sum(abs(y - p)) AS sae, sum((y - p)*(y - p)) AS sse,
+      |  sum(y*y) AS syy, sum(y) AS sy FROM p)
+      |SELECT n, round(slope, 4) + 0 AS slope, round(intercept, 4) + 0 AS intercept,
+      | round(sae / n, 4) + 0 AS mae,
+      | round(sqrt(sse / n), 4) + 0 AS rmse,
+      | round(1.0 - sse / (syy - sy*sy/n), 6) + 0 AS r2
+      |FROM m CROSS JOIN f2""".stripMargin
+
+  /** NDCG@10 per event_type: score = value, graded relevance =
+    * user_id % 4, exponential gain — ranking-quality seat of the
+    * evaluator family (sklearn ndcg_score semantics at k).
+    */
+  def qNdcg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val df = Tables.events(s, d).select(
+      $"event_type", $"event_id", $"value".as("score"),
+      ($"user_id" % 4).cast("double").as("rel"))
+    Evaluator.ndcgAt(df, "event_type", "score", "rel", "event_id", 10)
+      .select($"event_type", r6($"dcg").as("dcg"), r6($"idcg").as("idcg"),
+        r6($"ndcg").as("ndcg"))
+      .orderBy($"event_type")
+  }
+
+  val qNdcgOracle: String =
+    """WITH sc AS (SELECT event_type, event_id, value AS score,
+      |  CAST(user_id % 4 AS DOUBLE) AS rel FROM events),
+      |r AS (SELECT event_type, rel,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY score DESC, event_id ASC) AS pos,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY rel DESC, event_id ASC) AS ideal_pos
+      | FROM sc),
+      |a AS (SELECT event_type,
+      |  sum(CASE WHEN pos <= 10 THEN (power(2.0, rel) - 1) / log2(pos + 1) ELSE 0 END) AS dcg,
+      |  sum(CASE WHEN ideal_pos <= 10 THEN (power(2.0, rel) - 1) / log2(ideal_pos + 1) ELSE 0 END) AS idcg
+      | FROM r GROUP BY 1)
+      |SELECT event_type, round(dcg, 6) + 0 AS dcg, round(idcg, 6) + 0 AS idcg,
+      | round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) + 0 AS ndcg
+      |FROM a ORDER BY event_type""".stripMargin
+
+  /** Cohen's kappa between the true label and the thresholded scorer —
+    * chance-corrected agreement (sklearn cohen_kappa_score).
+    */
+  def qCohenKappa(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val df = scored(s, d)
+      .select($"label", Evaluator.predictAt($"score", 0.5).as("pred"))
+    Evaluator.cohenKappa(df, "label", "pred")
+      .select($"n", r6($"po").as("po"), r6($"pe").as("pe"), r6($"kappa").as("kappa"))
+  }
+
+  val qCohenKappaOracle: String =
+    s"""WITH sc AS ($scoredSql),
+       |x AS (SELECT label AS a, CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS b FROM sc),
+       |c AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  avg(CASE WHEN a = b THEN 1.0 ELSE 0.0 END) AS po FROM x),
+       |ma AS (SELECT a AS k, count(*) AS na FROM x GROUP BY 1),
+       |mb AS (SELECT b AS k, count(*) AS nb FROM x GROUP BY 1),
+       |e AS (SELECT sum(CAST(na AS DOUBLE) * nb) AS sab FROM ma JOIN mb ON ma.k = mb.k)
+       |SELECT CAST(n AS BIGINT) AS n, round(po, 6) + 0 AS po,
+       | round(sab / (n * n), 6) + 0 AS pe,
+       | round(CASE WHEN sab / (n * n) < 1.0
+       |   THEN (po - sab / (n * n)) / (1.0 - sab / (n * n)) ELSE 0.0 END, 6) + 0 AS kappa
+       |FROM c CROSS JOIN e""".stripMargin
+
+  /** Binary log loss (cross-entropy) of the deterministic scorer with
+    * sklearn's [eps, 1−eps] probability clipping.
+    */
+  def qLogLoss(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Evaluator.logLoss(scored(s, d), "label", "score")
+      .select(r6($"log_loss").as("log_loss"), $"n")
+  }
+
+  val qLogLossOracle: String =
+    s"""WITH sc AS ($scoredSql),
+       |p AS (SELECT label, least(greatest(score, 1e-7), 1.0 - 1e-7) AS pc FROM sc)
+       |SELECT round(-avg(label * ln(pc) + (1.0 - label) * ln(1.0 - pc)), 6) + 0 AS log_loss,
+       | count(*) AS n
+       |FROM p""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_regression_metrics" -> qRegressionMetrics,
+    "q_ndcg" -> qNdcg,
+    "q_cohen_kappa" -> qCohenKappa,
+    "q_logloss" -> qLogLoss,
     "q_mcc" -> qMcc,
     "q_js_div" -> qJsDiv,
     "q_auc_by_type" -> qAucByType,
@@ -412,6 +531,10 @@ object EvalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_regression_metrics" -> qRegressionMetricsOracle,
+    "q_ndcg" -> qNdcgOracle,
+    "q_cohen_kappa" -> qCohenKappaOracle,
+    "q_logloss" -> qLogLossOracle,
     "q_mcc" -> qMccOracle,
     "q_js_div" -> qJsDivOracle,
     "q_auc_by_type" -> qAucByTypeOracle,

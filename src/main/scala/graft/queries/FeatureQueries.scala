@@ -368,7 +368,54 @@ object FeatureQueries {
       |JOIN my ON j.feature = my.feature AND j.y = my.y
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Chi-square feature-vs-label independence scores over the same
+    * melted single-shuffle machinery as [[qMutualInfo]] (sklearn
+    * SelectKBest(chi2) family; exact contingency statistic).
+    */
+  def qChi2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    graft.features.FeatureSelect.chiSquare(ev,
+      Seq(
+        "event_type" -> $"event_type",
+        "user_mod" -> ($"user_id" % 7),
+        "value_bin" -> floor($"value" / lit(20.0))),
+      when($"event_type" === "purchase", 1).otherwise(0))
+      .select($"feature", (round($"chi2", 4) + lit(0.0)).as("chi2"),
+        $"dof", (round($"cramers_v", 6) + lit(0.0)).as("cramers_v"))
+      .orderBy($"feature")
+  }
+
+  val qChi2Oracle: String =
+    """WITH m AS (
+      |  SELECT 'event_type' AS feature, event_type AS x,
+      |         CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y FROM events
+      |  UNION ALL
+      |  SELECT 'user_mod', CAST(user_id % 7 AS VARCHAR),
+      |         CASE WHEN event_type='purchase' THEN 1 ELSE 0 END FROM events
+      |  UNION ALL
+      |  SELECT 'value_bin', CAST(floor(value / 20.0) AS VARCHAR),
+      |         CASE WHEN event_type='purchase' THEN 1 ELSE 0 END FROM events),
+      |j AS (SELECT feature, x, y, count(*) AS n FROM m GROUP BY 1, 2, 3),
+      |t AS (SELECT feature, sum(n) AS tot FROM j GROUP BY 1),
+      |mx AS (SELECT feature, x, sum(n) AS nx FROM j GROUP BY 1, 2),
+      |my AS (SELECT feature, y, sum(n) AS ny FROM j GROUP BY 1, 2),
+      |s AS (SELECT j.feature,
+      |   max(tot) * sum(CAST(n AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny)) - max(tot) AS chi2,
+      |   count(DISTINCT j.x) AS kx, count(DISTINCT j.y) AS ky, max(tot) AS tot
+      | FROM j
+      | JOIN t ON j.feature = t.feature
+      | JOIN mx ON j.feature = mx.feature AND j.x = mx.x
+      | JOIN my ON j.feature = my.feature AND j.y = my.y
+      | GROUP BY 1)
+      |SELECT feature, round(chi2, 4) + 0 AS chi2,
+      | CAST((kx - 1) * (ky - 1) AS BIGINT) AS dof,
+      | round(CASE WHEN least(kx, ky) <= 1 THEN 0.0
+      |   ELSE sqrt(chi2 / (CAST(tot AS DOUBLE) * least(kx - 1, ky - 1))) END, 6) + 0 AS cramers_v
+      |FROM s ORDER BY feature""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_chi2" -> qChi2,
     "q_mutual_info" -> qMutualInfo,
     "q_outlier_iqr" -> qOutlierIqr,
     "q_downsample" -> qDownsample,
@@ -387,6 +434,7 @@ object FeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_chi2" -> qChi2Oracle,
     "q_mutual_info" -> qMutualInfoOracle,
     "q_outlier_iqr" -> qOutlierIqrOracle,
     "q_downsample" -> qDownsampleOracle,

@@ -178,6 +178,88 @@ class FeatureEvalSpec extends SparkSpec {
     assert(miNull > 0.5 * math.log(2)) // still highly informative
   }
 
+  test("chi-square: perfect association, independence, and a worked 2x2 table") {
+    import graft.features.FeatureSelect
+    val rows = (0 until 400).map { i =>
+      val y = i % 2
+      (i.toLong, y, y, (i / 2) % 2)
+    }
+    val df = rows.toDF("id", "y", "copy", "indep")
+    val byName = FeatureSelect.chiSquare(df,
+      Seq("copy" -> $"copy", "indep" -> $"indep"), $"y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // perfect association in a 2x2: chi2 = n, V = 1
+    assert(math.abs(byName("copy").getAs[Double]("chi2") - 400.0) < 1e-9)
+    assert(byName("copy").getAs[Long]("dof") == 1L)
+    assert(math.abs(byName("copy").getAs[Double]("cramers_v") - 1.0) < 1e-9)
+    // independence: chi2 exactly 0 on the balanced construction
+    assert(math.abs(byName("indep").getAs[Double]("chi2")) < 1e-9)
+    // scipy chi2_contingency(correction=False) on [[10,20],[30,40]]:
+    // chi2 = n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) = 0.79365...
+    val cells = Seq((0, 0, 10), (0, 1, 20), (1, 0, 30), (1, 1, 40))
+      .flatMap { case (x, y, n) => Seq.fill(n)((x, y)) }
+    val tab = cells.toDF("x", "y")
+    val worked = FeatureSelect.chiSquare(tab, Seq("x" -> $"x"), $"y").head()
+    val expected = 100.0 * math.pow(10.0 * 40 - 20.0 * 30, 2) / (30.0 * 70 * 40 * 60)
+    assert(math.abs(worked.getAs[Double]("chi2") - expected) < 1e-9)
+    assert(math.abs(worked.getAs[Double]("cramers_v") - math.sqrt(expected / 100.0)) < 1e-9)
+  }
+
+  test("regression metrics: handcrafted MAE/RMSE/R2") {
+    val df = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 5.0)).toDF("y", "p")
+    val m = Evaluator.regressionMetrics(df, "y", "p").head()
+    assert(m.getAs[Long]("n") == 4L)
+    assert(math.abs(m.getAs[Double]("mae") - 0.25) < 1e-12)
+    assert(math.abs(m.getAs[Double]("rmse") - 0.5) < 1e-12)
+    // SST = 5 (mean 2.5), SSE = 1 -> R2 = 0.8
+    assert(math.abs(m.getAs[Double]("r2") - 0.8) < 1e-12)
+  }
+
+  test("log loss: worked value and clipped perfect predictor") {
+    val worked = Evaluator.logLoss(Seq((1, 0.8), (0, 0.4)).toDF("label", "score"),
+      "label", "score").head().getAs[Double]("log_loss")
+    assert(math.abs(worked - -(math.log(0.8) + math.log(0.6)) / 2) < 1e-12)
+    // p = 1.0 clips to 1 - eps instead of ln(0) = -inf
+    val perfect = Evaluator.logLoss(Seq((1, 1.0)).toDF("label", "score"),
+      "label", "score").head().getAs[Double]("log_loss")
+    assert(perfect > 0 && perfect < 1e-6)
+  }
+
+  test("cohen's kappa: sklearn worked example and degenerate agreement") {
+    val df = Seq((0, 0), (1, 1), (0, 1), (1, 1), (1, 1)).toDF("a", "b")
+    val k = Evaluator.cohenKappa(df, "a", "b").head()
+    // po = 0.8; pe = (2*1 + 3*4)/25 = 0.56; kappa = 0.24/0.44
+    assert(math.abs(k.getAs[Double]("po") - 0.8) < 1e-12)
+    assert(math.abs(k.getAs[Double]("pe") - 0.56) < 1e-12)
+    assert(math.abs(k.getAs[Double]("kappa") - 0.24 / 0.44) < 1e-12)
+    // constant raters in full agreement: pe = 1 -> kappa defined as 0
+    val const = Evaluator.cohenKappa(Seq((1, 1), (1, 1)).toDF("a", "b"), "a", "b").head()
+    assert(const.getAs[Double]("kappa") == 0.0)
+  }
+
+  test("NDCG@k: worked example, perfect ordering = 1, k truncation") {
+    // one group; scores rank docs (A rel3, B rel1, C rel2)
+    val df = Seq(("g", 1L, 9.0, 3.0), ("g", 2L, 8.0, 1.0), ("g", 3L, 7.0, 2.0))
+      .toDF("grp", "id", "score", "rel")
+    val r = Evaluator.ndcgAt(df, "grp", "score", "rel", "id", 3).head()
+    val dcg = 7.0 / 1.0 + 1.0 / (math.log(3) / math.log(2)) + 3.0 / 2.0
+    val idcg = 7.0 / 1.0 + 3.0 / (math.log(3) / math.log(2)) + 1.0 / 2.0
+    assert(math.abs(r.getAs[Double]("dcg") - dcg) < 1e-9)
+    assert(math.abs(r.getAs[Double]("idcg") - idcg) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ndcg") - dcg / idcg) < 1e-9)
+    // score ordering == relevance ordering -> ndcg 1
+    val perfect = Evaluator.ndcgAt(
+      Seq(("g", 1L, 9.0, 3.0), ("g", 2L, 8.0, 2.0), ("g", 3L, 7.0, 1.0))
+        .toDF("grp", "id", "score", "rel"),
+      "grp", "score", "rel", "id", 3).head()
+    assert(math.abs(perfect.getAs[Double]("ndcg") - 1.0) < 1e-12)
+    // k=1 sees only the top-scored doc (rel 1 of an ideal rel 3)
+    val truncated = Evaluator.ndcgAt(
+      Seq(("g", 1L, 9.0, 1.0), ("g", 2L, 8.0, 3.0)).toDF("grp", "id", "score", "rel"),
+      "grp", "score", "rel", "id", 1).head()
+    assert(math.abs(truncated.getAs[Double]("ndcg") - 1.0 / 7.0) < 1e-12)
+  }
+
   test("binned AUC approximates the exact rank AUC") {
     val rnd = new scala.util.Random(5)
     val rows = (1 to 4000).map { i =>

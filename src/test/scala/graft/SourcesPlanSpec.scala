@@ -28,6 +28,18 @@ class SourcesPlanSpec extends SparkSpec {
     assert(back.exceptAll(df).count() == 0 && back.count() == df.count())
   }
 
+  test("orc round-trip preserves data and pushes filters to the scan") {
+    val dir = tmp()
+    val df = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+    df.write.mode("overwrite").orc(s"$dir/lineitem_orc")
+    val back = spark.read.orc(s"$dir/lineitem_orc")
+    assert(back.count() == df.count() && back.exceptAll(df).count() == 0)
+    val q = back.filter($"l_quantity" > 30).select($"l_orderkey")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(l_quantity,30.0)"),
+      plan.take(800))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = tmp()
     Tables.orders(spark, sf)

@@ -276,6 +276,42 @@ class TextDedupSimSpec extends SparkSpec {
     assert(cmp.filter($"fastC" =!= $"refC" || $"fastW" =!= $"refW").count() == 0)
   }
 
+  test("token repetition stats equal the declarative forms; entropy identities") {
+    import graft.functions.{NgramCounts, TokenRepetitionStats}
+    val rnd = new scala.util.Random(31)
+    val vocab = Seq("a", "b", "c", "dd", "e")
+    val docs = (1 to 300).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(40))).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("id", "text")
+    val tk = TextFunctions.tokens($"text")
+    val cmp = docs
+      .withColumn("st", TokenRepetitionStats.stats(tk))
+      .withColumn("refN", size(tk))
+      .withColumn("refD", size(array_distinct(tk)))
+      .withColumn("refTop",
+        array_max(transform(array_distinct(tk), x => size(filter(tk, y => y === x)))))
+      .withColumn("refB", NgramCounts.countDistinctWordBigrams(tk))
+      .withColumn("refClnC",
+        aggregate(transform(array_distinct(tk),
+            x => size(filter(tk, y => y === x)).cast("double")),
+          lit(0.0), (acc, c) => acc + c * log(c)))
+    assert(cmp.filter(
+      $"st.n_tokens" =!= $"refN" || $"st.n_distinct" =!= $"refD" ||
+        $"st.top_count" =!= $"refTop" || $"st.n_distinct_bigrams" =!= $"refB" ||
+        abs($"st.sum_c_ln_c" - $"refClnC") > 1e-9).count() == 0)
+    // entropy identities: all-distinct -> ln(n); all-same -> 0
+    val ids = Seq(Seq("x", "y", "z"), Seq("x", "x", "x", "x"))
+      .toDF("tk").withColumn("st", TokenRepetitionStats.stats($"tk"))
+      .select((log($"st.n_tokens".cast("double")) - $"st.sum_c_ln_c" / $"st.n_tokens").as("h"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(ids(0) - math.log(3)) < 1e-12 && math.abs(ids(1)) < 1e-12)
+    // null slots count toward n_tokens but not counts; bigrams skip them
+    val withNull = Seq(Seq[String]("a", null, "a")).toDF("tk")
+      .select(TokenRepetitionStats.stats($"tk").as("st")).head().getStruct(0)
+    assert(withNull.getInt(0) == 3 && withNull.getInt(1) == 1 &&
+      withNull.getInt(2) == 2 && withNull.getInt(4) == 0)
+  }
+
   test("simhash: near-identical texts have small hamming distance") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
