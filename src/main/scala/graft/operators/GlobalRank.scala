@@ -3,6 +3,7 @@ package graft.operators
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
@@ -123,6 +124,45 @@ object GlobalRank {
         }.toArray
       }
     } finally ranked.release()
+  }
+
+  /** Exact per-group linear-interpolation quantiles (pandas
+    * `groupby().quantile()` / DuckDB `quantile_cont` semantics): one
+    * hash shuffle on the group key, a per-group window sort, and a
+    * per-row interpolation-weight expression — each row contributes to
+    * a probe only if its 0-based in-group rank is the floor or ceil of
+    * that probe's fractional target rank, so the final aggregate sums
+    * at most 2 weighted values per (group, probe). No per-group value
+    * buffer anywhere; for the GLOBAL case (one giant group) use
+    * [[exactQuantiles]], which range-partitions instead.
+    *
+    * Nulls are excluded per group (pandas semantics). A group with a
+    * single value returns that value for every probe.
+    */
+  def groupQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      probs: Seq[(String, Double)]): DataFrame = {
+    require(probs.nonEmpty && probs.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
+      s"probs must be named and in [0,1]: $probs")
+    val gcols = groupCols.map(col)
+    val base = df.select(gcols :+ valueCol.cast("double").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val wOrd = Window.partitionBy(gcols: _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(gcols: _*)
+    val ranked = base
+      .withColumn("__k", row_number().over(wOrd).cast("long") - 1L)
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val aggs = probs.map { case (name, p) =>
+      val t = (col("__n") - 1L).cast("double") * lit(p)
+      val lo = floor(t)
+      val hi = ceil(t)
+      val frac = t - lo
+      sum(
+        when(col("__k") === lo && lo === hi, col("__v"))
+          .when(col("__k") === lo, col("__v") * (lit(1.0) - frac))
+          .when(col("__k") === hi, col("__v") * frac)
+          .otherwise(lit(0.0))).as(name)
+    }
+    ranked.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Distributed inclusive prefix sums over a total order — the same

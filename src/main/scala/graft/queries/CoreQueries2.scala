@@ -165,7 +165,73 @@ object CoreQueries2 {
       | round(quantile_cont(l_extendedprice, 0.99), 4) + 0 AS p99
       |FROM lineitem""".stripMargin
 
+  /** Exact PER-GROUP quantiles (pandas groupby().quantile shape) via
+    * [[graft.operators.GlobalRank.groupQuantiles]]: one hash shuffle on
+    * the group key + a per-group window sort; each row contributes at
+    * most an interpolation weight — never a per-group value buffer.
+    */
+  def qGroupPercentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.operators.GlobalRank.groupQuantiles(
+        Tables.lineitem(s, d), Seq("l_returnflag"), $"l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
+      .select($"l_returnflag",
+        (round($"p25", 4) + lit(0.0)).as("p25"),
+        (round($"p50", 4) + lit(0.0)).as("p50"),
+        (round($"p75", 4) + lit(0.0)).as("p75"),
+        (round($"p95", 4) + lit(0.0)).as("p95"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qGroupPercentilesOracle: String =
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_extendedprice, 0.25), 4) + 0 AS p25,
+      | round(quantile_cont(l_extendedprice, 0.5), 4) + 0 AS p50,
+      | round(quantile_cont(l_extendedprice, 0.75), 4) + 0 AS p75,
+      | round(quantile_cont(l_extendedprice, 0.95), 4) + 0 AS p95
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Rolling z-score anomaly audit: per user, each event's value
+    * against the mean/stddev of its previous 20 events (ROWS frame —
+    * one shuffle on user_id, O(frame) state per row), rolled up per
+    * event_type. The serving-drift cousin of q_moving_avg.
+    */
+  def qAnomalyZscore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts_s", $"event_id").rowsBetween(-20, -1)
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_timestamp($"ts").as("ts_s"))
+      .withColumn("mu", avg($"value").over(w))
+      .withColumn("sd", stddev_samp($"value").over(w))
+      .withColumn("z", when($"sd" > 1e-9, ($"value" - $"mu") / $"sd"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs($"z") > 2, 1L).otherwise(0L)).as("n_anomalies"),
+        (round(avg(abs($"z")), 4) + lit(0.0)).as("avg_abs_z"))
+      .orderBy($"event_type")
+  }
+
+  val qAnomalyZscoreOracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, value,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+      |z AS (SELECT event_type, value,
+      |  avg(value) OVER w AS mu,
+      |  stddev_samp(value) OVER w AS sd
+      | FROM e
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+      |   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      |s AS (SELECT event_type,
+      |  CASE WHEN sd > 1e-9 THEN (value - mu) / sd END AS z FROM z)
+      |SELECT event_type, count(*) AS n,
+      | CAST(sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+      | round(avg(abs(z)), 4) + 0 AS avg_abs_z
+      |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_group_percentiles" -> qGroupPercentiles,
+    "q_anomaly_zscore" -> qAnomalyZscore,
     "q_cube" -> qCube,
     "q_grouping_sets" -> qGroupingSets,
     "q_lead_lag" -> qLeadLag,
@@ -175,6 +241,8 @@ object CoreQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_group_percentiles" -> qGroupPercentilesOracle,
+    "q_anomaly_zscore" -> qAnomalyZscoreOracle,
     "q_cube" -> qCubeOracle,
     "q_grouping_sets" -> qGroupingSetsOracle,
     "q_lead_lag" -> qLeadLagOracle,

@@ -461,6 +461,48 @@ object DocQueries {
       | count(*) AS n_docs
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Pointwise mutual information of adjacent token pairs (collocation
+    * mining — the phrase-detection step of vocab/tokenizer building):
+    * PMI = ln( (n_xy/B) / ((n_x/N)·(n_y/N)) ) with B = total bigrams,
+    * N = total tokens. All qualifying pairs (n_xy ≥ 5) are returned —
+    * membership is decided by integer counts, so the result set is
+    * engine-exact. Two explode→groupBy passes + vocab-sized joins.
+    */
+  def qPmiBigrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d).select(explode(TextFunctions.tokens($"text")).as("tok"))
+    val uni = toks.groupBy($"tok").agg(count(lit(1)).as("nx"))
+    val nu = toks.agg(count(lit(1)).cast("double").as("nu"))
+    val bi = Tables.documents(s, d)
+      .select(explode(TextFunctions.wordNgrams($"text", 2)).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("nxy"))
+    val nb = bi.agg(sum($"nxy").cast("double").as("nb"))
+    bi.filter($"nxy" >= 5)
+      .select(split($"bg", " ").getItem(0).as("x"), split($"bg", " ").getItem(1).as("y"), $"nxy")
+      .join(broadcast(uni.select($"tok".as("x"), $"nx")), "x")
+      .join(broadcast(uni.select($"tok".as("y"), $"nx".as("ny"))), "y")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select($"x", $"y", $"nxy",
+        r4(log(($"nxy" / $"nb") / (($"nx" / $"nu") * ($"ny" / $"nu")))).as("pmi"))
+      .orderBy($"x", $"y")
+  }
+
+  val qPmiBigramsOracle: String =
+    """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |uni AS (SELECT unnest(tk) AS tok FROM t),
+      |u AS (SELECT tok, count(*) AS nx FROM uni GROUP BY 1),
+      |nu AS (SELECT CAST(count(*) AS DOUBLE) AS nu FROM uni),
+      |bgs AS (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t),
+      |b AS (SELECT bg, count(*) AS nxy FROM bgs GROUP BY 1),
+      |nb AS (SELECT CAST(sum(nxy) AS DOUBLE) AS nb FROM b),
+      |j AS (SELECT split_part(bg, ' ', 1) AS x, split_part(bg, ' ', 2) AS y, nxy
+      |      FROM b WHERE nxy >= 5)
+      |SELECT x, y, nxy,
+      | round(ln((nxy / nb) / ((ux.nx / nu) * (uy.nx / nu))), 4) + 0 AS pmi
+      |FROM j JOIN u ux ON j.x = ux.tok JOIN u uy ON j.y = uy.tok
+      |CROSS JOIN nu CROSS JOIN nb
+      |ORDER BY x, y""".stripMargin
+
   /** Gopher-style repetition quality signals per source: duplicate-token
     * ratio, most-common-token fraction, duplicate-bigram fraction — the
     * public C4/Gopher "repetitive content" filters. One pass per row via
@@ -542,6 +584,7 @@ object DocQueries {
       |FROM e GROUP BY lang ORDER BY lang""".stripMargin
 
   val all: Map[String, Q] = Map(
+    "q_pmi_bigrams" -> qPmiBigrams,
     "q_repetition" -> qRepetition,
     "q_doc_entropy" -> qDocEntropy,
     "q_embed_centroid" -> qEmbedCentroid,
@@ -567,6 +610,7 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pmi_bigrams" -> qPmiBigramsOracle,
     "q_repetition" -> qRepetitionOracle,
     "q_doc_entropy" -> qDocEntropyOracle,
     "q_simhash" -> qSimhashOracle,

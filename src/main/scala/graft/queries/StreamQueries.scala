@@ -32,6 +32,29 @@ object StreamQueries {
       | event_type, count(*) AS n, round(sum(value),2) + 0 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Hopping-window aggregation (1 h window, 30 min slide): each event
+    * lands in exactly 2 overlapping windows. Batch twin of the
+    * streaming hoppingAgg — the oracle derives both window starts from
+    * the slide-aligned epoch grid (an integer-second grid start s
+    * contains ts iff it contains floor(ts), so flooring is exact).
+    */
+  def qStreamHopping(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Streams.hoppingAgg(Tables.events(s, d), "1 hour", "30 minutes")
+      .select(unix_timestamp($"window_start").as("window_start_s"), $"event_type",
+        $"n", r2($"sum_value").as("sum_value"))
+      .orderBy($"window_start_s", $"event_type")
+  }
+
+  val qStreamHoppingOracle: String =
+    """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type, value FROM events),
+      |w AS (SELECT unnest([CAST(floor(ts_s / 1800) * 1800 - 1800 AS BIGINT),
+      |                     CAST(floor(ts_s / 1800) * 1800 AS BIGINT)]) AS window_start_s,
+      |  event_type, value FROM e)
+      |SELECT window_start_s, event_type, count(*) AS n,
+      | round(sum(value), 2) + 0 AS sum_value
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def qSessionize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Streams.sessionSummary(Tables.events(s, d), 86400L).orderBy($"user_id")
@@ -124,6 +147,7 @@ object StreamQueries {
   val all: Map[String, Q] = Map(
     "q_mm_frames" -> qMmFrames,
     "q_stream_window" -> qStreamWindow,
+    "q_stream_hopping" -> qStreamHopping,
     "q_sessionize" -> qSessionize,
     "q_mm_meta" -> qMmMeta,
     "q_asof_attribution" -> qAsofAttribution
@@ -132,6 +156,7 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     "q_mm_frames" -> qMmFramesOracle,
     "q_stream_window" -> qStreamWindowOracle,
+    "q_stream_hopping" -> qStreamHoppingOracle,
     "q_sessionize" -> qSessionizeOracle,
     "q_mm_meta" -> qMmMetaOracle,
     "q_asof_attribution" -> qAsofAttributionOracle

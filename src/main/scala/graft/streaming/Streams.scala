@@ -27,6 +27,17 @@ object Streams {
   def streamingWindowedAgg(stream: DataFrame, windowDur: String, watermark: String): DataFrame =
     windowedAgg(stream.withWatermark("ts", watermark), windowDur)
 
+  /** Hopping (sliding) window aggregation: windows of `windowDur`
+    * every `slideDur` — each event lands in windowDur/slideDur
+    * overlapping windows. Same single-shuffle groupBy shape as
+    * [[windowedAgg]] (the window assignment is a generator expression,
+    * not a join); works identically on a watermarked stream.
+    */
+  def hoppingAgg(df: DataFrame, windowDur: String, slideDur: String): DataFrame =
+    df.groupBy(window(col("ts"), windowDur, slideDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
   /** Batch gap-based sessionization: a new session starts when the gap
     * to the previous event (per user) exceeds `gapSeconds`. One window
     * shuffle on user_id; session ids via running sum of boundary flags.

@@ -178,6 +178,26 @@ class FeatureEvalSpec extends SparkSpec {
     assert(miNull > 0.5 * math.log(2)) // still highly informative
   }
 
+  test("groupQuantiles matches the percentile aggregate per group; null/single-value groups") {
+    import graft.operators.GlobalRank
+    val rnd = new scala.util.Random(47)
+    val rows = (1 to 500).map(i => (s"g${i % 3}", rnd.nextDouble() * 100)) ++
+      Seq(("solo", 42.0), ("nulls", Double.NaN))
+    val df = rows.toDF("g", "v")
+      .withColumn("v", when($"g" === "nulls", lit(null)).otherwise($"v"))
+    val probs = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)
+    val got = GlobalRank.groupQuantiles(df, Seq("g"), $"v", probs)
+      .collect().map(r => r.getString(0) -> probs.indices.map(i => r.getDouble(i + 1))).toMap
+    // reference: Spark's exact percentile aggregate (test-SF only)
+    val ref = df.filter($"v".isNotNull).groupBy($"g")
+      .agg(expr("percentile(v, array(0.25, 0.5, 0.9))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    for (g <- ref.keys; i <- probs.indices)
+      assert(math.abs(got(g)(i) - ref(g)(i)) < 1e-9, s"$g p${probs(i)._1}")
+    assert(got("solo") == Seq(42.0, 42.0, 42.0))
+    assert(!got.contains("nulls")) // all-null group drops (pandas semantics)
+  }
+
   test("chi-square: perfect association, independence, and a worked 2x2 table") {
     import graft.features.FeatureSelect
     val rows = (0 until 400).map { i =>

@@ -40,6 +40,29 @@ class StreamsSpec extends SparkSpec {
       Seq(("click", 2L), ("click", 1L), ("view", 1L)))
   }
 
+  test("streaming hopping-window agg converges to batch; events land in window/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      Ev(t("2024-01-01 00:10:00"), "click", 1.0, 1, 1),
+      Ev(t("2024-01-01 00:40:00"), "click", 2.0, 1, 2),
+      Ev(t("2024-01-01 01:10:00"), "view", 3.0, 2, 3))
+    val ms = MemoryStream[Ev]
+    val q = Streams.hoppingAgg(ms.toDF().withWatermark("ts", "10 minutes"), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("hop_agg").outputMode("complete").start()
+    ms.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("hop_agg")
+      .orderBy($"window_start", $"event_type").collect().toSeq
+    val batch = Streams.hoppingAgg(rows.toDF(), "1 hour", "30 minutes")
+      .orderBy($"window_start", $"event_type").collect().toSeq
+    q.stop()
+    assert(streamed == batch)
+    // 1h/30min -> each event in exactly 2 windows: 3 events, 6 assignments
+    assert(batch.map(_.getLong(2)).sum == 6L)
+    // the 00:10 event's windows start at 23:30 and 00:00
+    assert(batch.count(r => r.getTimestamp(0) == t("2023-12-31 23:30:00")) == 1)
+  }
+
   test("stream-stream join matches clicks to impressions within the bound") {
     implicit val sqlCtx = spark.sqlContext
     val msI = MemoryStream[Imp]
