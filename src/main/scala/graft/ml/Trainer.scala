@@ -79,6 +79,55 @@ object Trainer {
   final case class SearchResult(bestModel: Model[_], bestParams: Map[String, Double],
       bestMetric: Double, trials: Seq[Trial])
 
+  sealed trait RegressorKind
+  case object LinReg extends RegressorKind
+  case object GBTReg extends RegressorKind
+
+  /** Build a regressor for a sampled parameter assignment — the
+    * regression seat next to [[classifier]] (sklearn
+    * LinearRegression/ElasticNet ↔ MLlib LinearRegression,
+    * LightGBM/XGBoost regressors ↔ GBTRegressor).
+    */
+  def regressor(kind: RegressorKind, p: Map[String, Double])
+      : Estimator[_ <: Model[_]] = kind match {
+    case LinReg =>
+      new org.apache.spark.ml.regression.LinearRegression()
+        .setMaxIter(50)
+        .setRegParam(p.getOrElse("regParam", 0.0))
+        .setElasticNetParam(p.getOrElse("elasticNetParam", 0.0))
+    case GBTReg =>
+      new org.apache.spark.ml.regression.GBTRegressor()
+        .setMaxIter(p.getOrElse("maxIter", 20.0).toInt)
+        .setMaxDepth(p.getOrElse("maxDepth", 5.0).toInt)
+        .setStepSize(p.getOrElse("stepSize", 0.1))
+        .setSeed(42L)
+  }
+
+  /** Validation RMSE of a fitted regressor (via the same
+    * Evaluator.regressionMetrics the query surface uses).
+    */
+  def validationRmse(model: Transformer, valid: DataFrame): Double =
+    Evaluator.regressionMetrics(model.transform(valid), "label", "prediction")
+      .head().getAs[Double]("rmse")
+
+  /** Seeded random search for regressors — the [[randomSearch]] loop
+    * scored by validation RMSE. `Trial.metric`/`bestMetric` store
+    * NEGATED RMSE so "higher is better" holds across all SearchResults
+    * (tracker/champion comparators are shared with the classifier
+    * paths).
+    */
+  def randomSearchRegression(kind: RegressorKind, space: Seq[ParamRange], train: DataFrame,
+      valid: DataFrame, maxTrials: Int, seed: Long): SearchResult = {
+    val rnd = new scala.util.Random(seed)
+    val trials = (1 to maxTrials).map { _ =>
+      val params = space.map(r => r.name -> r.sample(rnd)).toMap
+      val model: Model[_] = regressor(kind, params).fit(train)
+      (params, model, -validationRmse(model, valid))
+    }
+    val (bp, bm, bMetric) = trials.maxBy(_._3)
+    SearchResult(bm, bp, bMetric, trials.map(t => Trial(t._1, t._3)))
+  }
+
   /** Validation ROC-AUC of a fitted model. */
   def validationAuc(model: Transformer, valid: DataFrame): Double = {
     val pred = model.transform(valid)

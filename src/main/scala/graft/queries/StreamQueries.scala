@@ -85,6 +85,47 @@ object StreamQueries {
       | round(avg(100 + doc_id % 400),4) + 0 AS avg_width
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Ordered funnel conversion (view → click → purchase): per user,
+    * the earliest view, the earliest click AT OR AFTER it, and the
+    * earliest purchase at or after that click — three chained
+    * conditional window-mins over ONE user_id shuffle (each stage's
+    * anchor is constant per partition, so the stages stack without
+    * re-shuffling). Output: stage reach counts + conversion rates.
+    */
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+    val staged = Tables.events(s, d)
+      .select($"user_id", $"event_type", unix_timestamp($"ts").as("ts_s"))
+      .withColumn("t1", min(when($"event_type" === "view", $"ts_s")).over(w))
+      .withColumn("t2", min(when($"event_type" === "click" && $"ts_s" >= $"t1", $"ts_s")).over(w))
+      .withColumn("t3", min(when($"event_type" === "purchase" && $"ts_s" >= $"t2", $"ts_s")).over(w))
+      .groupBy($"user_id")
+      .agg(max($"t1").as("t1"), max($"t2").as("t2"), max($"t3").as("t3"))
+    staged.agg(
+      count(lit(1)).as("n_users"),
+      count($"t1").as("n_view"),
+      count($"t2").as("n_view_click"),
+      count($"t3").as("n_view_click_purchase"),
+      r4(count($"t2").cast("double") / count($"t1")).as("click_rate"),
+      r4(count($"t3").cast("double") / count($"t2")).as("purchase_rate"))
+  }
+
+  val qFunnelOracle: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+      |v AS (SELECT user_id, min(ts_s) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(ts_s) AS t2 FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ts_s >= t1 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(ts_s) AS t3 FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ts_s >= t2 GROUP BY e.user_id)
+      |SELECT
+      | (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+      | (SELECT count(*) FROM v) AS n_view,
+      | (SELECT count(*) FROM c) AS n_view_click,
+      | (SELECT count(*) FROM p) AS n_view_click_purchase,
+      | round((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v), 4) + 0 AS click_rate,
+      | round((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM c), 4) + 0 AS purchase_rate""".stripMargin
+
   /** Point-in-time attribution: for each purchase, the latest prior
     * click by the same user (as-of join), summarized per user.
     */
@@ -148,6 +189,7 @@ object StreamQueries {
     "q_mm_frames" -> qMmFrames,
     "q_stream_window" -> qStreamWindow,
     "q_stream_hopping" -> qStreamHopping,
+    "q_funnel" -> qFunnel,
     "q_sessionize" -> qSessionize,
     "q_mm_meta" -> qMmMeta,
     "q_asof_attribution" -> qAsofAttribution
@@ -157,6 +199,7 @@ object StreamQueries {
     "q_mm_frames" -> qMmFramesOracle,
     "q_stream_window" -> qStreamWindowOracle,
     "q_stream_hopping" -> qStreamHoppingOracle,
+    "q_funnel" -> qFunnelOracle,
     "q_sessionize" -> qSessionizeOracle,
     "q_mm_meta" -> qMmMetaOracle,
     "q_asof_attribution" -> qAsofAttributionOracle

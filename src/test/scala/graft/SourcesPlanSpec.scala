@@ -173,6 +173,35 @@ class SourcesPlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter from a selective dim prunes the fact-side scan") {
+    // the 100 TB story: a selective filter on the dim side should reach
+    // the fact scan as a bloom-filter semi-filter BEFORE the shuffle
+    // join (Spark's InjectRuntimeFilter); thresholds scaled to test size
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_extendedprice")
+      val dim = Tables.orders(spark, sf)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey")
+      val q = fact.join(dim, $"l_orderkey" === $"o_orderkey")
+        .agg(sum($"l_extendedprice").as("rev"))
+      assert(q.collect().head.getDouble(0) > 0)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter") || plan.contains("might_contain"),
+        "runtime bloom filter did not inject:\n" + plan.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("experiment tracker logs runs and picks the best by metric") {
     import graft.ml.ExperimentTracker
     import graft.ml.ExperimentTracker.Run

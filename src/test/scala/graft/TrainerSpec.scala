@@ -71,6 +71,32 @@ class TrainerSpec extends SparkSpec {
     assert(math.abs(hs.getAs[Double]("weighted_precision") - 0.5) < 1e-12)
   }
 
+  test("regression search: linear model recovers a linear target; GBT trains; RMSE negated") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 500).map { i =>
+      val x = Array.fill(3)(rnd.nextGaussian())
+      val y = 3.0 * x(0) - 2.0 * x(1) + 0.5 * x(2) + rnd.nextGaussian() * 0.1
+      (i.toLong, y, x)
+    }
+    val data = Trainer.withFeaturesFromArray(rows.toDF("id", "label", "arr"), "arr").cache()
+    val train = data.filter($"id" % 5 =!= 0)
+    val valid = data.filter($"id" % 5 === 0)
+    val res = Trainer.randomSearchRegression(Trainer.LinReg,
+      Seq(Trainer.ParamRange("regParam", 1e-6, 0.1, log = true)), train, valid,
+      maxTrials = 4, seed = 11L)
+    // noise sigma is 0.1 -> a recovered fit's RMSE must be near it
+    assert(-res.bestMetric < 0.2, s"rmse=${-res.bestMetric}")
+    assert(res.trials.size == 4 && res.trials.forall(_.metric <= 0.0))
+    val r2 = Evaluator.regressionMetrics(
+      res.bestModel.asInstanceOf[org.apache.spark.ml.Transformer].transform(valid),
+      "label", "prediction").head().getAs[Double]("r2")
+    assert(r2 > 0.95, s"r2=$r2")
+    // tree regressor path fits and predicts through the same surface
+    val gbt = Trainer.randomSearchRegression(Trainer.GBTReg,
+      Seq(Trainer.ParamRange("maxDepth", 2, 4)), train, valid, maxTrials = 1, seed = 3L)
+    assert(-gbt.bestMetric < 1.5)
+  }
+
   test("random search over RF/GBT spaces returns the best trial") {
     val (train, valid) = trainValid
     val res = Trainer.randomSearch(Trainer.GBT,
