@@ -470,18 +470,27 @@ object DocQueries {
     */
   def qPmiBigrams(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toks = Tables.documents(s, d).select(explode(TextFunctions.tokens($"text")).as("tok"))
-    val uni = toks.groupBy($"tok").agg(count(lit(1)).as("nx"))
-    val nu = toks.agg(count(lit(1)).cast("double").as("nu"))
+    // one corpus scan per n-gram order. N (token total) rides the
+    // vocab frame as a whole-frame window sum (vocab-sized — tiny),
+    // not a separate aggregate over a THIRD corpus scan; the vocab
+    // frame is localCheckpointed because both join sides consume it
+    // (without it each broadcast would re-run the explode+groupBy)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val uni = Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("nx"))
+      .withColumn("nu", sum($"nx").over(wAll).cast("double"))
+      .localCheckpoint()
     val bi = Tables.documents(s, d)
-      .select(explode(TextFunctions.wordNgrams($"text", 2)).as("bg"))
+      .select(TextFunctions.tokens($"text").as("tk")) // own Project: split once per row
+      .select(explode(TextFunctions.wordNgramsOf($"tk", 2)).as("bg"))
       .groupBy($"bg").agg(count(lit(1)).as("nxy"))
-    val nb = bi.agg(sum($"nxy").cast("double").as("nb"))
+      .withColumn("nb", sum($"nxy").over(wAll).cast("double"))
     bi.filter($"nxy" >= 5)
-      .select(split($"bg", " ").getItem(0).as("x"), split($"bg", " ").getItem(1).as("y"), $"nxy")
-      .join(broadcast(uni.select($"tok".as("x"), $"nx")), "x")
+      .select(split($"bg", " ").getItem(0).as("x"), split($"bg", " ").getItem(1).as("y"),
+        $"nxy", $"nb")
+      .join(broadcast(uni.select($"tok".as("x"), $"nx", $"nu")), "x")
       .join(broadcast(uni.select($"tok".as("y"), $"nx".as("ny"))), "y")
-      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
       .select($"x", $"y", $"nxy",
         r4(log(($"nxy" / $"nb") / (($"nx" / $"nu") * ($"ny" / $"nu")))).as("pmi"))
       .orderBy($"x", $"y")

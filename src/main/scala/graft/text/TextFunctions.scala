@@ -34,14 +34,21 @@ object TextFunctions {
   /** Distinct character n-gram shingle set. */
   def shingleSet(c: Column, n: Int): Column = array_distinct(charNgrams(c, n))
 
-  /** Word n-gram shingles. */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val t = tokens(c)
+  /** Word n-grams from an already-materialized token-array column.
+    * Prefer this over [[wordNgrams]] when the input can be projected
+    * first: higher-order functions are interpreted (no
+    * common-subexpression elimination), so handing them the raw
+    * `tokens(text)` expression re-runs the regex split inside EVERY
+    * lambda element — O(tokens²) per row.
+    */
+  def wordNgramsOf(t: Column, n: Int): Column =
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - lit(n - 1)),
         i => concat_ws(" ", slice(t, i, lit(n)))))
       .otherwise(array())
-  }
+
+  /** Word n-gram shingles (tokenizes inline — see [[wordNgramsOf]]). */
+  def wordNgrams(c: Column, n: Int): Column = wordNgramsOf(tokens(c), n)
 
   /** Fraction of tokens that are in `words`. */
   def stopwordRatio(c: Column, words: Seq[String]): Column = {
