@@ -85,6 +85,43 @@ object StreamQueries {
       | round(avg(100 + doc_id % 400),4) + 0 AS avg_width
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-user session summary via Spark's NATIVE session_window
+    * (dynamic gap-merged groupBy windows) — the declarative sibling of
+    * q_sessionize's lag+cumsum (same boundary rule: a new session
+    * starts only when the gap EXCEEDS 24 h — session_window merges at
+    * exactly prev + gap). Timestamps are floored to seconds FIRST so
+    * the merge decisions are integer-exact in both engines; sum of
+    * session starts pins every boundary in the oracle hash.
+    */
+  def qSessionWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select($"user_id", date_trunc("second", $"ts").as("ts"), $"value")
+    Streams.sessionWindowAgg(e, "24 hours")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(unix_timestamp($"session_start")).as("sum_start_s"),
+        sum($"n_events").as("n_events"),
+        r2(sum($"sum_value")).as("sum_value"))
+      .orderBy($"user_id")
+  }
+
+  val qSessionWindowOracle: String =
+    """WITH x AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value FROM events),
+      |l AS (SELECT user_id, ts_s, value,
+      |  lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) AS prev FROM x),
+      |m AS (SELECT user_id, ts_s, value,
+      |  CASE WHEN prev IS NULL OR ts_s - prev > 86400 THEN 1 ELSE 0 END AS new_s FROM l),
+      |c AS (SELECT user_id, ts_s, value,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+      |g AS (SELECT user_id, sid, min(ts_s) AS start_s, count(*) AS ne, sum(value) AS sv
+      |      FROM c GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions,
+      | CAST(sum(start_s) AS BIGINT) AS sum_start_s,
+      | CAST(sum(ne) AS BIGINT) AS n_events,
+      | round(sum(sv), 2) + 0 AS sum_value
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Ordered funnel conversion (view → click → purchase): per user,
     * the earliest view, the earliest click AT OR AFTER it, and the
     * earliest purchase at or after that click — three chained
@@ -190,6 +227,7 @@ object StreamQueries {
     "q_stream_window" -> qStreamWindow,
     "q_stream_hopping" -> qStreamHopping,
     "q_funnel" -> qFunnel,
+    "q_session_window" -> qSessionWindow,
     "q_sessionize" -> qSessionize,
     "q_mm_meta" -> qMmMeta,
     "q_asof_attribution" -> qAsofAttribution
@@ -200,6 +238,7 @@ object StreamQueries {
     "q_stream_window" -> qStreamWindowOracle,
     "q_stream_hopping" -> qStreamHoppingOracle,
     "q_funnel" -> qFunnelOracle,
+    "q_session_window" -> qSessionWindowOracle,
     "q_sessionize" -> qSessionizeOracle,
     "q_mm_meta" -> qMmMetaOracle,
     "q_asof_attribution" -> qAsofAttributionOracle

@@ -38,6 +38,21 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Session-window aggregation via Spark's NATIVE session_window
+    * (dynamic gap-merged windows in the groupBy — the declarative
+    * sibling of [[sessionize]]'s lag+cumsum and [[statefulSessions]]'
+    * explicit state). Works identically on a watermarked stream in
+    * update/append mode. Gap semantics: windows merge when
+    * next.start <= prev.end (= prev + gap), so an event at exactly
+    * prev + gap MERGES — identical to [[sessionize]]'s
+    * `diff > gapSeconds` new-session rule.
+    */
+  def sessionWindowAgg(df: DataFrame, gap: String): DataFrame =
+    df.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
   /** Batch gap-based sessionization: a new session starts when the gap
     * to the previous event (per user) exceeds `gapSeconds`. One window
     * shuffle on user_id; session ids via running sum of boundary flags.

@@ -90,6 +90,54 @@ class StreamsSpec extends SparkSpec {
     assert(got == Set((100L, 900L), (200L, 902L)))
   }
 
+  test("native session_window matches lag+cumsum sessions; exact-gap boundary splits") {
+    val rows = Seq(
+      Ev(t("2024-01-01 00:00:00"), "click", 1.0, 1, 1),
+      Ev(t("2024-01-01 00:30:00"), "click", 2.0, 1, 2),
+      Ev(t("2024-01-01 01:30:00"), "view", 3.0, 1, 3),  // exactly gap after #2 -> MERGES
+      Ev(t("2024-01-01 01:30:01"), "view", 5.0, 1, 5),  // 1s inside #3's window -> merges
+      Ev(t("2024-01-01 02:30:02"), "view", 6.0, 1, 6),  // 1s past #5's end -> NEW session
+      Ev(t("2024-01-01 03:00:00"), "view", 4.0, 2, 4))
+    val gapS = 3600L
+    val native = Streams.sessionWindowAgg(rows.toDF(), "1 hour")
+      .groupBy($"user_id").agg(count(lit(1)).as("ns"), sum($"n_events").as("ne"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // session_window merges when next.start <= prev.end — the same
+    // boundary rule as sessionize's `diff > gap` (merge AT the boundary)
+    assert(native(1L) == (2L, 5L) && native(2L) == (1L, 1L))
+    val cumsum = Streams.sessionSummary(rows.toDF(), gapS)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cumsum(1L) == 2L && cumsum(2L) == 1L)
+    // session starts are the first event of each merged chain
+    val starts = Streams.sessionWindowAgg(rows.toDF(), "1 hour")
+      .filter($"user_id" === 1).orderBy($"session_start")
+      .collect().map(_.getTimestamp(1))
+    assert(starts.toSeq == Seq(t("2024-01-01 00:00:00"), t("2024-01-01 02:30:02")))
+  }
+
+  test("streaming session_window closes sessions as the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val early = Seq(
+      Ev(t("2024-01-01 00:00:00"), "click", 1.0, 1, 1),
+      Ev(t("2024-01-01 00:20:00"), "click", 2.0, 1, 2),
+      Ev(t("2024-01-01 02:00:00"), "view", 3.0, 1, 3))
+    val ms = MemoryStream[Ev]
+    val q = Streams.sessionWindowAgg(ms.toDF().withWatermark("ts", "0 seconds"), "1 hour")
+      .writeStream.format("memory").queryName("sess_win").outputMode("append").start()
+    ms.addData(early: _*)
+    q.processAllAvailable()
+    // a far-future event pushes the watermark past every early session end
+    ms.addData(Ev(t("2024-02-01 00:00:00"), "click", 9.0, 7, 99))
+    q.processAllAvailable()
+    val streamed = spark.table("sess_win").filter($"user_id" === 1)
+      .orderBy($"session_start").collect().toSeq
+    val batch = Streams.sessionWindowAgg(early.toDF(), "1 hour")
+      .orderBy($"session_start").collect().toSeq
+    q.stop()
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.map(_.getLong(2)) == Seq(2L, 1L)) // sessions of 2 then 1 events
+  }
+
   test("batch sessionization splits on gap") {
     val rows = Seq(
       Ev(t("2024-01-01 00:00:00"), "c", 0, 1, 1),
