@@ -461,6 +461,47 @@ object DocQueries {
       | count(*) AS n_docs
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Benchmark decontamination audit: which corpus docs share any word
+    * 5-gram with a held-out "benchmark" set (docs ≡ 0 mod 50) — the
+    * n-gram-overlap decontamination step of LLM training-data prep.
+    * Benchmark shingles are few → broadcast semi-join against the
+    * exploded corpus shingles; membership is set-exact, so the result
+    * is engine-exact.
+    */
+  def qContamination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def grams(df: DataFrame): DataFrame = df
+      .select($"doc_id", TextFunctions.tokens($"text").as("tk"))
+      .select($"doc_id", explode(array_distinct(TextFunctions.wordNgramsOf($"tk", 5))).as("ng"))
+    val docs = Tables.documents(s, d)
+    val bench = grams(docs.filter($"doc_id" % 50 === 0)).select($"ng").distinct()
+    val corpus = grams(docs.filter($"doc_id" % 50 =!= 0))
+    val contaminated = corpus.join(broadcast(bench), Seq("ng"), "left_semi")
+    val nChecked = docs.filter($"doc_id" % 50 =!= 0)
+      .agg(count(lit(1)).as("n_docs_checked"))
+    contaminated
+      .agg(countDistinct($"doc_id").as("n_contaminated"),
+        countDistinct($"ng").as("n_matched_ngrams"))
+      .crossJoin(broadcast(nChecked))
+      .select($"n_docs_checked", $"n_contaminated", $"n_matched_ngrams",
+        r4($"n_contaminated".cast("double") / $"n_docs_checked").as("contamination_rate"))
+  }
+
+  val qContaminationOracle: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS ng
+      |      FROM t),
+      |b AS (SELECT DISTINCT ng FROM g WHERE doc_id % 50 = 0),
+      |c AS (SELECT doc_id, ng FROM g WHERE doc_id % 50 <> 0),
+      |hit AS (SELECT c.doc_id, c.ng FROM c JOIN b ON c.ng = b.ng),
+      |n AS (SELECT count(*) AS n_docs_checked FROM documents WHERE doc_id % 50 <> 0)
+      |SELECT n_docs_checked,
+      | (SELECT count(DISTINCT doc_id) FROM hit) AS n_contaminated,
+      | (SELECT count(DISTINCT ng) FROM hit) AS n_matched_ngrams,
+      | round((SELECT count(DISTINCT doc_id) FROM hit) * 1.0 / n_docs_checked, 4) + 0 AS contamination_rate
+      |FROM n""".stripMargin
+
   /** Pointwise mutual information of adjacent token pairs (collocation
     * mining — the phrase-detection step of vocab/tokenizer building):
     * PMI = ln( (n_xy/B) / ((n_x/N)·(n_y/N)) ) with B = total bigrams,
@@ -593,6 +634,7 @@ object DocQueries {
       |FROM e GROUP BY lang ORDER BY lang""".stripMargin
 
   val all: Map[String, Q] = Map(
+    "q_contamination" -> qContamination,
     "q_pmi_bigrams" -> qPmiBigrams,
     "q_repetition" -> qRepetition,
     "q_doc_entropy" -> qDocEntropy,
@@ -619,6 +661,7 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_contamination" -> qContaminationOracle,
     "q_pmi_bigrams" -> qPmiBigramsOracle,
     "q_repetition" -> qRepetitionOracle,
     "q_doc_entropy" -> qDocEntropyOracle,
