@@ -461,6 +461,39 @@ object DocQueries {
       | count(*) AS n_docs
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Training-mixture reweighting: per-language sampling weights that
+    * move the corpus from its ACTUAL token shares to a uniform target
+    * mix (the domain-mixing step of training-data assembly). weight =
+    * target_share / actual_share; weights > 1 mean the slice must be
+    * upsampled (repeated epochs). One aggregation + whole-frame window
+    * over the #langs-sized result.
+    */
+  def qMixtureWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.documents(s, d)
+      .select($"lang", TextFunctions.tokenCount($"text").as("tc"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"tc").as("n_tokens"))
+      .withColumn("tot", sum($"n_tokens").over(wAll).cast("double"))
+      .withColumn("n_langs", count(lit(1)).over(wAll).cast("double"))
+      .select($"lang", $"n_docs", $"n_tokens",
+        r4($"n_tokens" / $"tot").as("actual_share"),
+        r4((lit(1.0) / $"n_langs") / ($"n_tokens" / $"tot")).as("weight"))
+      .orderBy($"lang")
+  }
+
+  val qMixtureWeightsOracle: String =
+    """WITH g AS (
+      | SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      | FROM documents GROUP BY lang),
+      |t AS (SELECT sum(n_tokens) * 1.0 AS tot, count(*) * 1.0 AS n_langs FROM g)
+      |SELECT lang, n_docs, n_tokens,
+      | round(n_tokens / tot, 4) + 0 AS actual_share,
+      | round((1.0 / n_langs) / (n_tokens / tot), 4) + 0 AS weight
+      |FROM g CROSS JOIN t ORDER BY lang""".stripMargin
+
   /** Benchmark decontamination audit: which corpus docs share any word
     * 5-gram with a held-out "benchmark" set (docs ≡ 0 mod 50) — the
     * n-gram-overlap decontamination step of LLM training-data prep.
@@ -634,6 +667,7 @@ object DocQueries {
       |FROM e GROUP BY lang ORDER BY lang""".stripMargin
 
   val all: Map[String, Q] = Map(
+    "q_mixture_weights" -> qMixtureWeights,
     "q_contamination" -> qContamination,
     "q_pmi_bigrams" -> qPmiBigrams,
     "q_repetition" -> qRepetition,
@@ -661,6 +695,7 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mixture_weights" -> qMixtureWeightsOracle,
     "q_contamination" -> qContaminationOracle,
     "q_pmi_bigrams" -> qPmiBigramsOracle,
     "q_repetition" -> qRepetitionOracle,

@@ -173,6 +173,21 @@ class SourcesPlanSpec extends SparkSpec {
     }
   }
 
+  test("no SparkEntry query plans a UDF, Python eval, or cartesian product") {
+    // standing guard for the codegen-friendly surface contract
+    // (SURVEY §3): planning only — no query executes here, though a few
+    // fit-once queries run their tiny fit jobs at construction.
+    // "UDF(" / ScalaUDF = actual user functions; bare "UDF" would also
+    // match UDFAdaptors, the internal shim every typed Dataset op uses
+    // (TopKAggregator's flatMap unpack is deliberate, O(queries×k))
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val plan = q(spark, sf).queryExecution.executedPlan.toString
+      Seq("UDF(", "ScalaUDF", "BatchEvalPython", "CartesianProduct")
+        .filter(plan.contains).map(bad => s"$name: $bad")
+    }
+    assert(offenders.isEmpty, offenders.mkString(", "))
+  }
+
   test("runtime bloom filter from a selective dim prunes the fact-side scan") {
     // the 100 TB story: a selective filter on the dim side should reach
     // the fact scan as a bloom-filter semi-filter BEFORE the shuffle
