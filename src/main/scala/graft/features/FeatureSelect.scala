@@ -25,28 +25,34 @@ object FeatureSelect {
     * caller (e.g. a fixed-width bin expression); nulls form their own
     * category ("__null") rather than silently dropping rows.
     */
-  def mutualInfo(df: DataFrame, features: Seq[(String, Column)], labelCol: Column): DataFrame = {
+  /** Shared melt → joint-cell → marginal-window backbone of
+    * [[mutualInfo]] and [[chiSquare]]: (feature, x, y, n, tot, nx, ny)
+    * rows, one per OBSERVED joint cell. Nulls on both sides become the
+    * "__null" category (a real category, never dropped or miscounted).
+    */
+  private def jointCells(df: DataFrame, features: Seq[(String, Column)],
+      labelCol: Column): DataFrame = {
     require(features.nonEmpty, "at least one feature required")
     val pairs = features.flatMap { case (name, x) =>
       Seq(lit(name), coalesce(x.cast("string"), lit("__null")))
     }
-    val melted = df.select(labelCol.cast("string").as("y"),
+    val melted = df.select(coalesce(labelCol.cast("string"), lit("__null")).as("y"),
       explode(map(pairs: _*)).as(Seq("feature", "x")))
     val joint = melted.groupBy(col("feature"), col("x"), col("y"))
       .agg(count(lit(1)).as("n"))
-    val wf = Window.partitionBy(col("feature"))
-    val wx = Window.partitionBy(col("feature"), col("x"))
-    val wy = Window.partitionBy(col("feature"), col("y"))
     joint
-      .withColumn("tot", sum(col("n")).over(wf))
-      .withColumn("nx", sum(col("n")).over(wx))
-      .withColumn("ny", sum(col("n")).over(wy))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("feature"))))
+      .withColumn("nx", sum(col("n")).over(Window.partitionBy(col("feature"), col("x"))))
+      .withColumn("ny", sum(col("n")).over(Window.partitionBy(col("feature"), col("y"))))
+  }
+
+  def mutualInfo(df: DataFrame, features: Seq[(String, Column)], labelCol: Column): DataFrame =
+    jointCells(df, features, labelCol)
       .withColumn("term",
         (col("n") / col("tot")) *
           log((col("n") / col("tot")) / ((col("nx") / col("tot")) * (col("ny") / col("tot")))))
       .groupBy(col("feature"))
       .agg(sum(col("term")).as("mi"))
-  }
 
   /** The top `k` features by mutual information with the label — the
     * SelectKBest(mutual_info_classif) shape. Deterministic: ties break
@@ -68,27 +74,18 @@ object FeatureSelect {
     * full grid is N), so the sum runs over observed joint cells only —
     * the same melted single-shuffle shape as [[mutualInfo]].
     */
-  def chiSquare(df: DataFrame, features: Seq[(String, Column)], labelCol: Column): DataFrame = {
-    require(features.nonEmpty, "at least one feature required")
-    val pairs = features.flatMap { case (name, x) =>
-      Seq(lit(name), coalesce(x.cast("string"), lit("__null")))
-    }
-    val melted = df.select(labelCol.cast("string").as("y"),
-      explode(map(pairs: _*)).as(Seq("feature", "x")))
-    val joint = melted.groupBy(col("feature"), col("x"), col("y"))
-      .agg(count(lit(1)).as("n"))
-    val wf = Window.partitionBy(col("feature"))
-    val wx = Window.partitionBy(col("feature"), col("x"))
-    val wy = Window.partitionBy(col("feature"), col("y"))
-    joint
-      .withColumn("tot", sum(col("n")).over(wf))
-      .withColumn("nx", sum(col("n")).over(wx))
-      .withColumn("ny", sum(col("n")).over(wy))
+  def chiSquare(df: DataFrame, features: Seq[(String, Column)], labelCol: Column): DataFrame =
+    jointCells(df, features, labelCol)
       .groupBy(col("feature"))
       .agg(
-        (first(col("tot")) *
-          sum(col("n").cast("double") * col("n") / (col("nx").cast("double") * col("ny"))) -
-          first(col("tot"))).as("chi2"),
+        // clamp: the identity form floats to ~-1e-11 under exact
+        // independence (termwise Σ(O−E)²/E is non-negative by
+        // construction; this form isn't), which would NaN the sqrt
+        greatest(
+          first(col("tot")) *
+            sum(col("n").cast("double") * col("n") / (col("nx").cast("double") * col("ny"))) -
+            first(col("tot")),
+          lit(0.0)).as("chi2"),
         countDistinct(col("x")).as("kx"),
         countDistinct(col("y")).as("ky"),
         first(col("tot")).as("tot"))
@@ -98,5 +95,4 @@ object FeatureSelect {
         when(least(col("kx"), col("ky")) <= 1, lit(0.0))
           .otherwise(sqrt(col("chi2") / (col("tot").cast("double") *
             least(col("kx") - 1, col("ky") - 1)))).as("cramers_v"))
-  }
 }

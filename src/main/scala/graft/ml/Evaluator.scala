@@ -444,6 +444,7 @@ object Evaluator {
   def regressionMetrics(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
     val y = col(labelCol).cast("double")
     val p = col(predCol).cast("double")
+    val sst = col("syy") - col("sy") * col("sy") / col("n")
     df.agg(
         count(lit(1)).as("n"),
         sum(abs(y - p)).as("sae"),
@@ -453,7 +454,10 @@ object Evaluator {
       .select(col("n"),
         (col("sae") / col("n")).as("mae"),
         sqrt(col("sse") / col("n")).as("rmse"),
-        (lit(1.0) - col("sse") / (col("syy") - col("sy") * col("sy") / col("n"))).as("r2"))
+        // sklearn r2_score on a constant target: 1.0 when the error is
+        // also zero, else 0.0 (never null from the 0-SST division)
+        when(sst > 0, lit(1.0) - col("sse") / sst)
+          .otherwise(when(col("sse") === 0.0, lit(1.0)).otherwise(lit(0.0))).as("r2"))
   }
 
   /** Binary cross-entropy (log loss) with sklearn's probability

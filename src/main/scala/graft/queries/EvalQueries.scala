@@ -410,6 +410,9 @@ object EvalQueries {
         (($"fn" * $"sxy" - $"sx" * $"sy") / ($"fn" * $"sxx" - $"sx" * $"sx")).as("slope"),
         $"sy", $"sx", $"fn")
       .select($"slope", (($"sy" - $"slope" * $"sx") / $"fn").as("intercept"))
+      // 1-row fit consumed twice (predictor + output columns):
+      // materialize it once instead of re-scanning lineitem per consumer
+      .localCheckpoint()
     val pred = li.crossJoin(broadcast(fit))
       .withColumn("p", $"intercept" + $"slope" * $"x")
     Evaluator.regressionMetrics(pred, "y", "p")

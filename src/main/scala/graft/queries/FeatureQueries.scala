@@ -401,7 +401,7 @@ object FeatureQueries {
       |mx AS (SELECT feature, x, sum(n) AS nx FROM j GROUP BY 1, 2),
       |my AS (SELECT feature, y, sum(n) AS ny FROM j GROUP BY 1, 2),
       |s AS (SELECT j.feature,
-      |   max(tot) * sum(CAST(n AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny)) - max(tot) AS chi2,
+      |   greatest(max(tot) * sum(CAST(n AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny)) - max(tot), 0.0) AS chi2,
       |   count(DISTINCT j.x) AS kx, count(DISTINCT j.y) AS ky, max(tot) AS tot
       | FROM j
       | JOIN t ON j.feature = t.feature

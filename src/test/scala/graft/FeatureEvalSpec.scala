@@ -233,6 +233,11 @@ class FeatureEvalSpec extends SparkSpec {
     assert(math.abs(m.getAs[Double]("rmse") - 0.5) < 1e-12)
     // SST = 5 (mean 2.5), SSE = 1 -> R2 = 0.8
     assert(math.abs(m.getAs[Double]("r2") - 0.8) < 1e-12)
+    // constant target: sklearn r2_score semantics, never a null division
+    val const = Seq((2.0, 2.0), (2.0, 2.0)).toDF("y", "p")
+    assert(Evaluator.regressionMetrics(const, "y", "p").head().getAs[Double]("r2") == 1.0)
+    val constMiss = Seq((2.0, 1.0), (2.0, 3.0)).toDF("y", "p")
+    assert(Evaluator.regressionMetrics(constMiss, "y", "p").head().getAs[Double]("r2") == 0.0)
   }
 
   test("log loss: worked value and clipped perfect predictor") {
