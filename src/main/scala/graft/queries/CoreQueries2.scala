@@ -191,6 +191,45 @@ object CoreQueries2 {
       | round(quantile_cont(l_extendedprice, 0.95), 4) + 0 AS p95
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Robust (median/MAD) outlier audit per event_type — the
+    * Iglewicz-Hoaglin modified z-score |0.6745·(x−med)/MAD| > 3.5,
+    * immune to the outliers it hunts (unlike mean/stddev). Two
+    * chained exact-quantile fits (median, then median absolute
+    * deviation) via GlobalRank.groupQuantiles — tiny per-group stats
+    * broadcast back, never a per-group buffer.
+    */
+  def qOutlierMad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_type", $"value")
+    val med = graft.operators.GlobalRank
+      .groupQuantiles(ev, Seq("event_type"), $"value", Seq("med" -> 0.5))
+      .localCheckpoint() // consumed by both the MAD fit and the final pass
+    val withMed = ev.join(broadcast(med), "event_type")
+    val mad = graft.operators.GlobalRank.groupQuantiles(
+      withMed.select($"event_type", abs($"value" - $"med").as("ad")),
+      Seq("event_type"), $"ad", Seq("mad" -> 0.5))
+    withMed.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        (round(max($"med"), 4) + lit(0.0)).as("med"),
+        (round(max($"mad"), 4) + lit(0.0)).as("mad"),
+        sum(when(abs(lit(0.6745) * ($"value" - $"med") / $"mad") > 3.5, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy($"event_type")
+  }
+
+  val qOutlierMadOracle: String =
+    """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+      |a AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+      |      FROM events e JOIN m USING (event_type)),
+      |d AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM a GROUP BY 1)
+      |SELECT a.event_type, count(*) AS n,
+      | round(max(a.med), 4) + 0 AS med,
+      | round(max(d.mad), 4) + 0 AS mad,
+      | CAST(sum(CASE WHEN abs(0.6745 * (a.value - a.med) / d.mad) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM a JOIN d USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Rolling z-score anomaly audit: per user, each event's value
     * against the mean/stddev of its previous 20 events (ROWS frame —
     * one shuffle on user_id, O(frame) state per row), rolled up per
@@ -230,6 +269,7 @@ object CoreQueries2 {
       |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val all: Map[String, Q] = Map(
+    "q_outlier_mad" -> qOutlierMad,
     "q_group_percentiles" -> qGroupPercentiles,
     "q_anomaly_zscore" -> qAnomalyZscore,
     "q_cube" -> qCube,
@@ -241,6 +281,7 @@ object CoreQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_outlier_mad" -> qOutlierMadOracle,
     "q_group_percentiles" -> qGroupPercentilesOracle,
     "q_anomaly_zscore" -> qAnomalyZscoreOracle,
     "q_cube" -> qCubeOracle,
