@@ -133,8 +133,15 @@ object GlobalRank {
     * a probe only if its 0-based in-group rank is the floor or ceil of
     * that probe's fractional target rank, so the final aggregate sums
     * at most 2 weighted values per (group, probe). No per-group value
-    * buffer anywhere; for the GLOBAL case (one giant group) use
-    * [[exactQuantiles]], which range-partitions instead.
+    * buffer anywhere.
+    *
+    * SCALE BOUNDARY: the per-group window sort puts each group on ONE
+    * reducer — right when groups are many and individually
+    * reducer-sized (the common segment/tenant/key case). For a
+    * LOW-cardinality group key over huge data (3 return flags × 100 TB)
+    * that reducer sort is the bottleneck: loop [[exactQuantiles]] over
+    * the group values instead (each run range-partitions WITHIN the
+    * group), or fall back to approx_percentile per group.
     *
     * Nulls are excluded per group (pandas semantics). A group with a
     * single value returns that value for every probe.
