@@ -172,6 +172,33 @@ object GlobalRank {
     ranked.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The LOW-cardinality companion of [[groupQuantiles]]: loops
+    * [[exactQuantiles]] over the (collected — caller asserts few)
+    * distinct group values, so each group's quantile pass
+    * range-partitions WITHIN the group instead of sorting the whole
+    * group on one reducer. Same linear-interpolation semantics;
+    * spec-asserted equal to groupQuantiles. Null group values are
+    * skipped (match groupQuantiles' null-value drop, not its key set).
+    */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: Column,
+      probs: Seq[(String, Double)], maxGroups: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val groups = df.select(col(groupCol).cast("string")).na.drop()
+      .distinct().orderBy(col(groupCol)).collect().map(_.getString(0))
+    require(groups.length <= maxGroups,
+      s"${groups.length} groups > maxGroups=$maxGroups — this path is for LOW-cardinality " +
+        "keys (one distributed quantile job per group); use groupQuantiles for many groups")
+    val rows = groups.map { g =>
+      val qs = exactQuantiles(df.filter(col(groupCol).cast("string") === g), valueCol,
+        probs.map(_._2))
+      Row.fromSeq(g +: qs.toSeq)
+    }
+    val schema = StructType(
+      StructField(groupCol, org.apache.spark.sql.types.StringType, nullable = false) +:
+        probs.map { case (name, _) => StructField(name, DoubleType, nullable = false) })
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+  }
+
   /** Distributed inclusive prefix sums over a total order — the same
     * range-partition + per-partition-offset trick as
     * [[withGlobalRowNumber]], generalized from counts to arbitrary sums.

@@ -198,6 +198,25 @@ class FeatureEvalSpec extends SparkSpec {
     assert(!got.contains("nulls")) // all-null group drops (pandas semantics)
   }
 
+  test("exactQuantilesByGroup (low-cardinality scale path) equals groupQuantiles") {
+    import graft.operators.GlobalRank
+    val rnd = new scala.util.Random(53)
+    val df = (1 to 400).map(i => (s"g${i % 3}", rnd.nextDouble() * 50)).toDF("g", "v")
+    val probs = Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95)
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> probs.indices.map(i => r.getDouble(i + 1))).toMap
+    val looped = toMap(GlobalRank.exactQuantilesByGroup(df, "g", $"v", probs).collect())
+    val windowed = toMap(GlobalRank.groupQuantiles(df, Seq("g"), $"v", probs).collect())
+    assert(looped.keySet == windowed.keySet)
+    for (g <- looped.keySet; i <- probs.indices)
+      assert(math.abs(looped(g)(i) - windowed(g)(i)) < 1e-9, s"$g ${probs(i)._1}")
+    // the cardinality guard refuses a high-cardinality key
+    val wide = (1 to 100).map(i => (s"k$i", i.toDouble)).toDF("g", "v")
+    assertThrows[IllegalArgumentException] {
+      GlobalRank.exactQuantilesByGroup(wide, "g", $"v", probs, maxGroups = 64)
+    }
+  }
+
   test("chi-square: perfect association, independence, and a worked 2x2 table") {
     import graft.features.FeatureSelect
     val rows = (0 until 400).map { i =>
