@@ -497,6 +497,34 @@ object Evaluator {
         when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(lit(0.0)).as("ndcg"))
   }
 
+  /** Per-group fairness audit at a threshold: selection rate
+    * (demographic parity), TPR (equal opportunity), FPR — one row per
+    * group — plus the across-group max-min gaps repeated on every row
+    * (whole-frame window over the #groups-sized result). Single
+    * conditional-aggregation pass; groups with no positives/negatives
+    * yield null TPR/FPR rather than fake zeros.
+    */
+  def fairnessMetrics(df: DataFrame, groupCol: String, labelCol: String,
+      scoreCol: String, threshold: Double): DataFrame = {
+    val y = col(labelCol)
+    val sel = col(scoreCol) >= threshold
+    val wAll = Window.partitionBy()
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        avg(sel.cast("double")).as("sel_rate"),
+        sum(when(y === 1 && sel, 1L).otherwise(0L)).as("__tp"),
+        sum(when(y === 0 && sel, 1L).otherwise(0L)).as("__fp"),
+        sum(when(y === 1, 1L).otherwise(0L)).as("__npos"),
+        sum(when(y === 0, 1L).otherwise(0L)).as("__nneg"))
+      // guard the zero denominators BEFORE dividing (ANSI mode throws)
+      .withColumn("tpr", when(col("__npos") > 0, col("__tp") / col("__npos").cast("double")))
+      .withColumn("fpr", when(col("__nneg") > 0, col("__fp") / col("__nneg").cast("double")))
+      .drop("__tp", "__fp", "__npos", "__nneg")
+      .withColumn("dp_gap", max(col("sel_rate")).over(wAll) - min(col("sel_rate")).over(wAll))
+      .withColumn("tpr_gap", max(col("tpr")).over(wAll) - min(col("tpr")).over(wAll))
+  }
+
   /** Cohen's kappa for two categorical raters: (p_o − p_e)/(1 − p_e)
     * with p_e from the rater marginals (sklearn cohen_kappa_score).
     * One pass for agreement + two tiny marginal aggregates joined on

@@ -494,6 +494,42 @@ object EvalQueries {
        |   THEN (po - sab / (n * n)) / (1.0 - sab / (n * n)) ELSE 0.0 END, 6) + 0 AS kappa
        |FROM c CROSS JOIN e""".stripMargin
 
+  /** Per-group fairness audit of the deterministic scorer with
+    * user_id % 3 as the (synthetic) protected attribute: selection
+    * rate, TPR, FPR per group + demographic-parity and
+    * equal-opportunity gaps (Evaluator.fairnessMetrics).
+    */
+  def qFairness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val df = Tables.events(s, d).select(
+      ($"user_id" % 3).cast("int").as("grp"),
+      when($"value" >= 50, 1).otherwise(0).as("label"),
+      (least($"value", lit(200.0)) / lit(200.0) * lit(0.7) +
+        ($"event_id" % 100).cast("double") / lit(1000.0) * lit(3.0) / lit(10.0)).as("score"))
+    Evaluator.fairnessMetrics(df, "grp", "label", "score", 0.5)
+      .select($"grp", $"n", r6($"sel_rate").as("sel_rate"), r6($"tpr").as("tpr"),
+        r6($"fpr").as("fpr"), r6($"dp_gap").as("dp_gap"), r6($"tpr_gap").as("tpr_gap"))
+      .orderBy($"grp")
+  }
+
+  val qFairnessOracle: String =
+    """WITH sc AS (SELECT CAST(user_id % 3 AS INT) AS grp,
+      |  CASE WHEN value >= 50 THEN 1 ELSE 0 END AS label,
+      |  least(value, 200.0) / 200.0 * 0.7 + CAST(event_id % 100 AS DOUBLE) / 1000.0 * 3.0 / 10.0 AS score
+      | FROM events),
+      |g AS (SELECT grp, count(*) AS n,
+      |  avg(CASE WHEN score >= 0.5 THEN 1.0 ELSE 0.0 END) AS sel_rate,
+      |  sum(CASE WHEN label = 1 AND score >= 0.5 THEN 1 ELSE 0 END)
+      |    / CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS tpr,
+      |  sum(CASE WHEN label = 0 AND score >= 0.5 THEN 1 ELSE 0 END)
+      |    / CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS fpr
+      | FROM sc GROUP BY 1)
+      |SELECT grp, n, round(sel_rate, 6) + 0 AS sel_rate,
+      | round(tpr, 6) + 0 AS tpr, round(fpr, 6) + 0 AS fpr,
+      | round(max(sel_rate) OVER () - min(sel_rate) OVER (), 6) + 0 AS dp_gap,
+      | round(max(tpr) OVER () - min(tpr) OVER (), 6) + 0 AS tpr_gap
+      |FROM g ORDER BY grp""".stripMargin
+
   /** Binary log loss (cross-entropy) of the deterministic scorer with
     * sklearn's [eps, 1−eps] probability clipping.
     */
@@ -515,6 +551,7 @@ object EvalQueries {
     "q_ndcg" -> qNdcg,
     "q_cohen_kappa" -> qCohenKappa,
     "q_logloss" -> qLogLoss,
+    "q_fairness" -> qFairness,
     "q_mcc" -> qMcc,
     "q_js_div" -> qJsDiv,
     "q_auc_by_type" -> qAucByType,
@@ -538,6 +575,7 @@ object EvalQueries {
     "q_ndcg" -> qNdcgOracle,
     "q_cohen_kappa" -> qCohenKappaOracle,
     "q_logloss" -> qLogLossOracle,
+    "q_fairness" -> qFairnessOracle,
     "q_mcc" -> qMccOracle,
     "q_js_div" -> qJsDivOracle,
     "q_auc_by_type" -> qAucByTypeOracle,

@@ -269,6 +269,23 @@ class FeatureEvalSpec extends SparkSpec {
     assert(perfect > 0 && perfect < 1e-6)
   }
 
+  test("fairness metrics: per-group rates, gaps, and null on single-class groups") {
+    // group a: sel 2/4, tpr 1/2, fpr 1/2; group b: sel 1/2, tpr 1/1, fpr 0/1
+    val df = Seq(
+      ("a", 1, 0.9), ("a", 1, 0.1), ("a", 0, 0.8), ("a", 0, 0.2),
+      ("b", 1, 0.7), ("b", 0, 0.3),
+      ("c", 1, 0.9), ("c", 1, 0.2)) // no negatives -> fpr null
+      .toDF("grp", "label", "score")
+    val m = Evaluator.fairnessMetrics(df, "grp", "label", "score", 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("a").getAs[Double]("sel_rate") == 0.5 && m("b").getAs[Double]("sel_rate") == 0.5)
+    assert(m("a").getAs[Double]("tpr") == 0.5 && m("b").getAs[Double]("tpr") == 1.0)
+    assert(m("a").getAs[Double]("fpr") == 0.5 && m("b").getAs[Double]("fpr") == 0.0)
+    assert(m("c").isNullAt(m("c").fieldIndex("fpr"))) // no negatives in group c
+    assert(m("a").getAs[Double]("dp_gap") == 0.0)     // all sel rates equal (0.5)
+    assert(m("a").getAs[Double]("tpr_gap") == 0.5)    // 1.0 - 0.5
+  }
+
   test("cohen's kappa: sklearn worked example and degenerate agreement") {
     val df = Seq((0, 0), (1, 1), (0, 1), (1, 1), (1, 1)).toDF("a", "b")
     val k = Evaluator.cohenKappa(df, "a", "b").head()
