@@ -173,6 +173,16 @@ class SourcesPlanSpec extends SparkSpec {
     }
   }
 
+  test("driver contract: every oracle twins a query; rows-only set is exactly q_ann_lsh") {
+    // the correctness gate only checks queries that HAVE oracles — this
+    // pins the exception list so coverage can't silently leak into
+    // weaker rows-only checks
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
+      (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toSeq.sorted.mkString(", "))
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == Set("q_ann_lsh"),
+      (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted.mkString(", "))
+  }
+
   test("no SparkEntry query plans a UDF, Python eval, or cartesian product") {
     // standing guard for the codegen-friendly surface contract
     // (SURVEY §3): planning only — no query executes here, though a few
