@@ -143,8 +143,11 @@ object GlobalRank {
     * the group values instead (each run range-partitions WITHIN the
     * group), or fall back to approx_percentile per group.
     *
-    * Nulls are excluded per group (pandas semantics). A group with a
-    * single value returns that value for every probe.
+    * Nulls AND NaN values are excluded per group (pandas
+    * `groupby().quantile()` skips NaN; under Spark ordering a NaN
+    * sorts last and would poison any probe whose floor/ceil rank
+    * touches it). A group with a single value returns that value for
+    * every probe; a group with no valid values is dropped.
     */
   def groupQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
       probs: Seq[(String, Double)]): DataFrame = {
@@ -152,7 +155,7 @@ object GlobalRank {
       s"probs must be named and in [0,1]: $probs")
     val gcols = groupCols.map(col)
     val base = df.select(gcols :+ valueCol.cast("double").as("__v"): _*)
-      .filter(col("__v").isNotNull)
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
     val wOrd = Window.partitionBy(gcols: _*).orderBy(col("__v"))
     val wAll = Window.partitionBy(gcols: _*)
     val ranked = base
@@ -176,20 +179,26 @@ object GlobalRank {
     * [[exactQuantiles]] over the (collected — caller asserts few)
     * distinct group values, so each group's quantile pass
     * range-partitions WITHIN the group instead of sorting the whole
-    * group on one reducer. Same linear-interpolation semantics;
-    * spec-asserted equal to groupQuantiles. Null group values are
-    * skipped (match groupQuantiles' null-value drop, not its key set).
+    * group on one reducer. Same linear-interpolation semantics AND the
+    * same key set as groupQuantiles on any input: groups are derived
+    * from the null/NaN-filtered value rows, so a group with no valid
+    * value is dropped on both paths (not emitted as NaN), and null
+    * group keys are skipped.
+    *
+    * The result frame is built driver-side with 1 partition — by
+    * contract it holds ≤ `maxGroups` (64) rows.
     */
   def exactQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: Column,
       probs: Seq[(String, Double)], maxGroups: Int = 64): DataFrame = {
     val spark = df.sparkSession
-    val groups = df.select(col(groupCol).cast("string")).na.drop()
+    val vals = df.filter(valueCol.isNotNull && !isnan(valueCol.cast("double")))
+    val groups = vals.select(col(groupCol).cast("string")).na.drop()
       .distinct().orderBy(col(groupCol)).collect().map(_.getString(0))
     require(groups.length <= maxGroups,
       s"${groups.length} groups > maxGroups=$maxGroups — this path is for LOW-cardinality " +
         "keys (one distributed quantile job per group); use groupQuantiles for many groups")
     val rows = groups.map { g =>
-      val qs = exactQuantiles(df.filter(col(groupCol).cast("string") === g), valueCol,
+      val qs = exactQuantiles(vals.filter(col(groupCol).cast("string") === g), valueCol,
         probs.map(_._2))
       Row.fromSeq(g +: qs.toSeq)
     }
@@ -197,6 +206,31 @@ object GlobalRank {
       StructField(groupCol, org.apache.spark.sql.types.StringType, nullable = false) +:
         probs.map { case (name, _) => StructField(name, DoubleType, nullable = false) })
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+  }
+
+  /** ONE grouped-quantile entry point: probes the group-key cardinality
+    * (a single cheap `approx_count_distinct` job) and routes to the
+    * shape that scales for it — few giant groups →
+    * [[exactQuantilesByGroup]] (per-group range partitioning), many
+    * reducer-sized groups → [[groupQuantiles]] (one hash shuffle +
+    * per-group window). The documented scale boundary
+    * (GlobalRank.scala, "SCALE BOUNDARY") is the threshold; the probe
+    * stays 10% under the low-card contract cap because
+    * approx_count_distinct carries ~2% relative error.
+    *
+    * Output schema is identical on both routes (group key cast to
+    * string, null group keys dropped); spec-asserted equal across the
+    * boundary.
+    */
+  def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: Column,
+      probs: Seq[(String, Double)], lowCardMax: Int = 64): DataFrame = {
+    val approx = df.select(approx_count_distinct(col(groupCol)).as("__c"))
+      .head().getLong(0)
+    if (approx <= (lowCardMax * 9L) / 10L)
+      exactQuantilesByGroup(df, groupCol, valueCol, probs, lowCardMax)
+    else
+      groupQuantiles(df.filter(col(groupCol).isNotNull), Seq(groupCol), valueCol, probs)
+        .withColumn(groupCol, col(groupCol).cast("string"))
   }
 
   /** Distributed inclusive prefix sums over a total order — the same

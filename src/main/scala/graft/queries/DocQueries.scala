@@ -287,12 +287,17 @@ object DocQueries {
       |FROM h ORDER BY doc_id""".stripMargin
 
   /** [R] rows-only: random-hyperplane LSH ANN top-k (recall is
-    * probabilistic — spec-tested, not oracle-gated).
+    * probabilistic — spec-tested, not oracle-gated). Rides the
+    * multi-table path: 3 independent 4-plane tables, so each table
+    * prunes ~16× while a neighbor missed by one table is caught by
+    * the others ((1−p1⁴)³ miss bound — the [[Similarity.planesFor]]
+    * math; recall@k ≥ 0.8 spec'd in TextDedupSimSpec).
     */
   def qAnnLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sub = Tables.embeddings(s, d).filter($"vec_id" % 5 === 0)
-    Similarity.annLsh(sub, "vec_id", "embedding", dim = 64, nPlanes = 2, seed = 7L, k = 3)
+    Similarity.annLshMulti(sub, "vec_id", "embedding", dim = 64,
+      nPlanes = 4, seeds = Seq(7L, 19L, 31L), k = 3)
       .orderBy($"query_id", $"rank")
   }
 
@@ -503,9 +508,18 @@ object DocQueries {
     */
   def qContamination(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // each exploded row carries an 8-byte xxhash64 of the 5-gram, not
+    // the ~40-byte concatenated string — a ~5× cut in explode/shuffle/
+    // broadcast bytes on the most data-proportional step. xxhash64
+    // (codegen'd built-in) over PolyHash because PolyHash folds mod
+    // 1e9+7 (~30 bits — birthday collisions at ~40k grams); 64 bits
+    // keeps membership exact at any realistic corpus size (expected
+    // false merges ≈ n²/2⁶⁵). String-form parity is spec'd at test SF
+    // (TextDedupSimSpec: hashed counts == string counts).
     def grams(df: DataFrame): DataFrame = df
       .select($"doc_id", TextFunctions.tokens($"text").as("tk"))
-      .select($"doc_id", explode(array_distinct(TextFunctions.wordNgramsOf($"tk", 5))).as("ng"))
+      .select($"doc_id", explode(array_distinct(transform(
+        TextFunctions.wordNgramsOf($"tk", 5), g => xxhash64(g)))).as("ng"))
     val docs = Tables.documents(s, d)
     val bench = grams(docs.filter($"doc_id" % 50 === 0)).select($"ng").distinct()
     val corpus = grams(docs.filter($"doc_id" % 50 =!= 0))
@@ -544,27 +558,32 @@ object DocQueries {
     */
   def qPmiBigrams(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // one corpus scan per n-gram order. N (token total) rides the
-    // vocab frame as a whole-frame window sum (vocab-sized — tiny),
-    // not a separate aggregate over a THIRD corpus scan; the vocab
-    // frame is localCheckpointed because both join sides consume it
-    // (without it each broadcast would re-run the explode+groupBy)
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    // one corpus scan per n-gram order; both count frames are
+    // localCheckpointed because each is consumed twice (totals +
+    // joins) and recomputing would re-scan the corpus. Corpus totals
+    // N and B are 1-row scalar aggregates cross-joined back in — NOT
+    // whole-frame windows over the distinct-ngram frames (an
+    // empty-partition window funnels the full distinct-bigram frame,
+    // billions of rows at scale, through ONE reducer). The x/y vocab
+    // joins are plain equi-joins: a 100M+-row vocab must never be
+    // forced into a broadcast; AQE still broadcasts size-permitting.
     val uni = Tables.documents(s, d)
       .select(explode(TextFunctions.tokens($"text")).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("nx"))
-      .withColumn("nu", sum($"nx").over(wAll).cast("double"))
       .localCheckpoint()
     val bi = Tables.documents(s, d)
       .select(TextFunctions.tokens($"text").as("tk")) // own Project: split once per row
       .select(explode(TextFunctions.wordNgramsOf($"tk", 2)).as("bg"))
       .groupBy($"bg").agg(count(lit(1)).as("nxy"))
-      .withColumn("nb", sum($"nxy").over(wAll).cast("double"))
+      .localCheckpoint()
+    val totals = uni.agg(sum($"nx").cast("double").as("nu"))
+      .crossJoin(bi.agg(sum($"nxy").cast("double").as("nb")))
     bi.filter($"nxy" >= 5)
       .select(split($"bg", " ").getItem(0).as("x"), split($"bg", " ").getItem(1).as("y"),
-        $"nxy", $"nb")
-      .join(broadcast(uni.select($"tok".as("x"), $"nx", $"nu")), "x")
-      .join(broadcast(uni.select($"tok".as("y"), $"nx".as("ny"))), "y")
+        $"nxy")
+      .join(uni.select($"tok".as("x"), $"nx"), "x")
+      .join(uni.select($"tok".as("y"), $"nx".as("ny")), "y")
+      .crossJoin(broadcast(totals))
       .select($"x", $"y", $"nxy",
         r4(log(($"nxy" / $"nb") / (($"nx" / $"nu") * ($"ny" / $"nu")))).as("pmi"))
       .orderBy($"x", $"y")
