@@ -41,6 +41,28 @@ object Champion {
     scored.write.mode("overwrite").parquet(outPath)
   }
 
+  /** [[batchPredict]] behind a [[graft.features.FeatureSchema]] gate
+    * (reference: api_server.py:96-131 validates records before the
+    * model sees them; this is the batch analog): malformed rows land in
+    * `quarantinePath` with their per-row violation reasons, clean rows
+    * score exactly as [[batchPredict]] would (the clean frame's
+    * declared columns are cast to their declared types — a no-op when
+    * the input already matches). The scoring job never dies on a bad
+    * record and the quarantine is auditable.
+    */
+  def batchPredictValidated(spark: SparkSession, model: Transformer, inPath: String,
+      outPath: String, quarantinePath: String, featureArrayCol: String,
+      rules: Seq[graft.features.FeatureSchema.Rule]): Unit = {
+    val in = spark.read.parquet(inPath)
+    val split = graft.features.FeatureSchema.validate(in, rules)
+    split.quarantine.write.mode("overwrite").parquet(quarantinePath)
+    val feats = Trainer.withFeaturesFromArray(split.ok, featureArrayCol)
+    val scored = model.transform(feats)
+      .withColumn("pos_prob", Trainer.posProb("probability"))
+      .drop("features", "rawPrediction", "probability")
+    scored.write.mode("overwrite").parquet(outPath)
+  }
+
   /** Multiclass batch prediction: `prediction` (class index) plus the
     * full per-class probability array — pos_prob is a binary concept.
     */

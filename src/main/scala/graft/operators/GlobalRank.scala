@@ -191,42 +191,59 @@ object GlobalRank {
   def exactQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: Column,
       probs: Seq[(String, Double)], maxGroups: Int = 64): DataFrame = {
     val spark = df.sparkSession
+    // persisted for the lifetime of the loop: the distinct-groups
+    // collect plus each group's quantile pass would otherwise re-scan
+    // (and re-filter) the full upstream once per group — up to
+    // maxGroups+1 input scans
     val vals = df.filter(valueCol.isNotNull && !isnan(valueCol.cast("double")))
-    val groups = vals.select(col(groupCol).cast("string")).na.drop()
-      .distinct().orderBy(col(groupCol)).collect().map(_.getString(0))
-    require(groups.length <= maxGroups,
-      s"${groups.length} groups > maxGroups=$maxGroups — this path is for LOW-cardinality " +
-        "keys (one distributed quantile job per group); use groupQuantiles for many groups")
-    val rows = groups.map { g =>
-      val qs = exactQuantiles(vals.filter(col(groupCol).cast("string") === g), valueCol,
-        probs.map(_._2))
-      Row.fromSeq(g +: qs.toSeq)
-    }
-    val schema = StructType(
-      StructField(groupCol, org.apache.spark.sql.types.StringType, nullable = false) +:
-        probs.map { case (name, _) => StructField(name, DoubleType, nullable = false) })
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val groups = vals.select(col(groupCol).cast("string")).na.drop()
+        .distinct().orderBy(col(groupCol)).collect().map(_.getString(0))
+      require(groups.length <= maxGroups,
+        s"${groups.length} groups > maxGroups=$maxGroups — this path is for LOW-cardinality " +
+          "keys (one distributed quantile job per group); use groupQuantiles for many groups")
+      val rows = groups.map { g =>
+        val qs = exactQuantiles(vals.filter(col(groupCol).cast("string") === g), valueCol,
+          probs.map(_._2))
+        Row.fromSeq(g +: qs.toSeq)
+      }
+      val schema = StructType(
+        StructField(groupCol, org.apache.spark.sql.types.StringType, nullable = false) +:
+          probs.map { case (name, _) => StructField(name, DoubleType, nullable = false) })
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+    } finally { vals.unpersist(); () }
   }
 
   /** ONE grouped-quantile entry point: probes the group-key cardinality
-    * (a single cheap `approx_count_distinct` job) and routes to the
-    * shape that scales for it — few giant groups →
-    * [[exactQuantilesByGroup]] (per-group range partitioning), many
-    * reducer-sized groups → [[groupQuantiles]] (one hash shuffle +
-    * per-group window). The documented scale boundary
-    * (GlobalRank.scala, "SCALE BOUNDARY") is the threshold; the probe
-    * stays 10% under the low-card contract cap because
-    * approx_count_distinct carries ~2% relative error.
+    * EXACTLY — `distinct().limit(lowCardMax + 1).count()` — and routes
+    * to the shape that scales for it: ≤ lowCardMax groups →
+    * [[exactQuantilesByGroup]] (per-group range partitioning — few
+    * giant groups), more → [[groupQuantiles]] (one hash shuffle +
+    * per-group window — many reducer-sized groups; the documented
+    * "SCALE BOUNDARY" above). The probe is one narrow job at any input
+    * size: the partial (map-side) distinct collapses each task to at
+    * most the true key count, and the global limit stops at
+    * lowCardMax + 1 keys. An HLL estimate (approx_count_distinct)
+    * would be cheaper by a constant but mis-routes near the boundary —
+    * a ~5%-rsd underestimate of a just-over-cap cardinality routes to
+    * exactQuantilesByGroup, whose `require` then throws on valid
+    * input. The exact probe has no such window: the exact path's group
+    * set (derived after null/NaN value filtering, string-cast) is a
+    * subset of the probed key set, so probe ≤ lowCardMax guarantees
+    * the cap holds.
     *
     * Output schema is identical on both routes (group key cast to
-    * string, null group keys dropped); spec-asserted equal across the
-    * boundary.
+    * string, null group keys dropped, null/NaN values excluded per
+    * group); spec-asserted equal on both sides of the boundary and at
+    * the exact boundary cardinality (FeatureEvalSpec
+    * "quantilesByGroup").
     */
   def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: Column,
       probs: Seq[(String, Double)], lowCardMax: Int = 64): DataFrame = {
-    val approx = df.select(approx_count_distinct(col(groupCol)).as("__c"))
-      .head().getLong(0)
-    if (approx <= (lowCardMax * 9L) / 10L)
+    val nGroups = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol)).distinct().limit(lowCardMax + 1).count()
+    if (nGroups <= lowCardMax)
       exactQuantilesByGroup(df, groupCol, valueCol, probs, lowCardMax)
     else
       groupQuantiles(df.filter(col(groupCol).isNotNull), Seq(groupCol), valueCol, probs)

@@ -166,14 +166,16 @@ object CoreQueries2 {
       |FROM lineitem""".stripMargin
 
   /** Exact PER-GROUP quantiles (pandas groupby().quantile shape) via
-    * [[graft.operators.GlobalRank.groupQuantiles]]: one hash shuffle on
-    * the group key + a per-group window sort; each row contributes at
-    * most an interpolation weight — never a per-group value buffer.
+    * the [[graft.operators.GlobalRank.quantilesByGroup]] router: a
+    * cheap exact cardinality probe picks the scale shape — here
+    * l_returnflag has 3 values, so each (giant) group gets its own
+    * range-partitioned [[graft.operators.GlobalRank.exactQuantiles]]
+    * pass instead of sorting 1/3 of the table on one reducer.
     */
   def qGroupPercentiles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.operators.GlobalRank.groupQuantiles(
-        Tables.lineitem(s, d), Seq("l_returnflag"), $"l_extendedprice",
+    graft.operators.GlobalRank.quantilesByGroup(
+        Tables.lineitem(s, d), "l_returnflag", $"l_extendedprice",
         Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
       .select($"l_returnflag",
         (round($"p25", 4) + lit(0.0)).as("p25"),
@@ -195,25 +197,33 @@ object CoreQueries2 {
     * Iglewicz-Hoaglin modified z-score |0.6745·(x−med)/MAD| > 3.5,
     * immune to the outliers it hunts (unlike mean/stddev). Two
     * chained exact-quantile fits (median, then median absolute
-    * deviation) via GlobalRank.groupQuantiles — tiny per-group stats
-    * broadcast back, never a per-group buffer.
+    * deviation) via the GlobalRank.quantilesByGroup router — the
+    * handful of event_type groups route to per-group range-partitioned
+    * quantile passes; tiny per-group stats broadcast back, never a
+    * per-group buffer.
     */
   def qOutlierMad(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, d).select($"event_type", $"value")
     val med = graft.operators.GlobalRank
-      .groupQuantiles(ev, Seq("event_type"), $"value", Seq("med" -> 0.5))
+      .quantilesByGroup(ev, "event_type", $"value", Seq("med" -> 0.5))
       .localCheckpoint() // consumed by both the MAD fit and the final pass
     val withMed = ev.join(broadcast(med), "event_type")
-    val mad = graft.operators.GlobalRank.groupQuantiles(
+    val mad = graft.operators.GlobalRank.quantilesByGroup(
       withMed.select($"event_type", abs($"value" - $"med").as("ad")),
-      Seq("event_type"), $"ad", Seq("mad" -> 0.5))
+      "event_type", $"ad", Seq("mad" -> 0.5))
     withMed.join(broadcast(mad), "event_type")
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
         (round(max($"med"), 4) + lit(0.0)).as("med"),
         (round(max($"mad"), 4) + lit(0.0)).as("mad"),
-        sum(when(abs(lit(0.6745) * ($"value" - $"med") / $"mad") > 3.5, 1L)
+        // MAD = 0 (majority-constant group) guard: Spark's non-ANSI
+        // divide yields NULL there while DuckDB's IEEE divide yields
+        // ±Inf — without the guard the engines disagree on whether a
+        // degenerate group's non-median rows are "outliers". The MAD
+        // statistic is undefined at MAD=0, so neither answer is
+        // meaningful: count 0 outliers, mirrored as CASE in the oracle.
+        sum(when($"mad" > 0 && abs(lit(0.6745) * ($"value" - $"med") / $"mad") > 3.5, 1L)
           .otherwise(0L)).as("n_outliers"))
       .orderBy($"event_type")
   }
@@ -226,7 +236,7 @@ object CoreQueries2 {
       |SELECT a.event_type, count(*) AS n,
       | round(max(a.med), 4) + 0 AS med,
       | round(max(d.mad), 4) + 0 AS mad,
-      | CAST(sum(CASE WHEN abs(0.6745 * (a.value - a.med) / d.mad) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      | CAST(sum(CASE WHEN d.mad > 0 AND abs(0.6745 * (a.value - a.med) / d.mad) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM a JOIN d USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -414,7 +414,73 @@ object FeatureQueries {
       |   ELSE sqrt(chi2 / (CAST(tot AS DOUBLE) * least(kx - 1, ky - 1))) END, 6) + 0 AS cramers_v
       |FROM s ORDER BY feature""".stripMargin
 
+  /** Online feature-view materialization over the events stream table:
+    * latest (value, event_type) per user — [[FeatureStore.materializeOnline]]'s
+    * single max_by hash aggregate, oracle-mirrored as a latest-row
+    * window. The ts is surfaced as unix micros (both engines read the
+    * same parquet; micros is the cross-engine-stable form).
+    */
+  def qFeatureOnline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    FeatureStore.materializeOnline(
+        Tables.events(s, d), "user_id", "ts", "event_id", Seq("value", "event_type"))
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"value", $"event_type")
+      .orderBy($"user_id")
+  }
+
+  val qFeatureOnlineOracle: String =
+    """SELECT user_id, epoch_us(ts) AS ts_us, value, event_type FROM (
+      | SELECT user_id, ts, value, event_type,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Input-schema validation audit ([[FeatureSchema.validate]] — the
+    * engine seat of the reference's pre-scoring record validation):
+    * events checked against a declarative rule set (value in [0, 100],
+    * event_type in an allowed domain), summarized as clean/quarantined
+    * counts plus per-reason tallies from the quarantine's violations
+    * column.
+    */
+  def qSchemaValidate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val ev = Tables.events(s, d)
+    val rules = Seq(
+      FeatureSchema.Rule("user_id", LongType),
+      FeatureSchema.Rule("value", DoubleType, min = Some(0.0), max = Some(100.0)),
+      FeatureSchema.Rule("event_type", StringType,
+        domain = Some(Seq("click", "view", "purchase", "signup"))))
+    val res = FeatureSchema.validate(ev, rules)
+    val nIn = ev.agg(count(lit(1)).as("n_input"))
+    val nOk = res.ok.agg(count(lit(1)).as("n_ok"))
+    val nQ = res.quarantine.agg(
+      count(lit(1)).as("n_quarantined"),
+      sum(when(array_contains($"violations", "value: above max 100.0"), 1L)
+        .otherwise(0L)).as("n_value_high"),
+      sum(when(array_contains($"violations", "event_type: not in domain"), 1L)
+        .otherwise(0L)).as("n_bad_domain"))
+    nIn.crossJoin(nOk).crossJoin(nQ)
+  }
+
+  val qSchemaValidateOracle: String =
+    """WITH f AS (SELECT
+      |  CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS vh,
+      |  CASE WHEN value < 0.0 THEN 1 ELSE 0 END AS vl,
+      |  CASE WHEN user_id IS NULL THEN 1 ELSE 0 END AS un,
+      |  CASE WHEN value IS NULL THEN 1 ELSE 0 END AS vn,
+      |  CASE WHEN event_type IS NOT NULL
+      |       AND event_type NOT IN ('click','view','purchase','signup') THEN 1 ELSE 0 END AS bd
+      | FROM events)
+      |SELECT count(*) AS n_input,
+      | CAST(sum(CASE WHEN vh=0 AND vl=0 AND un=0 AND vn=0 AND bd=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+      | CAST(sum(CASE WHEN vh=1 OR vl=1 OR un=1 OR vn=1 OR bd=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+      | CAST(sum(vh) AS BIGINT) AS n_value_high,
+      | CAST(sum(bd) AS BIGINT) AS n_bad_domain
+      |FROM f""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_feature_online" -> qFeatureOnline,
+    "q_schema_validate" -> qSchemaValidate,
     "q_chi2" -> qChi2,
     "q_mutual_info" -> qMutualInfo,
     "q_outlier_iqr" -> qOutlierIqr,
@@ -434,6 +500,8 @@ object FeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_feature_online" -> qFeatureOnlineOracle,
+    "q_schema_validate" -> qSchemaValidateOracle,
     "q_chi2" -> qChi2Oracle,
     "q_mutual_info" -> qMutualInfoOracle,
     "q_outlier_iqr" -> qOutlierIqrOracle,

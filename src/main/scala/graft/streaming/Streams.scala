@@ -140,6 +140,33 @@ object Streams {
       }
       .start()
 
+  /** [[scoringSink]] behind a [[graft.features.FeatureSchema]] gate —
+    * the streaming seat of the reference's request validation
+    * (api_server.py:96-131): each microbatch splits into clean rows
+    * (scored and landed exactly as [[scoringSink]] does) and malformed
+    * rows (landed under `quarantinePath` with per-row violation
+    * reasons, idempotent per batch id the same way). A poisoned record
+    * quarantines instead of killing the query.
+    */
+  def scoringSinkValidated(stream: DataFrame, bundle: graft.ml.Deployment.Bundle,
+      featureArrayCol: String, rules: Seq[graft.features.FeatureSchema.Rule],
+      outPath: String, quarantinePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val split = graft.features.FeatureSchema.validate(batch, rules)
+        split.quarantine
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("__batch_part", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_part")
+          .parquet(quarantinePath)
+        writeScoredBatch(bundle, split.ok, featureArrayCol, outPath, batchId)
+      }
+      .start()
+
   /** The idempotent per-batch write behind [[scoringSink]] (exposed so a
     * spec can replay a batch id and assert no duplicates). Dynamic
     * partition overwrite replaces ONLY the partitions present in this

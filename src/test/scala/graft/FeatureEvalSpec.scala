@@ -178,24 +178,101 @@ class FeatureEvalSpec extends SparkSpec {
     assert(miNull > 0.5 * math.log(2)) // still highly informative
   }
 
-  test("groupQuantiles matches the percentile aggregate per group; null/single-value groups") {
+  test("groupQuantiles matches the percentile aggregate per group; null/NaN/single-value groups") {
     import graft.operators.GlobalRank
     val rnd = new scala.util.Random(47)
+    // g0-g2 clean; "mixed" carries real values AND interleaved NaNs
+    // (the round-7 semantic: NaN excluded per group, like nulls — under
+    // Spark ordering NaN sorts last and would otherwise poison any
+    // probe whose floor/ceil rank touches it, e.g. p90 here)
     val rows = (1 to 500).map(i => (s"g${i % 3}", rnd.nextDouble() * 100)) ++
-      Seq(("solo", 42.0), ("nulls", Double.NaN))
+      (1 to 40).map(i => ("mixed", if (i % 4 == 0) Double.NaN else i.toDouble)) ++
+      Seq(("solo", 42.0), ("nulls", Double.NaN), ("nans", Double.NaN))
     val df = rows.toDF("g", "v")
       .withColumn("v", when($"g" === "nulls", lit(null)).otherwise($"v"))
     val probs = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)
     val got = GlobalRank.groupQuantiles(df, Seq("g"), $"v", probs)
       .collect().map(r => r.getString(0) -> probs.indices.map(i => r.getDouble(i + 1))).toMap
-    // reference: Spark's exact percentile aggregate (test-SF only)
-    val ref = df.filter($"v".isNotNull).groupBy($"g")
+    // reference: Spark's exact percentile aggregate over the non-null,
+    // non-NaN values (test-SF only)
+    val ref = df.filter($"v".isNotNull && !isnan($"v")).groupBy($"g")
       .agg(expr("percentile(v, array(0.25, 0.5, 0.9))").as("q"))
       .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(ref.contains("mixed"))
     for (g <- ref.keys; i <- probs.indices)
       assert(math.abs(got(g)(i) - ref(g)(i)) < 1e-9, s"$g p${probs(i)._1}")
     assert(got("solo") == Seq(42.0, 42.0, 42.0))
     assert(!got.contains("nulls")) // all-null group drops (pandas semantics)
+    assert(!got.contains("nans")) // all-NaN group drops the same way
+  }
+
+  test("quantilesByGroup router: identical output on both sides of the boundary, incl. at-cap") {
+    import graft.operators.GlobalRank
+    val rnd = new scala.util.Random(61)
+    // 6 uneven groups with nulls and NaNs sprinkled into one of them
+    val rows = (1 to 600).map(i => (s"g${i % 6}", rnd.nextDouble() * 10))
+    val df = rows.toDF("g", "v")
+      .withColumn("v", when($"g" === "g0" && $"v" < 0.5, lit(Double.NaN)).otherwise($"v"))
+    val probs = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> probs.indices.map(i => r.getDouble(i + 1))).toMap
+    val direct = toMap(GlobalRank.groupQuantiles(df, Seq("g"), $"v", probs))
+    // cardinality == lowCardMax exactly: the crash window an HLL probe
+    // had (a ~5% underestimate of just-over-cap routed into
+    // exactQuantilesByGroup's require) — the exact probe must route
+    // low-card and NOT throw
+    val atCap = GlobalRank.quantilesByGroup(df, "g", $"v", probs, lowCardMax = 6)
+    // one over cap → the groupQuantiles arm; well under → the exact arm
+    val overCap = GlobalRank.quantilesByGroup(df, "g", $"v", probs, lowCardMax = 5)
+    val underCap = GlobalRank.quantilesByGroup(df, "g", $"v", probs)
+    // schema contract: both arms emit identical names AND types
+    for (d <- Seq(atCap, overCap, underCap)) {
+      assert(d.schema.fieldNames.toSeq == Seq("g", "p25", "p50", "p90"))
+      assert(d.schema.fields.map(_.dataType).forall(t =>
+        t == org.apache.spark.sql.types.StringType ||
+          t == org.apache.spark.sql.types.DoubleType))
+    }
+    for (m <- Seq(toMap(atCap), toMap(overCap), toMap(underCap))) {
+      assert(m.keySet == direct.keySet)
+      for (g <- direct.keySet; i <- probs.indices)
+        assert(math.abs(m(g)(i) - direct(g)(i)) < 1e-9, s"$g ${probs(i)._1}")
+    }
+  }
+
+  test("FeatureSchema.validate: clean rows cast, malformed rows quarantined with reasons") {
+    import graft.features.FeatureSchema
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val df = Seq(
+      (1L, "10.5", "click"), // clean
+      (2L, "abc", "click"), // not castable to double
+      (3L, "200.0", "view"), // above max
+      (4L, null, "view"), // null in non-nullable
+      (5L, "-3.0", "scroll") // below min AND outside domain
+    ).toDF("id", "v", "et")
+    val rules = Seq(
+      FeatureSchema.Rule("id", LongType),
+      FeatureSchema.Rule("v", DoubleType, min = Some(0.0), max = Some(100.0)),
+      FeatureSchema.Rule("et", StringType, domain = Some(Seq("click", "view"))))
+    val res = FeatureSchema.validate(df, rules)
+    val okRows = res.ok.collect()
+    assert(okRows.map(_.getLong(0)).toSeq == Seq(1L))
+    // the clean frame carries the DECLARED types (v was a string)
+    assert(res.ok.schema("v").dataType == DoubleType)
+    assert(okRows.head.getDouble(1) == 10.5)
+    val q = res.quarantine.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](r.fieldIndex("violations"))).toMap
+    assert(q.keySet == Set(2L, 3L, 4L, 5L))
+    assert(q(2L) == Seq("v: not castable to double"))
+    assert(q(3L) == Seq("v: above max 100.0"))
+    assert(q(4L) == Seq("v: null"))
+    assert(q(5L) == Seq("v: below min 0.0", "et: not in domain"))
+    // quarantine preserves the ORIGINAL (uncast) values for audit
+    assert(res.quarantine.schema("v").dataType == StringType)
+    // structural 422: a missing declared column fails fast, by name
+    val err = intercept[IllegalArgumentException] {
+      FeatureSchema.validate(df.drop("et"), rules)
+    }
+    assert(err.getMessage.contains("et"))
   }
 
   test("exactQuantilesByGroup (low-cardinality scale path) equals groupQuantiles") {

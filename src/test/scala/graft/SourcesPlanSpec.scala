@@ -100,6 +100,43 @@ class SourcesPlanSpec extends SparkSpec {
     assert(out(1).isNullAt(3)) // no feature rows for key 3
   }
 
+  test("online materialization equals historicalFeatures at max event time; bucketed layout") {
+    import graft.features.FeatureStore
+    val feats = Seq(
+      (1L, 100L, 1L, 10.0, "a"),
+      (1L, 200L, 2L, 20.0, "b"),
+      (1L, 200L, 3L, 30.0, "c"), // ts tie → largest tieBreak wins
+      (2L, 50L, 4L, 5.0, "x")
+    ).toDF("k", "ts_s", "eid", "f", "tag")
+    val online = FeatureStore.materializeOnline(feats, "k", "ts_s", "eid", Seq("f", "tag"))
+      .orderBy($"k").collect()
+    assert(online.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSeq ==
+      Seq((1L, 200L, 30.0, "c"), (2L, 50L, 5.0, "x")))
+    // the online row IS the point-in-time row "now": equals
+    // historicalFeatures evaluated at the max event time
+    val entities = feats.select($"k").distinct()
+      .withColumn("ts_s", lit(200L)).withColumn("eid", lit(Long.MaxValue))
+    val pit = FeatureStore.historicalFeatures(entities, feats, "k", "ts_s", "eid", Seq("f", "tag"))
+      .select($"k", $"asof_f", $"asof_tag").orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(pit == online.map(r => (r.getLong(0), r.getDouble(2), r.getString(3))).toSeq)
+    // saveOnline lands a bucketed-on-key snapshot (the no-reshuffle
+    // serving-join property itself is pinned by the bucketed-tables
+    // spec below — here we pin that the snapshot actually HAS the
+    // bucketed layout and round-trips)
+    val wh = tmp()
+    try {
+      FeatureStore.saveOnline(spark, feats, "k", "ts_s", "eid", Seq("f", "tag"),
+        "online_view", s"$wh/online_view", buckets = 4)
+      val t = spark.table("online_view")
+      assert(t.count() == 2)
+      assert(t.columns.toSeq == Seq("k", "ts_s", "f", "tag"))
+      val desc = spark.sql("DESCRIBE EXTENDED online_view").collect().map(_.mkString("|"))
+      assert(desc.exists(l => l.contains("Num Buckets") && l.contains("4")), desc.mkString("\n"))
+      assert(desc.exists(l => l.contains("Bucket Columns") && l.contains("k")))
+    } finally spark.sql("DROP TABLE IF EXISTS online_view")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = tmp()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue

@@ -252,6 +252,38 @@ class StreamsSpec extends SparkSpec {
     assert(replayed.count() == 20, "replayed batch must not duplicate rows")
     assert(replayed.filter($"batch_id" === 1L).count() == 10)
     assert(replayed.filter($"batch_id" === 0L).count() == 10, "other batches untouched")
+
+    // ---- validated variants: the FeatureSchema gate in front of scoring ----
+    import org.apache.spark.sql.types.LongType
+    val rules = Seq(graft.features.FeatureSchema.Rule("id", LongType, min = Some(0.0)))
+    // streaming: malformed rows (negative id) quarantine with reasons,
+    // clean rows score identically to the ungated algebra
+    val vIn = (1 to 3).map(i => ScoreIn(2000L + i, blob(i))) ++
+      Seq(ScoreIn(-1L, blob(4)), ScoreIn(-2L, blob(5)))
+    val ms2 = MemoryStream[ScoreIn]
+    val q2 = Streams.scoringSinkValidated(ms2.toDF(), bundle, "arr", rules,
+      s"$dir/vscored", s"$dir/vquarantine", s"$dir/vckpt")
+    ms2.addData(vIn: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val vScored = spark.read.parquet(s"$dir/vscored")
+    assert(vScored.count() == 3)
+    val offline2 = bundle.score(vIn.take(3).toDF(), "arr").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    vScored.collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("score") - offline2(r.getAs[Long]("id"))) < 1e-12)
+    }
+    val vQuar = spark.read.parquet(s"$dir/vquarantine")
+    assert(vQuar.count() == 2)
+    assert(vQuar.select(explode($"violations")).collect()
+      .forall(_.getString(0) == "id: below min 0.0"))
+
+    // batch twin: batchPredictValidated splits the same input the same way
+    vIn.toDF().write.mode("overwrite").parquet(s"$dir/vin")
+    Champion.batchPredictValidated(spark, res.champion.get.model, s"$dir/vin",
+      s"$dir/vout", s"$dir/vq2", "arr", rules)
+    assert(spark.read.parquet(s"$dir/vout").count() == 3)
+    assert(spark.read.parquet(s"$dir/vq2").count() == 2)
   }
 
   test("stream-static join enriches a stream with a dimension table") {

@@ -528,6 +528,57 @@ class TextDedupSimSpec extends SparkSpec {
     assert(one == oneM)
   }
 
+  test("hashed 5-gram counts equal string 5-gram counts (q_contamination's compression)") {
+    // q_contamination rides 8-byte xxhash64 gram values instead of the
+    // ~40-byte strings; this pins that the compression changes NOTHING
+    // countable at test SF — same per-doc distinct-gram counts, same
+    // global distinct-gram count (i.e. zero collisions merged grams)
+    val docs = Tables.documents(spark, sf)
+    val tk = docs.select($"doc_id", TextFunctions.tokens($"text").as("tk"))
+    def gramCol(hashed: Boolean) = {
+      val g5 = TextFunctions.wordNgramsOf($"tk", 5)
+      if (hashed) explode(array_distinct(transform(g5, g => xxhash64(g))))
+      else explode(array_distinct(g5))
+    }
+    def stats(hashed: Boolean): (Long, Long, Map[Long, Long]) = {
+      val e = tk.select($"doc_id", gramCol(hashed).as("g"))
+      val perDoc = e.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (e.count(), e.select($"g").distinct().count(), perDoc)
+    }
+    val (nStr, distinctStr, perDocStr) = stats(hashed = false)
+    val (nHash, distinctHash, perDocHash) = stats(hashed = true)
+    assert(nStr == nHash)
+    assert(distinctStr == distinctHash, "xxhash64 collision merged distinct grams")
+    assert(perDocStr == perDocHash)
+  }
+
+  test("qAnnLsh shipped config: recall@3 >= 0.25 vs exact topK on the sub corpus") {
+    // pins the EXACT configuration q_ann_lsh ships (4 planes x seeds
+    // 7/19/31, k=3) against the exact top-3 on the same sub-corpus.
+    // The floor matches the query's own emitted recall_at_k gate and is
+    // measured (graft.tools.RecallProbe: 0.29-0.34 across SFs) — this
+    // corpus's neighbors sit near background similarity, the regime
+    // bucketing ANN correctly prunes; planted-neighbor recall under a
+    // planesFor config is spec'd >= 0.9 below.
+    val sub = Tables.embeddings(spark, sf).filter($"vec_id" % 5 === 0)
+    val approx = Similarity.annLshMulti(sub, "vec_id", "embedding", dim = 64,
+      nPlanes = 4, seeds = Seq(7L, 19L, 31L), k = 3)
+    val exact = Similarity.topK(sub, sub, "vec_id", "embedding", 3)
+    val nExact = exact.count()
+    val nHits = approx.select($"query_id", $"neighbor_id")
+      .join(exact.select($"query_id", $"neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = nHits.toDouble / nExact
+    info(f"shipped-config recall@3: $recall%.3f ($nHits/$nExact)")
+    assert(recall >= 0.25, s"recall@3 $recall under the shipped qAnnLsh config")
+    // and the query itself must emit that recall and survive its gate
+    val q = graft.queries.DocQueries.qAnnLsh(spark, sf)
+    val rows = q.collect()
+    assert(rows.nonEmpty, "qAnnLsh gated itself empty — recall regression")
+    assert(math.abs(rows.head.getAs[Double]("recall_at_k") - recall) < 1e-3)
+  }
+
   test("hyperplane bucket assigns identical vectors identically") {
     val vecs = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
     val b = vecs.select(Similarity.hyperplaneBucket($"v", 3, 4, 9L)).collect().map(_.getLong(0))
