@@ -713,7 +713,44 @@ object DocQueries {
       | round(min(h), 6) + 0 AS min_entropy
       |FROM e GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Sequence packing audit ([[graft.text.Packing.packSequences]] —
+    * the concat-then-split batching step of LLM pretraining): each doc
+    * is assigned to the 2048-token training sequence its first token
+    * lands in (doc_id order), then per-bin occupancy stats. The
+    * cumulative token count rides the distributed prefix-sum backbone,
+    * NOT a whole-corpus unpartitioned window; the oracle mirrors it
+    * with a window sum (fine at oracle SF).
+    */
+  def qPackSequences(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = 2048L
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", TextFunctions.tokenCount($"text").cast("long").as("n_tokens"))
+    graft.text.Packing.packSequences(docs, $"doc_id", $"n_tokens", budget)
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("bin_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .withColumn("fill", r4($"bin_tokens" / lit(budget.toDouble)))
+      .orderBy($"bin")
+  }
+
+  val qPackSequencesOracle: String =
+    """WITH t AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |       sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+      |b AS (SELECT doc_id, n_tokens,
+      |       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin FROM c)
+      |SELECT bin, count(*) AS n_docs,
+      | CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+      | min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+      | round(sum(n_tokens) / 2048.0, 4) + 0 AS fill
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_pack_sequences" -> qPackSequences,
     "q_mixture_weights" -> qMixtureWeights,
     "q_contamination" -> qContamination,
     "q_pmi_bigrams" -> qPmiBigrams,
@@ -742,6 +779,7 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pack_sequences" -> qPackSequencesOracle,
     "q_mixture_weights" -> qMixtureWeightsOracle,
     "q_contamination" -> qContaminationOracle,
     "q_pmi_bigrams" -> qPmiBigramsOracle,

@@ -579,6 +579,28 @@ class TextDedupSimSpec extends SparkSpec {
     assert(math.abs(rows.head.getAs[Double]("recall_at_k") - recall) < 1e-3)
   }
 
+  test("packSequences: concat-then-split bin assignment on a handcrafted corpus") {
+    import graft.text.Packing
+    // budget 2048; cumulative starts: 0, 100, 1100, 2600, 3200
+    // → docs 1-3 start in bin 0 (doc 3 overflows it), docs 4-5 in bin 1
+    val docs = Seq((1L, 100L), (2L, 1000L), (3L, 1500L), (4L, 600L), (5L, 5000L))
+      .toDF("doc_id", "n_tokens")
+    val packed = Packing.packSequences(docs, $"doc_id", $"n_tokens", 2048L)
+      .orderBy($"doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin"))
+    assert(packed.toSeq == Seq(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+    // bins are contiguous runs of the order; every doc is assigned
+    val bins = Packing.packSequences(docs, $"doc_id", $"n_tokens", 2048L)
+      .groupBy($"bin").agg(count(lit(1)).as("n"), sum($"n_tokens").as("t"))
+      .orderBy($"bin").collect()
+    assert(bins.map(_.getAs[Long]("n")).sum == 5)
+    assert(bins.map(_.getAs[Long]("t")).sum == 8200L)
+    // a doc larger than the whole budget still lands in exactly one bin
+    val big = Seq((1L, 10000L)).toDF("doc_id", "n_tokens")
+    assert(Packing.packSequences(big, $"doc_id", $"n_tokens", 2048L)
+      .head().getAs[Long]("bin") == 0L)
+  }
+
   test("hyperplane bucket assigns identical vectors identically") {
     val vecs = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
     val b = vecs.select(Similarity.hyperplaneBucket($"v", 3, 4, 9L)).collect().map(_.getLong(0))
