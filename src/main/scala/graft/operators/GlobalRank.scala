@@ -175,64 +175,85 @@ object GlobalRank {
     ranked.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** The LOW-cardinality companion of [[groupQuantiles]]: loops
-    * [[exactQuantiles]] over the (collected — caller asserts few)
-    * distinct group values, so each group's quantile pass
-    * range-partitions WITHIN the group instead of sorting the whole
-    * group on one reducer. Same linear-interpolation semantics AND the
-    * same key set as groupQuantiles on any input: groups are derived
-    * from the null/NaN-filtered value rows, so a group with no valid
-    * value is dropped on both paths (not emitted as NaN), and null
-    * group keys are skipped.
+  /** The LOW-cardinality companion of [[groupQuantiles]]: ONE
+    * distributed sort on the COMPOSITE key (group, value) — the
+    * [[withGlobalRowNumber]] backbone — then every group's order
+    * statistics are read out of the same ranked frame. Because the
+    * range partitioner keys on (group, value), a giant group is split
+    * across as many partitions as its values span: no group ever sits
+    * on one reducer (groupQuantiles' scale boundary), and no per-group
+    * job loop is needed (an earlier revision ran one quantile pass per
+    * group — maxGroups job chains; this is one). Driver-side state is
+    * O(groups × probs): per-group (count, first-rank) stats, the
+    * fetched boundary ranks, and the interpolation.
+    *
+    * Same linear-interpolation semantics AND the same key set as
+    * groupQuantiles on any input: groups are derived from the
+    * null/NaN-filtered value rows, so a group with no valid value is
+    * dropped on both paths (not emitted as NaN), and null group keys
+    * are skipped. Value ties make the row numbering within a group
+    * non-unique in order but not in value — the k-th smallest value of
+    * a group is well-defined regardless of tie order, which is all the
+    * interpolation reads.
     *
     * The result frame is built driver-side with 1 partition — by
     * contract it holds ≤ `maxGroups` (64) rows.
     */
   def exactQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: Column,
       probs: Seq[(String, Double)], maxGroups: Int = 64): DataFrame = {
+    require(probs.nonEmpty && probs.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
+      s"probs must be named and in [0,1]: $probs")
     val spark = df.sparkSession
-    // persisted for the lifetime of the loop: the distinct-groups
-    // collect plus each group's quantile pass would otherwise re-scan
-    // (and re-filter) the full upstream once per group — up to
-    // maxGroups+1 input scans
-    val vals = df.filter(valueCol.isNotNull && !isnan(valueCol.cast("double")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vals = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"), valueCol.cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val ranked = withGlobalRowNumber(vals, Seq(col("__g"), col("__v")), "__r")
     try {
-      val groups = vals.select(col(groupCol).cast("string")).na.drop()
-        .distinct().orderBy(col(groupCol)).collect().map(_.getString(0))
-      require(groups.length <= maxGroups,
-        s"${groups.length} groups > maxGroups=$maxGroups — this path is for LOW-cardinality " +
-          "keys (one distributed quantile job per group); use groupQuantiles for many groups")
-      // per-group quantile jobs submitted CONCURRENTLY: each group's
-      // pass is an independent job chain over the shared persisted
-      // input, and Spark's scheduler interleaves concurrent jobs across
-      // the executor slots — a serial driver loop would leave the
-      // cluster idle between the small per-group barriers (measured
-      // ~2.5× wall-clock on 5 groups at test SF; the win grows with
-      // group count). Bounded by contract at maxGroups in-flight jobs.
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val rows = Await.result(
-        Future.traverse(groups.toSeq) { g => Future {
-          val qs = exactQuantiles(vals.filter(col(groupCol).cast("string") === g), valueCol,
-            probs.map(_._2))
-          Row.fromSeq(g +: qs.toSeq)
-        }}, Duration.Inf)
+      // O(groups) stats off the cached ranked frame: size + first
+      // global rank per group (partial-aggregated before the shuffle)
+      val gstats = ranked.df.groupBy(col("__g"))
+        .agg(count(lit(1)).as("__n"), min(col("__r")).as("__start"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      require(gstats.length <= maxGroups,
+        s"${gstats.length} groups > maxGroups=$maxGroups — this path collects O(groups) " +
+          "stats on the driver; use groupQuantiles for high-cardinality keys")
+      // exact decimal target ranks (same >2^53 guard as exactQuantiles)
+      def floorR(t: BigDecimal): Long = t.setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+      def ceilR(t: BigDecimal): Long = t.setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+      val needed = gstats.toSeq.flatMap { case (_, n, start) =>
+        probs.flatMap { case (_, p) =>
+          val t = BigDecimal(p) * BigDecimal(n - 1)
+          Seq(start + floorR(t), start + ceilR(t))
+        }
+      }.distinct
+      val fetched = ranked.df.filter(col("__r").isin(needed: _*))
+        .select(col("__r"), col("__v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val rows = gstats.map { case (g, n, start) =>
+        val qs = probs.map { case (_, p) =>
+          val t = BigDecimal(p) * BigDecimal(n - 1)
+          val lo = floorR(t)
+          val hi = ceilR(t)
+          val vLo = fetched(start + lo)
+          if (hi == lo) vLo else vLo + (t - lo).toDouble * (fetched(start + hi) - vLo)
+        }
+        Row.fromSeq(g +: qs)
+      }
       val schema = StructType(
         StructField(groupCol, org.apache.spark.sql.types.StringType, nullable = false) +:
           probs.map { case (name, _) => StructField(name, DoubleType, nullable = false) })
       spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
-    } finally { vals.unpersist(); () }
+    } finally ranked.release()
   }
 
   /** ONE grouped-quantile entry point: probes the group-key cardinality
     * EXACTLY — `distinct().limit(lowCardMax + 1).count()` — and routes
     * to the shape that scales for it: ≤ lowCardMax groups →
-    * [[exactQuantilesByGroup]] (per-group range partitioning — few
-    * giant groups), more → [[groupQuantiles]] (one hash shuffle +
-    * per-group window — many reducer-sized groups; the documented
-    * "SCALE BOUNDARY" above). The probe is one narrow job at any input
+    * [[exactQuantilesByGroup]] (one composite-key (group, value) sort —
+    * few giant groups, each split across partitions), more →
+    * [[groupQuantiles]] (one hash shuffle + per-group window — many
+    * reducer-sized groups; the documented "SCALE BOUNDARY" above). The probe is one narrow job at any input
     * size: the partial (map-side) distinct collapses each task to at
     * most the true key count, and the global limit stops at
     * lowCardMax + 1 keys. An HLL estimate (approx_count_distinct)
