@@ -15,14 +15,18 @@ import org.apache.spark.sql.functions._
   * fit/transform contract — and like sklearn, fitting on train and
   * transforming valid/test leaks nothing.
   *
-  * Quantile stats: `exactQuantiles=true` (default) computes exact
-  * interpolated quartiles via GlobalRank.exactQuantiles — distributed
-  * order statistics, one range-partition pass PER numeric column, never
-  * a single percentile buffer, so even the exact path survives a
-  * 100 TB fit. `exactQuantiles=false` keeps all quantiles inside the
+  * Quantile stats are fit ONLY for columns whose transform reads them
+  * (Median imputers, Robust scalers) — other columns carry NaN
+  * quartiles, and a StandardScaler-only fit pays no quantile cost at
+  * all. `exactQuantiles=true` (default) computes the consuming
+  * columns' exact interpolated quartiles via
+  * GlobalRank.exactQuantilesPerColumn — all of them melted through ONE
+  * distributed composite-key (column, value) sort, never a pass per
+  * column and never a single percentile buffer, so even the exact path
+  * survives a 100 TB fit. `exactQuantiles=false` keeps them inside the
   * one wide aggregation via `approx_percentile` (single scan total) —
-  * the right trade for WIDE feature sets where a pass per column
-  * outweighs sketch error.
+  * the right trade for VERY wide feature sets where even the melted
+  * sort volume (k × rows pairs) outweighs sketch error.
   */
 object Imputation extends Enumeration {
   val Mean, Median, Mode, Zero = Value
@@ -51,6 +55,10 @@ final case class FeaturePipelineSpec(
     exactQuantiles: Boolean = true
 )
 
+/** Per-column fitted stats. q1/median/q3 are NaN for columns without a
+  * quartile consumer in the spec (no sort pass is paid for stats
+  * nothing reads); mean/std/min/max are always fit (one wide agg).
+  */
 final case class NumStats(mean: Double, std: Double, min: Double, max: Double,
     q1: Double, median: Double, q3: Double)
 
@@ -143,27 +151,44 @@ object FeaturePipeline {
         spec.scalers.map(_.col) ++
         spec.varianceThreshold.toSeq.flatMap(_ => Nil)).distinct
 
+    // Quartiles are fit ONLY for the columns whose transform reads
+    // them — Median imputers and Robust scalers. A StandardScaler-only
+    // fit pays zero quantile cost (through r7 every numeric column got
+    // a quartile pass regardless of consumer); columns without a
+    // quartile consumer carry NaN quartiles in NumStats.
+    val quantConsumers: Set[String] =
+      (spec.imputers.filter(_.strategy == Imputation.Median).map(_.col) ++
+        spec.scalers.filter(_.kind == ScalerKind.Robust).map(_.col)).toSet
+
     // quantiles: exactQuantiles=true (the spec DEFAULT) uses
-    // GlobalRank.exactQuantiles — one range-partition pass PER COLUMN,
-    // but never Spark's exact `percentile`, whose aggregation buffer
-    // holds every value (single-executor OOM on a 100 TB fit);
-    // exactQuantiles=false keeps quantiles inside the wide agg via
-    // approx_percentile (one scan total — the wide-feature-set trade)
+    // GlobalRank.exactQuantilesPerColumn — ALL consuming columns'
+    // quartiles from ONE melted composite-key sort (never one pass per
+    // column, and never Spark's exact `percentile`, whose aggregation
+    // buffer holds every value — a single-executor OOM on a 100 TB
+    // fit); exactQuantiles=false keeps quantiles inside the wide agg
+    // via approx_percentile (one scan total — the wide-feature-set
+    // trade)
     val numStats: Map[String, NumStats] =
       if (numCols.isEmpty) Map.empty
       else {
         val aggs = numCols.flatMap { c =>
           Seq(avg(col(c)).as(s"${c}__mean"), stddev_samp(col(c)).as(s"${c}__std"),
             min(col(c)).cast("double").as(s"${c}__min"), max(col(c)).cast("double").as(s"${c}__max")) ++
-            (if (spec.exactQuantiles) Nil
+            (if (spec.exactQuantiles || !quantConsumers(c)) Nil
              else Seq(expr(s"approx_percentile(`$c`, array(0.25, 0.5, 0.75), 10000)").as(s"${c}__q")))
         }
         val row = train.agg(aggs.head, aggs.tail: _*).head()
-        val quantiles: String => IndexedSeq[Double] =
-          if (spec.exactQuantiles)
-            c => graft.operators.GlobalRank.exactQuantiles(
-              train, col(c), Seq(0.25, 0.5, 0.75)).toIndexedSeq
-          else c => row.getAs[scala.collection.Seq[Double]](s"${c}__q").toIndexedSeq
+        val qCols = numCols.filter(quantConsumers)
+        val exactQs: Map[String, Array[Double]] =
+          if (spec.exactQuantiles && qCols.nonEmpty)
+            graft.operators.GlobalRank.exactQuantilesPerColumn(
+              train, qCols, Seq(0.25, 0.5, 0.75))
+          else Map.empty
+        val noQ = IndexedSeq(Double.NaN, Double.NaN, Double.NaN)
+        val quantiles: String => IndexedSeq[Double] = c =>
+          if (!quantConsumers(c)) noQ
+          else if (spec.exactQuantiles) exactQs(c).toIndexedSeq
+          else row.getAs[scala.collection.Seq[Double]](s"${c}__q").toIndexedSeq
         numCols.map { c =>
           val q = quantiles(c)
           c -> NumStats(row.getAs[Double](s"${c}__mean"), row.getAs[Double](s"${c}__std"),
@@ -222,15 +247,21 @@ object FeaturePipeline {
         val aggs = refitCols.flatMap { c =>
           Seq(avg(col(c)).as(s"${c}__mean"), stddev_samp(col(c)).as(s"${c}__std"),
             min(col(c)).cast("double").as(s"${c}__min"), max(col(c)).cast("double").as(s"${c}__max")) ++
-            (if (spec.exactQuantiles) Nil
+            (if (spec.exactQuantiles || !quantConsumers(c)) Nil
              else Seq(expr(s"approx_percentile(`$c`, array(0.25, 0.5, 0.75), 10000)").as(s"${c}__q")))
         }
         val row = proj.agg(aggs.head, aggs.tail: _*).head()
-        val quantiles: String => IndexedSeq[Double] =
-          if (spec.exactQuantiles)
-            c => graft.operators.GlobalRank.exactQuantiles(
-              proj, col(c), Seq(0.25, 0.5, 0.75)).toIndexedSeq
-          else c => row.getAs[scala.collection.Seq[Double]](s"${c}__q").toIndexedSeq
+        val qCols = refitCols.filter(quantConsumers)
+        val exactQs: Map[String, Array[Double]] =
+          if (spec.exactQuantiles && qCols.nonEmpty)
+            graft.operators.GlobalRank.exactQuantilesPerColumn(
+              proj, qCols, Seq(0.25, 0.5, 0.75))
+          else Map.empty
+        val noQ = IndexedSeq(Double.NaN, Double.NaN, Double.NaN)
+        val quantiles: String => IndexedSeq[Double] = c =>
+          if (!quantConsumers(c)) noQ
+          else if (spec.exactQuantiles) exactQs(c).toIndexedSeq
+          else row.getAs[scala.collection.Seq[Double]](s"${c}__q").toIndexedSeq
         numStats ++ refitCols.map { c =>
           val q = quantiles(c)
           c -> NumStats(row.getAs[Double](s"${c}__mean"), row.getAs[Double](s"${c}__std"),

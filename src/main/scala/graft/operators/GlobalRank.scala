@@ -247,6 +247,39 @@ object GlobalRank {
     } finally ranked.release()
   }
 
+  /** Exact linear-interpolation quantiles for SEVERAL columns in ONE
+    * composite-key sort: the columns are melted to (column-name, value)
+    * pairs — a codegen'd generate, no shuffle — and routed through
+    * [[exactQuantilesByGroup]] with the column name as the group key.
+    * Replaces one [[exactQuantiles]] job chain PER COLUMN (a fit over k
+    * features = k range-sort passes) with a single pass whose sorted
+    * volume is the same k × rows of narrow (name, double) pairs but
+    * whose scheduling cost is one job chain; the melted pairs also
+    * range-partition by (name, value), so each column's run of the sort
+    * spreads over partitions exactly as its standalone sort would.
+    *
+    * NaN handling follows the grouped path (pandas / sklearn-fit
+    * semantics): null AND NaN are excluded per column — for a fit, NaN
+    * IS the missing value, so it must not poison the order statistics.
+    * A column with no valid values maps to NaN per prob (same contract
+    * as [[exactQuantiles]] on an empty column).
+    */
+  def exactQuantilesPerColumn(df: DataFrame, cols: Seq[String],
+      probs: Seq[Double]): Map[String, Array[Double]] = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val pairs = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("__g"), col(c).cast("double").as("__v"))): _*)).as("__p"))
+      .select(col("__p.__g").as("__g"), col("__p.__v").as("__v"))
+    val named = probs.zipWithIndex.map { case (p, i) => s"__q$i" -> p }
+    val byCol = exactQuantilesByGroup(pairs, "__g", col("__v"), named,
+      maxGroups = cols.length)
+      .collect()
+      .map(r => r.getString(0) -> probs.indices.map(i => r.getDouble(i + 1)).toArray)
+      .toMap
+    cols.map(c => c -> byCol.getOrElse(c, probs.map(_ => Double.NaN).toArray)).toMap
+  }
+
   /** ONE grouped-quantile entry point: probes the group-key cardinality
     * EXACTLY — `distinct().limit(lowCardMax + 1).count()` — and routes
     * to the shape that scales for it: ≤ lowCardMax groups →

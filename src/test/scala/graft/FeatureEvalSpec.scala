@@ -149,6 +149,34 @@ class FeatureEvalSpec extends SparkSpec {
     assert(one.forall(_ == 42.0))
   }
 
+  test("exactQuantilesPerColumn: one melted sort equals per-column exactQuantiles") {
+    import graft.operators.GlobalRank
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 2000).map { i =>
+      (rnd.nextDouble() * 1000,
+        rnd.nextGaussian(),
+        if (i % 7 == 0) Double.NaN else rnd.nextDouble() * 5,
+        Option.empty[java.lang.Double])
+    }
+    val df = rows.toDF("a", "b", "withnan", "allnull").repartition(16)
+    val probs = Seq(0.25, 0.5, 0.75)
+    val got = GlobalRank.exactQuantilesPerColumn(
+      df, Seq("a", "b", "withnan", "allnull"), probs)
+    for (c <- Seq("a", "b")) {
+      val want = GlobalRank.exactQuantiles(df, col(c), probs)
+      probs.indices.foreach(i =>
+        assert(math.abs(got(c)(i) - want(i)) < 1e-9, s"$c p=${probs(i)}"))
+    }
+    // NaN excluded (sklearn-fit semantics: NaN IS the missing value) —
+    // equals the quantiles of the NaN-filtered column
+    val wantNan = GlobalRank.exactQuantiles(df.filter(!isnan($"withnan")), $"withnan", probs)
+    probs.indices.foreach(i =>
+      assert(math.abs(got("withnan")(i) - wantNan(i)) < 1e-9, s"withnan p=${probs(i)}"))
+    // a column with no valid values → NaN per prob (exactQuantiles'
+    // empty-column contract)
+    assert(got("allnull").forall(_.isNaN))
+  }
+
   test("mutual information: identity/independence anchors; selectKBest ranks by MI") {
     import graft.features.FeatureSelect
     // y uniform over {0,1}; copy == y (MI = H(y) = ln 2); indep alternates
