@@ -153,8 +153,19 @@ object Dedup {
 
   /** MinHash signature from a precomputed hash-array column: for each
     * permutation i, min over shingle hashes of (a_i·h + b_i) mod P.
+    * Delegates to the codegen'd [[graft.functions.MinHashSig]]
+    * expression — one allocation-free double loop in generated Java
+    * (the lambda pipeline it replaced allocated a boxed array per
+    * permutation per row through HigherOrderFunction interpreters;
+    * equality spec'd against it in the dedup suite).
     */
-  def minhashSignature(hashesCol: Column, coeffs: Seq[(Long, Long)]): Column = {
+  def minhashSignature(hashesCol: Column, coeffs: Seq[(Long, Long)]): Column =
+    graft.functions.MinHashSig.minhashSig(hashesCol, coeffs)
+
+  /** The interpreted-HOF form of [[minhashSignature]] — retained ONLY
+    * as the spec reference the codegen expression is asserted equal to.
+    */
+  private[graft] def minhashSignatureLambda(hashesCol: Column, coeffs: Seq[(Long, Long)]): Column = {
     val perms = array(coeffs.map { case (a, b) =>
       struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
@@ -236,13 +247,15 @@ object Dedup {
     while (changed > 0 && it < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nmin"))
-      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(labels("id"),
+      // the round's checkpoint carries BOTH the old and the new label,
+      // so the convergence count is a filter over the materialized
+      // frame — not (as through r7) a second id-join per round
+      val step = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(labels("id"), labels("cluster").as("__old"),
           least(labels("cluster"), coalesce(col("nmin"), labels("cluster"))).as("cluster"))
         .localCheckpoint()
-      changed = next.withColumnRenamed("cluster", "new")
-        .join(labels, "id").filter(col("new") =!= col("cluster")).count()
-      labels = next
+      changed = step.filter(col("cluster") =!= col("__old")).count()
+      labels = step.select(col("id"), col("cluster"))
       it += 1
     }
     // partially-propagated labels are WRONG labels (a long chain would

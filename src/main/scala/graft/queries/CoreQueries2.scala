@@ -204,12 +204,21 @@ object CoreQueries2 {
     */
   def qOutlierMad(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, d).select($"event_type", $"value")
+    // the narrow (type, value) projection feeds FIVE consumers (the
+    // router probe, two quantile sorts' sampling + shuffle reads, the
+    // final outlier count) — checkpoint it once instead of five
+    // column-pruned re-scans of the parquet; blocks are reclaimed by
+    // the ContextCleaner when the result is unreferenced
+    val ev = Tables.events(s, d).select($"event_type", $"value").localCheckpoint()
     val med = graft.operators.GlobalRank
       .quantilesByGroup(ev, "event_type", $"value", Seq("med" -> 0.5))
       .localCheckpoint() // consumed by both the MAD fit and the final pass
     val withMed = ev.join(broadcast(med), "event_type")
-    val mad = graft.operators.GlobalRank.quantilesByGroup(
+    // the MAD fit's group set == the median fit's (join on event_type
+    // adds no keys): the first router call already proved it under the
+    // cap, so the second fit goes straight to the exact arm — no
+    // second probe scan
+    val mad = graft.operators.GlobalRank.exactQuantilesByGroup(
       withMed.select($"event_type", abs($"value" - $"med").as("ad")),
       "event_type", $"ad", Seq("mad" -> 0.5))
     withMed.join(broadcast(mad), "event_type")

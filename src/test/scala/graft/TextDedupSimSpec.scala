@@ -108,6 +108,25 @@ class TextDedupSimSpec extends SparkSpec {
     assert(math.abs(mh(0).getDouble(2) - exact(0).getDouble(2)) < 1e-12)
   }
 
+  test("MinHashSig codegen expression equals the lambda form (incl. interpreted path)") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val coeffs = Dedup.permCoeffs(64, 42L)
+    val hs = Dedup.shingled(docs, "doc_id", "text", 3)
+      .withColumn("hs", Dedup.shingleHashes($"sh"))
+    val both = hs.select($"id",
+      Dedup.minhashSignature($"hs", coeffs).as("fast"),
+      Dedup.minhashSignatureLambda($"hs", coeffs).as("ref"))
+    assert(both.filter(not($"fast" <=> $"ref")).count() == 0)
+    // interpreted (non-codegen) eval path agrees too
+    val one = both.head()
+    assert(one.getSeq[Long](1) == one.getSeq[Long](2))
+    // empty hash array → NULL signature (lambda yields all-null bands;
+    // both produce zero band-join candidates)
+    val empty = spark.sql("SELECT CAST(array() AS array<bigint>) AS hs")
+      .select(Dedup.minhashSignature($"hs", coeffs).as("s"))
+    assert(empty.head().isNullAt(0))
+  }
+
   test("sorted_intersect_size is callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
