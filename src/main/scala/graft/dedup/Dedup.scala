@@ -92,6 +92,32 @@ object Dedup {
     res
   }
 
+  /** BIPARTITE exact Jaccard join — the INCREMENTAL-dedup candidate
+    * step: only (new, old) pairs are generated (a production corpus
+    * dedups each incoming batch against the kept corpus; new×new and
+    * old×old pairs are someone else's query). Same inverted-shingle-
+    * index shape as [[jaccardJoinExact]] — exhaustive for J > 0 —
+    * with the index built over BOTH sides and the join keyed on the
+    * shingle; at 100 TB the old side's exploded index is the big
+    * side and shuffles once on the shingle key, exactly like the
+    * self-join case.
+    *
+    * Returns (id_new, id_old, jaccard) at `threshold`.
+    */
+  def jaccardJoinBipartite(shNew: DataFrame, shOld: DataFrame, threshold: Double): DataFrame = {
+    val a = shNew.select(col("id").as("id_new"), col("sh_n").as("n_new"),
+      explode(col("sh")).as("shingle"))
+    val b = shOld.select(col("id").as("id_old"), col("sh_n").as("n_old"),
+      explode(col("sh")).as("shingle"))
+    a.join(b, Seq("shingle"))
+      .groupBy(col("id_new"), col("id_old"), col("n_new"), col("n_old"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_new") + col("n_old") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
+  }
+
   /** Exact Jaccard similarity join with PREFIX FILTERING (PPJoin-style):
     * order each doc's shingles by ascending global document frequency
     * (rarest first, canonical tie-break), index only the first

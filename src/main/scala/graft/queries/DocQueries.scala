@@ -186,7 +186,9 @@ object DocQueries {
     * join here: this synthetic corpus has median background J≈0.46
     * over a tiny shingle vocabulary, so prefix filtering (the real-
     * corpus scale path, [[Dedup.jaccardJoinPrefix]], equality-tested
-    * in TextDedupSimSpec) cannot prune and only adds overhead.
+    * in TextDedupSimSpec) cannot prune and only adds overhead —
+    * measured, not assumed: tools/JaccardPathProbe at sf0.1 times this
+    * sub-corpus at 3.1 s exact vs 5.7 s prefix for identical output.
     */
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -358,6 +360,51 @@ object DocQueries {
       |SELECT cluster AS cluster_id, count(*) AS n_docs
       |FROM comp GROUP BY cluster HAVING count(*) > 1 ORDER BY cluster""".stripMargin
 
+  /** INCREMENTAL dedup audit — the production shape of corpus dedup:
+    * each incoming batch is checked against the already-kept corpus,
+    * never against itself twice. Exact layer = md5 digest semi-join
+    * (one shuffle on 16-byte digests); near layer =
+    * [[Dedup.jaccardJoinBipartite]] (inverted shingle index, only
+    * new×old candidate pairs). Single-row summary: batch size, exact
+    * hits, near hits (J ≥ 0.62, includes exact), survivors.
+    */
+  def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sub = Tables.documents(s, d).filter($"doc_id" % 10 === 0)
+    val oldB = sub.filter($"doc_id" % 20 === 0)
+    val newB = sub.filter($"doc_id" % 20 =!= 0)
+    val exactIds = newB.select($"doc_id", md5($"text").as("dg"))
+      .join(oldB.select(md5($"text").as("dg")).distinct(), Seq("dg"), "left_semi")
+      .select($"doc_id").distinct()
+    val nearIds = Dedup.jaccardJoinBipartite(
+        Dedup.shingled(newB, "doc_id", "text", 3),
+        Dedup.shingled(oldB, "doc_id", "text", 3), 0.62)
+      .select($"id_new".as("doc_id")).distinct()
+    val flagged = exactIds.unionByName(nearIds).distinct()
+    newB.agg(count(lit(1)).as("n_new"))
+      .crossJoin(broadcast(exactIds.agg(count(lit(1)).as("n_exact_dup"))))
+      .crossJoin(broadcast(nearIds.agg(count(lit(1)).as("n_near_dup"))))
+      .crossJoin(broadcast(flagged.agg(count(lit(1)).as("n_flagged"))))
+      .select($"n_new", $"n_exact_dup", $"n_near_dup",
+        ($"n_new" - $"n_flagged").as("n_kept"))
+  }
+
+  val qDedupIncrementalOracle: String =
+    """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |o AS (SELECT * FROM sub WHERE doc_id % 20 = 0),
+      |nn AS (SELECT * FROM sub WHERE doc_id % 20 <> 0),
+      |ex AS (SELECT DISTINCT nn.doc_id FROM nn JOIN o ON md5(nn.text) = md5(o.text)),
+      |sn AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, length(text)-1), i -> substring(text,i,3))) AS sh FROM nn),
+      |so AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, length(text)-1), i -> substring(text,i,3))) AS sh FROM o),
+      |nr AS (SELECT DISTINCT a.id AS doc_id FROM sn a JOIN so b ON
+      |  CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)
+      |    / (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) >= 0.62),
+      |fl AS (SELECT doc_id FROM ex UNION SELECT doc_id FROM nr)
+      |SELECT (SELECT count(*) FROM nn) AS n_new,
+      | (SELECT count(*) FROM ex) AS n_exact_dup,
+      | (SELECT count(*) FROM nr) AS n_near_dup,
+      | (SELECT count(*) FROM nn) - (SELECT count(*) FROM fl) AS n_kept""".stripMargin
+
   /** Composed corpus-cleaning pipeline: quality filter → language
     * filter → exact dedup, with per-stage survivor counts (the C4-style
     * cleaning funnel as ONE single-pass aggregation over flags).
@@ -522,6 +569,53 @@ object DocQueries {
       | round(n_tokens / tot, 4) + 0 AS actual_share,
       | round((1.0 / n_langs) / (n_tokens / tot), 4) + 0 AS weight
       |FROM g CROSS JOIN t ORDER BY lang""".stripMargin
+
+  /** Mixture APPLY — the execution step of [[qMixtureWeights]]:
+    * downsample each language toward the uniform token-share target by
+    * keeping a doc iff its deterministic hash-uniform falls under the
+    * language's weight (weights ≥ 1, i.e. under-represented languages,
+    * keep everything — upsampling is epoch repetition, not row
+    * duplication). The keep decision is INTEGER arithmetic end to end:
+    * u(doc) = (doc_id · 2654435761) mod 10007 (Knuth multiplicative
+    * hash — doc_id is a synthetic dense key; adversarial keys would
+    * ride xxhash64, which can't cross the oracle boundary), and
+    * u·n_langs·lang_tokens < 10007·total_tokens avoids every
+    * cross-engine float-boundary hazard a `u/10007 < weight` compare
+    * would have. One scan + one k-row broadcast join; the keep filter
+    * is a pure projection — the 100 TB shape.
+    */
+  def qMixtureApply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"lang", TextFunctions.tokenCount($"text").as("tc"))
+    val perLang = docs.groupBy($"lang").agg(sum($"tc").as("ltok"))
+    val tot = perLang.agg(sum($"ltok").as("tot"), count(lit(1)).as("n_langs"))
+    val kept = docs.join(broadcast(perLang), "lang").crossJoin(broadcast(tot))
+      .filter(pmod($"doc_id" * lit(2654435761L), lit(10007L)) * $"n_langs" * $"ltok" <
+        lit(10007L) * $"tot")
+    val agg = kept.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs_kept"), sum($"tc").as("n_tokens_kept"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy() // k-row frame
+    agg
+      .withColumn("kt", sum($"n_tokens_kept").over(wAll).cast("double"))
+      .select($"lang", $"n_docs_kept", $"n_tokens_kept",
+        r4($"n_tokens_kept" / $"kt").as("realized_share"))
+      .orderBy($"lang")
+  }
+
+  val qMixtureApplyOracle: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tc FROM documents),
+      |g AS (SELECT lang, CAST(sum(tc) AS BIGINT) AS ltok FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(ltok) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS n_langs FROM g),
+      |k AS (SELECT d.lang, d.tc FROM d JOIN g USING (lang) CROSS JOIN t
+      |      WHERE ((d.doc_id * 2654435761) % 10007) * t.n_langs * g.ltok < 10007 * t.tot),
+      |a AS (SELECT lang, count(*) AS n_docs_kept,
+      |      CAST(sum(tc) AS BIGINT) AS n_tokens_kept FROM k GROUP BY 1),
+      |s AS (SELECT sum(n_tokens_kept) * 1.0 AS kt FROM a)
+      |SELECT lang, n_docs_kept, n_tokens_kept,
+      | round(n_tokens_kept / kt, 4) + 0 AS realized_share
+      |FROM a CROSS JOIN s ORDER BY lang""".stripMargin
 
   /** Benchmark decontamination audit: which corpus docs share any word
     * 5-gram with a held-out "benchmark" set (docs ≡ 0 mod 50) — the
@@ -752,6 +846,8 @@ object DocQueries {
   val all: Map[String, Q] = Map(
     "q_pack_sequences" -> qPackSequences,
     "q_mixture_weights" -> qMixtureWeights,
+    "q_mixture_apply" -> qMixtureApply,
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_contamination" -> qContamination,
     "q_pmi_bigrams" -> qPmiBigrams,
     "q_repetition" -> qRepetition,
@@ -781,6 +877,8 @@ object DocQueries {
   val oracles: Map[String, String] = Map(
     "q_pack_sequences" -> qPackSequencesOracle,
     "q_mixture_weights" -> qMixtureWeightsOracle,
+    "q_mixture_apply" -> qMixtureApplyOracle,
+    "q_dedup_incremental" -> qDedupIncrementalOracle,
     "q_contamination" -> qContaminationOracle,
     "q_pmi_bigrams" -> qPmiBigramsOracle,
     "q_repetition" -> qRepetitionOracle,

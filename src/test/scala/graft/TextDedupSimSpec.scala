@@ -108,6 +108,41 @@ class TextDedupSimSpec extends SparkSpec {
     assert(math.abs(mh(0).getDouble(2) - exact(0).getDouble(2)) < 1e-12)
   }
 
+  test("bipartite jaccard join flags only cross-side pairs (incremental dedup)") {
+    // new 10 ≈ old 1 (near-dup, one word changed); new 11 == old 2
+    // (exact copy, J = 1); new 12 ≈ new 10 (within-batch near-dup —
+    // must NOT appear: incremental dedup only checks against the kept
+    // corpus); old 3 unrelated
+    val oldB = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "an entirely separate document about database engines"),
+      (3L, "unrelated content speaking of mountains and rivers")
+    ).toDF("doc_id", "text")
+    val newB = Seq(
+      (10L, "the quick brown fox jumps over the lazy cat tonight"),
+      (11L, "an entirely separate document about database engines"),
+      (12L, "the quick brown fox jumps over the lazy cat tonight!")
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardJoinBipartite(
+        Dedup.shingled(newB, "doc_id", "text", 3),
+        Dedup.shingled(oldB, "doc_id", "text", 3), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((10L, 1L)), s"missing planted near-dup: ${pairs.mkString(",")}")
+    assert(pairs.contains((11L, 2L)))
+    assert(got.find(t => (t._1, t._2) == ((11L, 2L))).get._3 == 1.0) // exact copy
+    assert(pairs.contains((12L, 1L))) // near-dups transitively similar to old 1
+    assert(!pairs.exists(p => p._1 == 12L && p._2 == 10L)) // never new x new
+    assert(!pairs.exists(_._2 == 3L)) // unrelated old doc untouched
+    // matches the self-join restricted to cross-side pairs on the union
+    val self = Dedup.jaccardJoinExact(
+        Dedup.shingled(oldB.unionByName(newB), "doc_id", "text", 3), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossFromSelf = self.filter { case (a, b) => (a < 10) != (b < 10) }
+      .map { case (a, b) => if (a >= 10) (a, b) else (b, a) }
+    assert(pairs == crossFromSelf)
+  }
+
   test("MinHashSig codegen expression equals the lambda form (incl. interpreted path)") {
     val docs = Tables.documents(spark, sf).limit(200)
     val coeffs = Dedup.permCoeffs(64, 42L)
