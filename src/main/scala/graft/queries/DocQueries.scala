@@ -360,6 +360,44 @@ object DocQueries {
       |SELECT cluster AS cluster_id, count(*) AS n_docs
       |FROM comp GROUP BY cluster HAVING count(*) > 1 ORDER BY cluster""".stripMargin
 
+  /** Unigram-LM quality scoring — the SQL-expressible analog of the
+    * perplexity filter of LLM data prep (CCNet-style: score each doc
+    * against a corpus-level LM; rare-token-heavy docs score high and
+    * get flagged). The LM here is the corpus's own unigram
+    * distribution: doc score = avg over tokens of −ln p(w),
+    * p(w) = count(w)/total. Scale shape: one token explode, one
+    * vocab-sized count aggregate joined back BROADCAST (a unigram
+    * vocab with counts is ≤ millions of rows at any corpus size), one
+    * per-doc aggregate, one per-source rollup — no unbounded state.
+    */
+  def qUnigramLogprob(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", $"source", explode(TextFunctions.tokens($"text")).as("w"))
+    val counts = tok.groupBy($"w").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum($"cnt").cast("double").as("tot"))
+    val perDoc = tok.join(broadcast(counts), "w").crossJoin(broadcast(tot))
+      .groupBy($"doc_id", $"source")
+      .agg(avg(-log($"cnt" / $"tot")).as("nll"))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        r4(avg($"nll")).as("avg_nll"),
+        sum(when($"nll" > 8.0, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy($"source")
+  }
+
+  val qUnigramLogprobOracle: String =
+    """WITH tok AS (SELECT doc_id, source,
+      |  unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+      |c AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+      |t AS (SELECT sum(cnt) * 1.0 AS tot FROM c),
+      |p AS (SELECT doc_id, source, avg(-ln(cnt / tot)) AS nll
+      |      FROM tok JOIN c USING (w) CROSS JOIN t GROUP BY 1, 2)
+      |SELECT source, count(*) AS n_docs,
+      | round(avg(nll), 4) + 0 AS avg_nll,
+      | CAST(sum(CASE WHEN nll > 8.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+      |FROM p GROUP BY source ORDER BY source""".stripMargin
+
   /** INCREMENTAL dedup audit — the production shape of corpus dedup:
     * each incoming batch is checked against the already-kept corpus,
     * never against itself twice. Exact layer = md5 digest semi-join
@@ -848,6 +886,7 @@ object DocQueries {
     "q_mixture_weights" -> qMixtureWeights,
     "q_mixture_apply" -> qMixtureApply,
     "q_dedup_incremental" -> qDedupIncremental,
+    "q_unigram_logprob" -> qUnigramLogprob,
     "q_contamination" -> qContamination,
     "q_pmi_bigrams" -> qPmiBigrams,
     "q_repetition" -> qRepetition,
@@ -879,6 +918,7 @@ object DocQueries {
     "q_mixture_weights" -> qMixtureWeightsOracle,
     "q_mixture_apply" -> qMixtureApplyOracle,
     "q_dedup_incremental" -> qDedupIncrementalOracle,
+    "q_unigram_logprob" -> qUnigramLogprobOracle,
     "q_contamination" -> qContaminationOracle,
     "q_pmi_bigrams" -> qPmiBigramsOracle,
     "q_repetition" -> qRepetitionOracle,
