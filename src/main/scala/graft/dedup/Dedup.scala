@@ -118,6 +118,24 @@ object Dedup {
       .select(col("id_new"), col("id_old"), col("jaccard"))
   }
 
+  /** INCREMENTAL dedup — the library seat behind q_dedup_incremental:
+    * returns the new batch with a `dup_of` column (the old-corpus id
+    * of the best near-dup match at `threshold`, by highest Jaccard
+    * then smallest old id; null = keep). Exact copies are near-dups at
+    * J = 1, so one bipartite join covers both layers; `keep =
+    * flagged.filter(col("dup_of").isNull)` is the batch that enters
+    * the corpus. Same bounded-candidate shape as the self-join path.
+    */
+  def incrementalDedup(newDf: DataFrame, oldDf: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    val pairs = jaccardJoinBipartite(
+      shingled(newDf, idCol, textCol, n), shingled(oldDf, idCol, textCol, n), threshold)
+    val best = pairs
+      .groupBy(col("id_new"))
+      .agg(max_by(col("id_old"), struct(col("jaccard"), -col("id_old"))).as("dup_of"))
+    newDf.join(best, newDf(idCol) === best("id_new"), "left").drop("id_new")
+  }
+
   /** Exact Jaccard similarity join with PREFIX FILTERING (PPJoin-style):
     * order each doc's shingles by ascending global document frequency
     * (rarest first, canonical tie-break), index only the first

@@ -411,13 +411,17 @@ object DocQueries {
     val sub = Tables.documents(s, d).filter($"doc_id" % 10 === 0)
     val oldB = sub.filter($"doc_id" % 20 === 0)
     val newB = sub.filter($"doc_id" % 20 =!= 0)
+    // both id frames feed their own count AND the union — checkpoint
+    // the (batch-bounded) ids so the digest join and the bipartite
+    // jaccard join run ONCE each, not once per consumer (measured 2×
+    // on the near join without it: 5.2 → ~2.6 s at sf0.1)
     val exactIds = newB.select($"doc_id", md5($"text").as("dg"))
       .join(oldB.select(md5($"text").as("dg")).distinct(), Seq("dg"), "left_semi")
-      .select($"doc_id").distinct()
+      .select($"doc_id").distinct().localCheckpoint()
     val nearIds = Dedup.jaccardJoinBipartite(
         Dedup.shingled(newB, "doc_id", "text", 3),
         Dedup.shingled(oldB, "doc_id", "text", 3), 0.62)
-      .select($"id_new".as("doc_id")).distinct()
+      .select($"id_new".as("doc_id")).distinct().localCheckpoint()
     val flagged = exactIds.unionByName(nearIds).distinct()
     newB.agg(count(lit(1)).as("n_new"))
       .crossJoin(broadcast(exactIds.agg(count(lit(1)).as("n_exact_dup"))))

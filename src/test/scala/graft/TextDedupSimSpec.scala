@@ -141,6 +141,12 @@ class TextDedupSimSpec extends SparkSpec {
     val crossFromSelf = self.filter { case (a, b) => (a < 10) != (b < 10) }
       .map { case (a, b) => if (a >= 10) (a, b) else (b, a) }
     assert(pairs == crossFromSelf)
+    // library seat: best old match per new doc, null = keep
+    val flagged = Dedup.incrementalDedup(newB, oldB, "doc_id", "text", 3, 0.5)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(flagged(11L) == Some(2L)) // exact copy wins at J = 1
+    assert(flagged(10L) == Some(1L))
+    assert(flagged(12L) == Some(1L))
   }
 
   test("MinHashSig codegen expression equals the lambda form (incl. interpreted path)") {
