@@ -360,6 +360,44 @@ object DocQueries {
       |SELECT cluster AS cluster_id, count(*) AS n_docs
       |FROM comp GROUP BY cluster HAVING count(*) > 1 ORDER BY cluster""".stripMargin
 
+  /** Fixed-token-window document chunking — the complement of
+    * q_pack_sequences (packing concatenates SHORT docs into full
+    * sequences; chunking splits LONG docs into overlapping windows,
+    * the RAG/pretraining prep step for documents over the context
+    * budget). Window W = 256 tokens, overlap V = 32, stride
+    * S = W − V = 224; doc with n tokens yields 1 chunk if n ≤ W else
+    * 1 + ⌈(n−W)/S⌉, chunk i covering [i·S, i·S + W). All chunk
+    * arithmetic is INTEGER (`div`, `least`) — no cross-engine float
+    * boundary — and per-row expression work only: the explode is the
+    * single generate, the histogram one hash aggregate. Output:
+    * chunk-length histogram (bucket 32) with contributing-doc counts.
+    */
+  def qChunkDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", TextFunctions.tokenCount($"text").cast("long").as("n"))
+    docs
+      .withColumn("n_chunks",
+        when($"n" <= 256, lit(1L)).otherwise(expr("1 + ((n - 33) div 224)")))
+      .select($"doc_id", $"n", explode(sequence(lit(0L), $"n_chunks" - 1)).as("i"))
+      .select($"doc_id", least(lit(256L), $"n" - $"i" * 224L).as("len"))
+      .select($"doc_id", (expr("len div 32") * 32L).as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_chunks"), countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"bucket")
+  }
+
+  val qChunkDocsOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n FROM documents),
+      |c AS (SELECT doc_id, n,
+      |  CASE WHEN n <= 256 THEN 1 ELSE 1 + ((n - 33) // 224) END AS n_chunks FROM d),
+      |e AS (SELECT doc_id, n, unnest(range(n_chunks)) AS i FROM c),
+      |l AS (SELECT doc_id, least(256, n - i * 224) AS len FROM e)
+      |SELECT (len // 32) * 32 AS bucket, count(*) AS n_chunks,
+      | count(DISTINCT doc_id) AS n_docs
+      |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Unigram-LM quality scoring — the SQL-expressible analog of the
     * perplexity filter of LLM data prep (CCNet-style: score each doc
     * against a corpus-level LM; rare-token-heavy docs score high and
@@ -891,6 +929,7 @@ object DocQueries {
     "q_mixture_apply" -> qMixtureApply,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_unigram_logprob" -> qUnigramLogprob,
+    "q_chunk_docs" -> qChunkDocs,
     "q_contamination" -> qContamination,
     "q_pmi_bigrams" -> qPmiBigrams,
     "q_repetition" -> qRepetition,
@@ -923,6 +962,7 @@ object DocQueries {
     "q_mixture_apply" -> qMixtureApplyOracle,
     "q_dedup_incremental" -> qDedupIncrementalOracle,
     "q_unigram_logprob" -> qUnigramLogprobOracle,
+    "q_chunk_docs" -> qChunkDocsOracle,
     "q_contamination" -> qContaminationOracle,
     "q_pmi_bigrams" -> qPmiBigramsOracle,
     "q_repetition" -> qRepetitionOracle,
