@@ -109,7 +109,13 @@ object Dedup {
       explode(col("sh")).as("shingle"))
     val b = shOld.select(col("id").as("id_old"), col("sh_n").as("n_old"),
       explode(col("sh")).as("shingle"))
-    a.join(b, Seq("shingle"))
+    // shuffle-hash hint: the optimizer costs the exploded old side from
+    // the pre-generate scan stats and tries to BROADCAST it — millions
+    // of exploded shingle rows through a driver-built relation
+    // (measured 4.5 → 2.5 s at sf0.1, and a guaranteed OOM at corpus
+    // scale). Both exploded sides are shingle-keyed and huge; the
+    // correct plan at any scale is a hash shuffle on the shingle.
+    a.join(b.hint("shuffle_hash"), Seq("shingle"))
       .groupBy(col("id_new"), col("id_old"), col("n_new"), col("n_old"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", col("inter").cast("double") /

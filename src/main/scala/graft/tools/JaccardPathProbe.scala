@@ -33,6 +33,24 @@ object JaccardPathProbe {
     val sub = Tables.documents(spark, d).filter($"doc_id" % 10 === 0)
     time("exact ") { Dedup.jaccardJoinExact(Dedup.shingled(sub, "doc_id", "text", 3), 0.62).count() }
     time("prefix") { Dedup.jaccardJoinPrefix(Dedup.shingled(sub, "doc_id", "text", 3), 0.62).count() }
+    val oldB = sub.filter($"doc_id" % 20 === 0)
+    val newB = sub.filter($"doc_id" % 20 =!= 0)
+    time("bipart") {
+      Dedup.jaccardJoinBipartite(Dedup.shingled(newB, "doc_id", "text", 3),
+        Dedup.shingled(oldB, "doc_id", "text", 3), 0.62).count()
+    }
+    time("incrq ") {
+      graft.queries.DocQueries.qDedupIncremental(spark, d).collect().length.toLong
+    }
+    if (sys.env.contains("GRAFT_PROBE_EXPLAIN")) {
+      val ePlan = Dedup.jaccardJoinExact(Dedup.shingled(sub, "doc_id", "text", 3), 0.62)
+      val bPlan = Dedup.jaccardJoinBipartite(Dedup.shingled(newB, "doc_id", "text", 3),
+        Dedup.shingled(oldB, "doc_id", "text", 3), 0.62)
+      println("=== EXACT PLAN ===")
+      println(ePlan.queryExecution.executedPlan.toString.take(4000))
+      println("=== BIPARTITE PLAN ===")
+      println(bPlan.queryExecution.executedPlan.toString.take(4000))
+    }
     spark.stop()
   }
 }
