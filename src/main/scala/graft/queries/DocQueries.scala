@@ -412,7 +412,11 @@ object DocQueries {
     import s.implicits._
     val tok = Tables.documents(s, d)
       .select($"doc_id", $"source", explode(TextFunctions.tokens($"text")).as("w"))
-    val counts = tok.groupBy($"w").agg(count(lit(1)).as("cnt"))
+    // vocab-bounded — checkpointed so its two consumers (the broadcast
+    // join and the totals aggregate) don't each re-explode the corpus:
+    // plan-dumped at 3 corpus explodes without it, 2 with (the per-doc
+    // scoring pass and the one counts build)
+    val counts = tok.groupBy($"w").agg(count(lit(1)).as("cnt")).localCheckpoint()
     val tot = counts.agg(sum($"cnt").cast("double").as("tot"))
     val perDoc = tok.join(broadcast(counts), "w").crossJoin(broadcast(tot))
       .groupBy($"doc_id", $"source")
