@@ -51,7 +51,8 @@ object FeatureStore {
     * never a per-key window sort or value buffer, so the compaction is
     * a single shuffle on the entity key at any history size.
     *
-    * Semantics contract (spec'd in FeatureEvalSpec): equals
+    * Semantics contract (spec'd in SourcesPlanSpec "online
+    * materialization equals historicalFeatures"): equals
     * [[historicalFeatures]] evaluated at the max event time — i.e. the
     * online row IS the point-in-time row "now".
     */
