@@ -310,7 +310,10 @@ object DocQueries {
     */
   def qAnnLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sub = Tables.embeddings(s, d).filter($"vec_id" % 5 === 0)
+    // the sub-corpus feeds the LSH index build AND both sides of the
+    // self-grading exact top-k — checkpoint the bounded subset so the
+    // parquet scan + float→double array conversion runs once
+    val sub = Tables.embeddings(s, d).filter($"vec_id" % 5 === 0).localCheckpoint()
     val approx = Similarity.annLshMulti(sub, "vec_id", "embedding", dim = 64,
       nPlanes = 4, seeds = Seq(7L, 19L, 31L), k = 3)
     val exact = Similarity.topK(sub, sub, "vec_id", "embedding", 3)
