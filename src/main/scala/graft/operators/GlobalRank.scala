@@ -176,16 +176,24 @@ object GlobalRank {
   }
 
   /** The LOW-cardinality companion of [[groupQuantiles]]: ONE
-    * distributed sort on the COMPOSITE key (group, value) — the
-    * [[withGlobalRowNumber]] backbone — then every group's order
-    * statistics are read out of the same ranked frame. Because the
-    * range partitioner keys on (group, value), a giant group is split
-    * across as many partitions as its values span: no group ever sits
-    * on one reducer (groupQuantiles' scale boundary), and no per-group
-    * job loop is needed (an earlier revision ran one quantile pass per
-    * group — maxGroups job chains; this is one). Driver-side state is
-    * O(groups × probs): per-group (count, first-rank) stats, the
-    * fetched boundary ranks, and the interpolation.
+    * distributed sort on the COMPOSITE key (group, value), then every
+    * group's order statistics are read out of the same sorted frame.
+    * Because the range partitioner keys on (group, value), a giant
+    * group is split across as many partitions as its values span: no
+    * group ever sits on one reducer (groupQuantiles' scale boundary),
+    * and no per-group job loop is needed (an earlier revision ran one
+    * quantile pass per group — maxGroups job chains; this is one).
+    *
+    * Job shape — TWO actions over the sorted cache (plus the range
+    * partitioner's sampling pass): one stats job aggregating rows per
+    * (partition, group) SEGMENT — segments are contiguous runs of a
+    * group within a partition, ≤ partitions + groups of them in total —
+    * from which the driver derives both the per-partition rank offsets
+    * AND every group's (size, first-rank) in the same collect (an
+    * earlier revision ran a second whole-frame pass for the group
+    * stats); then one fetch job for the O(groups × probs) boundary
+    * ranks, with ranks reconstructed per row from a broadcast of the
+    * O(segments) offset frame.
     *
     * Same linear-interpolation semantics AND the same key set as
     * groupQuantiles on any input: groups are derived from the
@@ -207,14 +215,27 @@ object GlobalRank {
     val vals = df.filter(col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("__g"), valueCol.cast("double").as("__v"))
       .filter(col("__v").isNotNull && !isnan(col("__v")))
-    val ranked = withGlobalRowNumber(vals, Seq(col("__g"), col("__v")), "__r")
+    val ranged = vals.repartitionByRange(col("__g"), col("__v"))
+      .sortWithinPartitions(col("__g"), col("__v"))
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // O(groups) stats off the cached ranked frame: size + first
-      // global rank per group (partial-aggregated before the shuffle)
-      val gstats = ranked.df.groupBy(col("__g"))
-        .agg(count(lit(1)).as("__n"), min(col("__r")).as("__start"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-        .sortBy(_._1)
+      // ONE stats job: (partition, group) segment sizes + first row id.
+      // Sorting segments by __minmid IS the global (partition, local
+      // position) order, so a running sum of segment sizes in that
+      // order yields each segment's global start rank.
+      val segs = ranged.groupBy(shiftright(col("__mid"), MidShift).as("__pid"), col("__g"))
+        .agg(count(lit(1)).as("__n"), min(col("__mid")).as("__minmid"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._4)
+      var acc = 0L
+      val segOffsets = segs.map { case (pid, g, n, minmid) =>
+        val off = acc; acc += n; (pid, g, n, off, minmid)
+      }
+      // per-group totals + first global rank (1-based), in group order
+      val gstats = segOffsets.groupBy(_._2).map { case (g, ss) =>
+        (g, ss.map(_._3).sum, ss.map(_._4).min + 1L)
+      }.toArray.sortBy(_._1)
       require(gstats.length <= maxGroups,
         s"${gstats.length} groups > maxGroups=$maxGroups — this path collects O(groups) " +
           "stats on the driver; use groupQuantiles for high-cardinality keys")
@@ -227,7 +248,20 @@ object GlobalRank {
           Seq(start + floorR(t), start + ceilR(t))
         }
       }.distinct
-      val fetched = ranked.df.filter(col("__r").isin(needed: _*))
+      // rank per row = segment's global offset + (local id − segment's
+      // first local id) + 1, via a broadcast of the O(segments) frame
+      val offRows: java.util.List[Row] = segOffsets
+        .map { case (pid, g, _, off, minmid) => Row(pid, g, off, minmid) }.toList.asJava
+      val offDf = spark.createDataFrame(offRows, StructType(Seq(
+        StructField("__pid", LongType), StructField("__g", org.apache.spark.sql.types.StringType),
+        StructField("__off", LongType), StructField("__minmid", LongType))))
+      val fetched = ranged
+        .withColumn("__pid", shiftright(col("__mid"), MidShift))
+        .join(broadcast(offDf), Seq("__pid", "__g"))
+        .withColumn("__r",
+          col("__off") + (col("__mid").bitwiseAND(lit(MidMask)) -
+            col("__minmid").bitwiseAND(lit(MidMask))) + lit(1L))
+        .filter(col("__r").isin(needed: _*))
         .select(col("__r"), col("__v"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       val rows = gstats.map { case (g, n, start) =>
@@ -244,7 +278,7 @@ object GlobalRank {
         StructField(groupCol, org.apache.spark.sql.types.StringType, nullable = false) +:
           probs.map { case (name, _) => StructField(name, DoubleType, nullable = false) })
       spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
-    } finally ranked.release()
+    } finally { ranged.unpersist(); () }
   }
 
   /** Exact linear-interpolation quantiles for SEVERAL columns in ONE
