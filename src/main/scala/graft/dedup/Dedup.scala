@@ -124,6 +124,44 @@ object Dedup {
       .select(col("id_new"), col("id_old"), col("jaccard"))
   }
 
+  /** The 100 TB candidate path for INCREMENTAL near-dup: MinHash
+    * signatures on BOTH sides under the same permutations, banded
+    * (band, value) equi-join of new-side bands against old-side bands
+    * — O(rows × bands) index work and a shuffle on the band key, never
+    * the full inverted shingle index — then exact Jaccard verification
+    * of the (new, old) candidates only. Same miss bound as
+    * [[minhashNearDup]]: a true pair at J ≥ t escapes all numPerm
+    * bands with probability (1−t)^numPerm. Spec'd equal to
+    * [[jaccardJoinBipartite]] on real documents at numPerm = 64.
+    */
+  def minhashNearDupBipartite(
+      newDf: DataFrame, oldDf: DataFrame, idCol: String, textCol: String,
+      n: Int, numPerm: Int, seed: Long, threshold: Double): DataFrame = {
+    val coeffs = permCoeffs(numPerm, seed)
+    def prep(df: DataFrame): (DataFrame, DataFrame) = {
+      val sh = shingled(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+      val sig = sh.withColumn("hs", shingleHashes(col("sh")))
+        .select(col("id"), minhashSignature(col("hs"), coeffs).as("sig"))
+      (sh, sig.select(col("id"), posexplode(col("sig")).as(Seq("band", "v"))))
+    }
+    val (shNew, bandsNew) = prep(newDf)
+    val (shOld, bandsOld) = prep(oldDf)
+    val cands = bandsNew.select(col("id").as("id_new"), col("band"), col("v"))
+      .join(bandsOld.select(col("id").as("id_old"), col("band"), col("v"))
+        .hint("shuffle_hash"), Seq("band", "v"))
+      .select(col("id_new"), col("id_old")).distinct()
+    val verified = cands
+      .join(shNew.select(col("id").as("id_new"), col("sh").as("sh_a"), col("sh_n").as("n_new")), Seq("id_new"))
+      .join(shOld.select(col("id").as("id_old"), col("sh").as("sh_b"), col("sh_n").as("n_old")), Seq("id_old"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize.sortedIntersectSize(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_new") + col("n_old") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
+    releaseAfter(verified, shNew, shOld)
+  }
+
   /** INCREMENTAL dedup — the library seat behind q_dedup_incremental:
     * returns the new batch with a `dup_of` column (the old-corpus id
     * of the best near-dup match at `threshold`, by highest Jaccard

@@ -149,6 +149,22 @@ class TextDedupSimSpec extends SparkSpec {
     assert(flagged(12L) == Some(1L))
   }
 
+  test("bipartite minhash-LSH path equals the exact bipartite join on real docs") {
+    val sub = Tables.documents(spark, sf).filter($"doc_id" % 4 === 0)
+    val oldB = sub.filter($"doc_id" % 8 === 0)
+    val newB = sub.filter($"doc_id" % 8 =!= 0)
+    def toSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toSet
+    val exact = toSet(Dedup.jaccardJoinBipartite(
+      Dedup.shingled(newB, "doc_id", "text", 3),
+      Dedup.shingled(oldB, "doc_id", "text", 3), 0.6))
+    val lsh = toSet(Dedup.minhashNearDupBipartite(
+      newB, oldB, "doc_id", "text", 3, 64, 42L, 0.6))
+    assert(exact.nonEmpty, "corpus should contain cross-side near-dups at J >= 0.6")
+    assert(lsh == exact) // miss prob (1-0.6)^64 ~ 1e-26 per pair
+  }
+
   test("MinHashSig codegen expression equals the lambda form (incl. interpreted path)") {
     val docs = Tables.documents(spark, sf).limit(200)
     val coeffs = Dedup.permCoeffs(64, 42L)
