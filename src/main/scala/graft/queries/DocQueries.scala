@@ -670,6 +670,12 @@ object DocQueries {
     * cross-engine float-boundary hazard a `u/10007 < weight` compare
     * would have. One scan + one k-row broadcast join; the keep filter
     * is a pure projection — the 100 TB shape.
+    *
+    * Integer bounds: doc_id·2654435761 stays in Long for doc_id <
+    * ~3.5e9 (Spark wraps past that; DuckDB ERRORS on BIGINT overflow —
+    * the engines would diverge loudly, not silently), and the keep
+    * test's u·n_langs·lang_tokens < 9.2e18 holds through ~1e13 tokens
+    * per language at 10007 buckets.
     */
   def qMixtureApply(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
