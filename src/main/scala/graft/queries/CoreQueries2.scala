@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.RangeJoin
+import graft.text.PiiScrub
 
 /** Round-2 relational widening: multidimensional aggregates, window
   * navigation, range join, histograms, exact multi-quantiles
@@ -287,7 +288,50 @@ object CoreQueries2 {
       | round(avg(abs(z)), 4) + 0 AS avg_abs_z
       |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** GDPR-style identifier pseudonymization audit — the privacy pass a
+    * training-data pipeline runs before text ever reaches a model.
+    * Identifier-shaped values are detected by pattern, mapped to a
+    * deterministic surrogate ([[PiiScrub.surrogateKey]] — md5-derived,
+    * so every table carrying the same identifier gets the same
+    * surrogate and joins survive the scrub), and digit-redacted for
+    * display. The audit proves the two invariants that matter:
+    * n_surrogates == n_names (the mapping is injective at this scale —
+    * no two customers collapse) and n_redacted_forms is tiny (the
+    * redacted form leaks only the pattern, not the identity).
+    * One projection + one hash agg — zero extra shuffles at 100 TB.
+    */
+  def qPseudonymize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d).select(
+      $"c_mktsegment",
+      $"c_name",
+      $"c_name".rlike("^Customer#[0-9]+$").as("is_id"),
+      PiiScrub.surrogateKey($"c_name").as("surrogate"),
+      regexp_replace($"c_name", "[0-9]", "#").as("redacted"))
+    c.groupBy($"c_mktsegment").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when($"is_id", 1L).otherwise(0L)).as("n_matched"),
+        countDistinct($"c_name").as("n_names"),
+        countDistinct($"surrogate").as("n_surrogates"),
+        countDistinct($"redacted").as("n_redacted_forms"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val qPseudonymizeOracle: String =
+    """WITH c AS (SELECT c_mktsegment, c_name,
+      |  regexp_matches(c_name, '^Customer#[0-9]+$') AS is_id,
+      |  substr(md5(c_name), 1, 12) AS surrogate,
+      |  regexp_replace(c_name, '[0-9]', '#', 'g') AS redacted
+      | FROM customer)
+      |SELECT c_mktsegment, count(*) AS n_rows,
+      | CAST(sum(CASE WHEN is_id THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      | count(DISTINCT c_name) AS n_names,
+      | count(DISTINCT surrogate) AS n_surrogates,
+      | count(DISTINCT redacted) AS n_redacted_forms
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_pseudonymize" -> qPseudonymize,
     "q_outlier_mad" -> qOutlierMad,
     "q_group_percentiles" -> qGroupPercentiles,
     "q_anomaly_zscore" -> qAnomalyZscore,
@@ -300,6 +344,7 @@ object CoreQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pseudonymize" -> qPseudonymizeOracle,
     "q_outlier_mad" -> qOutlierMadOracle,
     "q_group_percentiles" -> qGroupPercentilesOracle,
     "q_anomaly_zscore" -> qAnomalyZscoreOracle,

@@ -936,7 +936,90 @@ object DocQueries {
       | round(sum(n_tokens) / 2048.0, 4) + 0 AS fill
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** C4-style duplicate-SPAN audit — the inter-document repetition
+    * layer between exact whole-doc dedup and near-dup: a word-3-gram
+    * span is "duplicated" when it occurs in ≥ 2 distinct docs (C4
+    * removes any 3-sentence span repeated across the corpus; 3-token
+    * spans are the analog at this corpus's granularity). Per source:
+    * mean fraction of each doc's span occurrences that are
+    * corpus-duplicated, plus docs past the 50% removal threshold.
+    * Scale shape: one token explode per branch, gram identity rides
+    * xxhash64 (8 bytes through both shuffles — same trick and the same
+    * 2⁻⁶⁴ collision caveat as q_contamination), span df is a
+    * gram-vocabulary-sized aggregate, and the scoring join shuffles on
+    * the gram hash — never a doc×doc comparison.
+    */
+  def qSpanDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", $"source", TextFunctions.tokens($"text").as("tk"))
+      .select($"doc_id", $"source",
+        explode(TextFunctions.wordNgramsOf($"tk", 3)).as("g"))
+      .select($"doc_id", $"source", xxhash64($"g").as("h"))
+    val df_ = grams.select($"doc_id", $"h").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(df_, "h")
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_dup"))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        r4(avg($"n_dup".cast("double") / $"n_grams")).as("avg_dup_frac"),
+        sum(when($"n_dup" * 2 > $"n_grams", 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy($"source")
+  }
+
+  val qSpanDedupOracle: String =
+    """WITH tok AS (SELECT doc_id, source,
+      |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |g AS (SELECT doc_id, source,
+      |  unnest(list_transform(range(1, len(tk) - 1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g FROM tok),
+      |d AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+      |p AS (SELECT doc_id, source, count(*) AS n_grams,
+      |  sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+      | FROM g JOIN d USING (g) GROUP BY 1, 2)
+      |SELECT source, count(*) AS n_docs,
+      | round(avg(n_dup * 1.0 / n_grams), 4) + 0 AS avg_dup_frac,
+      | CAST(sum(CASE WHEN n_dup * 2 > n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+      |FROM p GROUP BY source ORDER BY source""".stripMargin
+
+  /** BPE seed step, oracle-checked: the top-20 adjacent character
+    * pairs by frequency-weighted count over the word vocabulary — the
+    * first merge candidates of byte-pair-encoding tokenizer training
+    * (the full iterative learner is [[graft.text.Bpe.learnMerges]],
+    * spec-covered; its round-0 pair statistics are exactly this
+    * query). Corpus is touched once (token explode → word counts);
+    * the pair explode runs on the vocabulary frame, whose size is
+    * corpus-independent.
+    */
+  def qBpePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .filter(length($"w") >= 2)
+    words
+      .select($"cnt", explode(
+        transform(sequence(lit(1), length($"w") - 1),
+          i => $"w".substr(i, lit(2)))).as("pair"))
+      .groupBy($"pair").agg(sum($"cnt").as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(20)
+  }
+
+  val qBpePairsOracle: String =
+    """WITH w AS (SELECT w, count(*) AS cnt FROM (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents) GROUP BY 1 HAVING length(w) >= 2),
+      |p AS (SELECT cnt, unnest(list_transform(range(1, length(w)),
+      |  i -> substring(w, i, 2))) AS pair FROM w)
+      |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM p
+      |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_span_dedup" -> qSpanDedup,
+    "q_bpe_pairs" -> qBpePairs,
     "q_pack_sequences" -> qPackSequences,
     "q_mixture_weights" -> qMixtureWeights,
     "q_mixture_apply" -> qMixtureApply,
@@ -970,6 +1053,8 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_span_dedup" -> qSpanDedupOracle,
+    "q_bpe_pairs" -> qBpePairsOracle,
     "q_pack_sequences" -> qPackSequencesOracle,
     "q_mixture_weights" -> qMixtureWeightsOracle,
     "q_mixture_apply" -> qMixtureApplyOracle,

@@ -1,0 +1,114 @@
+package graft.text
+
+import scala.collection.mutable.{ArrayBuffer, ListBuffer}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** A word with its symbol segmentation and corpus frequency — one row
+  * of the BPE working vocabulary.
+  */
+case class BpeWord(syms: Seq[String], cnt: Long)
+
+/** One learned merge: at `rank`, the adjacent pair (left, right) had
+  * the highest frequency-weighted count and was fused into left+right.
+  */
+case class BpeMerge(rank: Int, left: String, right: String, pairCount: Long)
+
+/** Byte-pair-encoding vocabulary training (SURVEY.md §2.7) — the
+  * tokenizer-construction step of an LLM data pipeline, Spark-shaped
+  * the way BPE actually scales: the CORPUS is touched exactly once
+  * (the [[wordCounts]] token explode + count — one shuffle); every
+  * merge iteration then runs on the word-frequency table, whose size
+  * is the distinct-word vocabulary — independent of corpus bytes, so
+  * 100 TB of text and 100 GB of text pay the same per-merge cost once
+  * the counts exist. This is the classic frequency-dict formulation
+  * (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+  * with Subword Units"): pair statistics are weighted by word
+  * frequency; a merge rewrites occurrences left-to-right,
+  * non-overlapping.
+  *
+  * The per-merge transforms are typed Dataset ops (a bounded
+  * vocab-frame map, NOT a corpus-sized UDF path — same rationale as
+  * the mapPartitions multimodal decode); the top-pair lookup collects
+  * ONE row per round. Rounds localCheckpoint the vocab so lineage
+  * stays flat across up to thousands of merges.
+  */
+object Bpe {
+
+  /** Word-frequency table of `textCol` — the only corpus-sized pass
+    * (explode + hash agg, one shuffle on the word).
+    */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Greedy left-to-right, non-overlapping fuse of (a,b) → a+b —
+    * Sennrich merge semantics ("aaa" under (a,a) → ["aa","a"]).
+    */
+  def mergePair(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = ListBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  /** Learn up to `numMerges` merges from a (w, cnt) word-frequency
+    * frame. Ties break lexicographically on (left, right) so the
+    * result is deterministic across partitionings. Stops early when no
+    * adjacent pair remains (every word fused to one symbol).
+    */
+  def learnMerges(wordCounts: DataFrame, numMerges: Int): Seq[BpeMerge] = {
+    val spark = wordCounts.sparkSession
+    import spark.implicits._
+    var vocab: Dataset[BpeWord] = wordCounts.select(col("w").cast("string"), col("cnt").cast("long"))
+      .as[(String, Long)]
+      .map { case (w, c) => BpeWord(w.toCharArray.map(_.toString).toSeq, c) }
+      .localCheckpoint()
+    val merges = ArrayBuffer.empty[BpeMerge]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val top = vocab
+        .flatMap(v =>
+          if (v.syms.length < 2) Iterator.empty
+          else v.syms.iterator.zip(v.syms.iterator.drop(1)).map { case (a, b) => (a, b, v.cnt) })
+        .toDF("left", "right", "cnt")
+        .groupBy("left", "right").agg(sum("cnt").as("n"))
+        .orderBy(desc("n"), asc("left"), asc("right"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rt, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += BpeMerge(r, l, rt, n)
+        val prev = vocab
+        vocab = vocab.map(v => BpeWord(mergePair(v.syms, l, rt), v.cnt)).localCheckpoint()
+        prev.unpersist()
+        r += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
+
+  /** Segment one word with a learned merge list (rank order). */
+  def encodeWord(w: String, merges: Seq[BpeMerge]): Seq[String] =
+    merges.sortBy(_.rank).foldLeft(w.toCharArray.map(_.toString).toSeq) {
+      (syms, m) => mergePair(syms, m.left, m.right)
+    }
+
+  /** Final subword vocabulary implied by the merges: all single
+    * characters seen in the word table plus one token per merge.
+    */
+  def vocabOf(wordCounts: DataFrame, merges: Seq[BpeMerge]): Seq[String] = {
+    val spark = wordCounts.sparkSession
+    import spark.implicits._
+    val chars = wordCounts.select(explode(split(col("w"), "")).as("ch"))
+      .filter(length(col("ch")) > 0).distinct().as[String].collect().toSeq
+    (chars ++ merges.sortBy(_.rank).map(m => m.left + m.right)).distinct
+  }
+}

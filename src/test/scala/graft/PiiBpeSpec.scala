@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{Bpe, BpeMerge, BpeWord, PiiScrub}
+
+/** PII scrubbing on planted inputs (the synthetic corpus carries no
+  * PII, so the seat is spec-covered here — see PiiScrub's scaladoc)
+  * and BPE merge learning against the hand-computable Sennrich
+  * fixture plus the real sf0.001 corpus.
+  */
+class PiiBpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PiiScrub.scrub redacts every planted PII class and nothing else") {
+    val planted = Seq(
+      ("mail me at john.doe+x@mail.example.co today", "mail me at <EMAIL> today"),
+      ("ssn 123-45-6789 on file", "ssn <SSN> on file"),
+      ("card 4111 1111 1111 1111 or 4111-1111-1111-1111", "card <CC> or <CC>"),
+      ("host 10.0.0.1 and 192.168.255.254 up", "host <IP> and <IP> up"),
+      ("call (555) 123-4567 or +1 555-123-4567 now", "call <PHONE> or <PHONE> now"),
+      // non-PII that a sloppy scrubber eats: plain integers, version
+      // strings, order ids, out-of-range octets
+      ("order 123456789 v2.1.3 at 999.999.999.999", "order 123456789 v2.1.3 at 999.999.999.999"),
+      ("", ""))
+    val got = planted.toDF("t", "want")
+      .select(PiiScrub.scrub($"t").as("got"), $"want").collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("PiiScrub.stats counts each class independently and disjointly") {
+    val df = Seq(
+      "a@b.co and c@d.org, ssn 123-45-6789, ip 10.0.0.1, tel 555-123-4567"
+    ).toDF("t")
+    val r = df.select(PiiScrub.stats($"t").as("s"))
+      .select($"s.email", $"s.ssn", $"s.credit_card", $"s.ipv4", $"s.phone")
+      .head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)) == ((2, 1, 0, 1, 1)))
+    // an SSN or credit card is NOT double-counted as a phone number
+    val cc = Seq("4111 1111 1111 1111 and 123-45-6789").toDF("t")
+      .select(PiiScrub.stats($"t").as("s")).select($"s.phone", $"s.credit_card", $"s.ssn").head()
+    assert((cc.getInt(0), cc.getInt(1), cc.getInt(2)) == ((0, 1, 1)))
+  }
+
+  test("surrogateKey is deterministic, salt-sensitive, join-consistent") {
+    val df = Seq("Customer#1", "Customer#2", "Customer#1").toDF("k")
+    val s = df.select(PiiScrub.surrogateKey($"k").as("s"),
+      PiiScrub.surrogateKey($"k", salt = "x").as("ss")).collect()
+    assert(s(0).getString(0) == s(2).getString(0)) // same key → same surrogate
+    assert(s(0).getString(0) != s(1).getString(0)) // different key → different
+    assert(s(0).getString(0) != s(0).getString(1)) // salt changes the mapping
+    assert(s.forall(_.getString(0).length == 12))
+  }
+
+  test("Bpe learns the Sennrich-fixture merges in order") {
+    // the worked example of the BPE paper: {low:5, lower:2, newest:6, widest:3}
+    // pair stats round 0: (e,s)=9 ties (s,t)=9 → lexicographic → (e,s);
+    // then (es,t)=9; then (l,o)=7 ties (o,w)=7 → (l,o)
+    val wc = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("w", "cnt")
+    val merges = Bpe.learnMerges(wc, 3)
+    assert(merges.map(m => (m.left, m.right, m.pairCount)) ==
+      Seq(("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L)))
+    assert(Bpe.encodeWord("lowest", merges) == Seq("lo", "w", "est"))
+    assert(Bpe.encodeWord("low", merges) == Seq("lo", "w"))
+    // merge semantics: greedy left-to-right non-overlapping
+    assert(Bpe.mergePair(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    val vocab = Bpe.vocabOf(wc, merges)
+    assert(Seq("es", "est", "lo").forall(vocab.contains))
+    assert(Seq("l", "o", "w", "e", "r", "n", "s", "t", "i", "d").forall(vocab.contains))
+  }
+
+  test("Bpe round-0 pair stats equal q_bpe_pairs; corpus run is deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val wc = Bpe.wordCounts(docs, "text").localCheckpoint()
+    // round 0 top pair == the q_bpe_pairs head (same statistic)
+    val top = Bpe.learnMerges(wc, 1).head
+    val qTop = queries.DocQueries.qBpePairs(spark, sf).head()
+    // round 0 symbols are single chars, so left+right IS the 2-char pair
+    assert(top.left + top.right == qTop.getString(0))
+    assert(top.pairCount == qTop.getLong(1))
+    // a deeper run: merges are distinct, counts non-increasing is NOT
+    // required by BPE (merged symbols create new pairs), but
+    // determinism across two runs is
+    val m1 = Bpe.learnMerges(wc, 8)
+    val m2 = Bpe.learnMerges(wc, 8)
+    assert(m1 == m2)
+    assert(m1.map(m => (m.left, m.right)).distinct.size == 8)
+  }
+
+  test("Bpe stops early when every word is fully fused") {
+    val wc = Seq(("ab", 3L), ("ab", 1L)).toDF("w", "cnt")
+    val merges = Bpe.learnMerges(wc, 10)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b")))
+  }
+}
