@@ -992,6 +992,55 @@ object DocQueries {
       | CAST(sum(CASE WHEN n_dup * 2 > n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
       |FROM p GROUP BY source ORDER BY source""".stripMargin
 
+  /** Scalar (int8) embedding-quantization audit — the memory-
+    * compression path of similarity search at 100 TB: float32 → uint8
+    * per dimension cuts vector memory 4× (the "SQ8" of IVF+SQ
+    * indexes), and this query measures what that costs in fidelity.
+    * Per-dimension min/max are fit corpus-wide (an O(dims) aggregate,
+    * broadcast back — never a second corpus shuffle), each value is
+    * quantized to the 255-step grid and reconstructed, and the
+    * per-label rollup reports reconstruction MSE and the worst
+    * absolute error. Constant dimensions (max == min) reconstruct
+    * exactly — guarded in BOTH engines (Spark's non-ANSI divide
+    * yields null where DuckDB's IEEE divide yields ±inf, the same
+    * degenerate-group trap as q_outlier_mad's MAD=0).
+    */
+  def qEmbedQuantize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"label",
+        posexplode($"embedding".cast("array<double>")).as(Seq("pos", "x")))
+    val stats = e.groupBy($"pos").agg(min($"x").as("mn"), max($"x").as("mx"))
+    val q = e.join(broadcast(stats), "pos")
+      .withColumn("xr",
+        when($"mx" > $"mn",
+          $"mn" + round(($"x" - $"mn") / ($"mx" - $"mn") * 255) / 255 * ($"mx" - $"mn"))
+          .otherwise($"mn"))
+    val v = q.groupBy($"vec_id", $"label")
+      .agg(avg(($"x" - $"xr") * ($"x" - $"xr")).as("mse"),
+        max(abs($"x" - $"xr")).as("maxerr"))
+    v.groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        (round(avg($"mse"), 8) + lit(0.0)).as("avg_mse"),
+        (round(max($"maxerr"), 6) + lit(0.0)).as("max_abs_err"))
+      .orderBy($"label")
+  }
+
+  val qEmbedQuantizeOracle: String =
+    """WITH e AS (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+      |  unnest(range(0, len(embedding))) AS pos FROM embeddings),
+      |s AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1),
+      |q AS (SELECT vec_id, label, x,
+      |  CASE WHEN mx > mn THEN mn + round((x - mn) / (mx - mn) * 255) / 255 * (mx - mn)
+      |       ELSE mn END AS xr
+      | FROM e JOIN s USING (pos)),
+      |v AS (SELECT vec_id, label, avg((x - xr) * (x - xr)) AS mse,
+      |  max(abs(x - xr)) AS maxerr FROM q GROUP BY 1, 2)
+      |SELECT label, count(*) AS n_vecs,
+      | round(avg(mse), 8) + 0 AS avg_mse,
+      | round(max(maxerr), 6) + 0 AS max_abs_err
+      |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** BPE seed step, oracle-checked: the top-20 adjacent character
     * pairs by frequency-weighted count over the word vocabulary — the
     * first merge candidates of byte-pair-encoding tokenizer training
@@ -1028,6 +1077,7 @@ object DocQueries {
   val all: Map[String, Q] = Map(
     "q_span_dedup" -> qSpanDedup,
     "q_bpe_pairs" -> qBpePairs,
+    "q_embed_quantize" -> qEmbedQuantize,
     "q_pack_sequences" -> qPackSequences,
     "q_mixture_weights" -> qMixtureWeights,
     "q_mixture_apply" -> qMixtureApply,
@@ -1063,6 +1113,7 @@ object DocQueries {
   val oracles: Map[String, String] = Map(
     "q_span_dedup" -> qSpanDedupOracle,
     "q_bpe_pairs" -> qBpePairsOracle,
+    "q_embed_quantize" -> qEmbedQuantizeOracle,
     "q_pack_sequences" -> qPackSequencesOracle,
     "q_mixture_weights" -> qMixtureWeightsOracle,
     "q_mixture_apply" -> qMixtureApplyOracle,

@@ -117,6 +117,27 @@ object Streams {
   def streamDedup(stream: DataFrame, watermark: String, keys: Seq[String]): DataFrame =
     stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming INGEST dedup against an already-kept corpus — the
+    * streaming twin of [[graft.dedup.Dedup]]'s incremental batch path
+    * (q_dedup_incremental): documents arrive as a stream, in-stream
+    * repeats are dropped by digest within the watermark (bounded
+    * state — the digest is 16 bytes, never the text), and anything
+    * already in the static corpus is removed by a digest anti-join.
+    * The static side is a digest-only frame: at 100 TB the kept-corpus
+    * digests are ~16 bytes/doc, and the join is stream-static (each
+    * microbatch probes it; no streaming state grows with corpus size).
+    * Emits the surviving novel documents with their digest, ready for
+    * the downstream near-dup pass.
+    */
+  def streamDedupAgainstCorpus(stream: DataFrame, corpus: DataFrame,
+      textCol: String, tsCol: String, watermark: String): DataFrame = {
+    val dg = org.apache.spark.sql.functions.md5(col(textCol))
+    val novel = stream.withColumn("digest", dg)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("digest")
+    novel.join(corpus.select(dg.as("digest")).distinct(), Seq("digest"), "left_anti")
+  }
+
   /** Streaming model-scoring sink — the Spark-native seat of the
     * reference's online scoring API (reference: inference/api_server.py
     * FastAPI predict endpoint; SURVEY §1 scopes the HTTP server out,

@@ -8,6 +8,7 @@ import graft.multimodal.Multimodal
 import graft.streaming.Streams
 
 case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long, event_id: Long)
+case class DocIn(ts: Timestamp, doc_id: Long, text: String)
 case class ScoreIn(id: Long, arr: Seq[Double])
 case class Imp(ts: Timestamp, user_id: Long, imp_id: Long)
 case class Clk(ts: Timestamp, user_id: Long, click_id: Long)
@@ -177,6 +178,30 @@ class StreamsSpec extends SparkSpec {
     val n = spark.table("dedup").count()
     q.stop()
     assert(n == 2)
+  }
+
+  test("streaming ingest dedup drops in-stream repeats and corpus hits") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("kept one", "kept two").toDF("text")
+    val ms = MemoryStream[DocIn]
+    val q = Streams.streamDedupAgainstCorpus(ms.toDF(), corpus, "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("ingest").outputMode("append").start()
+    ms.addData(
+      DocIn(t("2024-01-01 00:00:00"), 1, "novel alpha"),
+      DocIn(t("2024-01-01 00:00:01"), 2, "kept one"),    // already in corpus
+      DocIn(t("2024-01-01 00:00:02"), 3, "novel alpha")) // in-stream repeat
+    q.processAllAvailable()
+    ms.addData(
+      DocIn(t("2024-01-01 00:00:03"), 4, "novel alpha"), // repeat across batches
+      DocIn(t("2024-01-01 00:00:04"), 5, "novel beta"),
+      DocIn(t("2024-01-01 00:00:05"), 6, "kept two"))
+    q.processAllAvailable()
+    val out = spark.table("ingest").collect()
+    q.stop()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 5L),
+      s"survivors: ${out.mkString(",")}")
+    // digest column rides along for the downstream near-dup pass
+    assert(out.forall(_.getAs[String]("digest").length == 32))
   }
 
   test("foreachBatch sink lands stream microbatches as parquet") {
