@@ -101,6 +101,38 @@ object Bpe {
       (syms, m) => mergePair(syms, m.left, m.right)
     }
 
+  /** Apply learned merges to a whole corpus — the tokenizer-encode
+    * pass of data prep. mapPartitions is the right tool here (same
+    * justification as the multimodal decode): rank-priority merge
+    * application is an imperative per-token loop no Column expression
+    * expresses, the merge list is bounded (it ships in the task
+    * closure), and a per-partition word→subwords memo exploits the
+    * Zipfian repeat rate so most tokens hit the cache instead of the
+    * merge loop. One pass over the corpus, zero shuffles; output rows
+    * carry (id, subwords, n_tokens, n_subwords) for downstream
+    * packing/budgeting.
+    */
+  def encodeCorpus(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ms = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val cache = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+        it.map { case (id, text) =>
+          val toks = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+          val subs = toks.flatMap(w => cache.getOrElseUpdate(w,
+            ms.foldLeft(w.toCharArray.map(_.toString).toSeq) {
+              (s, p) => mergePair(s, p._1, p._2)
+            }))
+          (id, subs, toks.length.toLong, subs.length.toLong)
+        }
+      }
+      .toDF(idCol, "subwords", "n_tokens", "n_subwords")
+  }
+
   /** Final subword vocabulary implied by the merges: all single
     * characters seen in the word table plus one token per merge.
     */

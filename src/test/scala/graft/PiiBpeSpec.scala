@@ -88,6 +88,31 @@ class PiiBpeSpec extends SparkSpec {
     assert(m1.map(m => (m.left, m.right)).distinct.size == 8)
   }
 
+  test("Bpe.encodeCorpus round-trips text and matches encodeWord") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val wc = Bpe.wordCounts(docs, "text").localCheckpoint()
+    val merges = Bpe.learnMerges(wc, 10)
+    val enc = Bpe.encodeCorpus(docs, "doc_id", "text", merges)
+    val rows = enc.collect()
+    assert(rows.length == 50)
+    val orig = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val subs = r.getSeq[String](1)
+      val toks = orig(id).trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      // lossless: concatenating the subwords reconstructs the tokens
+      assert(subs.mkString == toks.mkString)
+      assert(r.getLong(2) == toks.length.toLong)
+      assert(r.getLong(3) == subs.length.toLong)
+      // merges compress: never more subwords than characters
+      assert(subs.length <= toks.map(_.length).sum)
+      // agreement with the single-word reference path on a sample
+      assert(toks.take(3).flatMap(w => Bpe.encodeWord(w, merges)) ==
+        subs.take(toks.take(3).flatMap(w => Bpe.encodeWord(w, merges)).length))
+    }
+  }
+
   test("Bpe stops early when every word is fully fused") {
     val wc = Seq(("ab", 3L), ("ab", 1L)).toDF("w", "cnt")
     val merges = Bpe.learnMerges(wc, 10)
