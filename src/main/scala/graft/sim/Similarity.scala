@@ -210,6 +210,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** IVF + SQ8: the inverted-file search of [[annIvf]] over a
+    * scalar-quantized corpus — the memory shape real billion-vector
+    * indexes ship (IVF for sub-quadratic probing, int8 codes for a 4×
+    * storage cut; q_embed_quantize measures the fidelity cost of the
+    * same grid). Per-dimension min/max are fit in one narrow aggregate
+    * (O(dims) rows collected, shipped back as array literals); corpus
+    * vectors are snapped to the 255-step reconstruction grid BEFORE
+    * scoring — exactly what scoring against stored int8 codes
+    * computes — while queries stay full-precision (asymmetric distance
+    * computation, the standard IVF-SQ trade). The k-means coarse
+    * quantizer is fit on the ORIGINAL vectors: index build is offline
+    * and pays full precision once; only the stored codes are lossy.
+    */
+  def annIvfSq8(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, k: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val stats = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("pos")).collect()
+    val mnL = lit(stats.map(_.getDouble(1)))
+    val mxL = lit(stats.map(_.getDouble(2)))
+    def sq8(v: Column): Column = transform(v, (x, i) => {
+      val mn = element_at(mnL, i + 1)
+      val mx = element_at(mxL, i + 1)
+      when(mx > mn, mn + round((x - mn) / (mx - mn) * 255) / lit(255.0) * (mx - mn))
+        .otherwise(mn)
+    })
+    val toVec = (df: DataFrame) => df.withColumn("__fv",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("__fv")
+      .setPredictionCol("cell")
+    val model = km.fit(toVec(corpus))
+    val assignedCorpus = model.transform(toVec(corpus))
+      .select(col(idCol).as("neighbor_id"),
+        sq8(col(vecCol).cast("array<double>")).as("cv"), col("cell"))
+    val assignedQueries = model.transform(toVec(queries))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"))
+    val scored = assignedCorpus.join(assignedQueries, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4) + lit(0.0))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    TopKAggregator.topKPerKey(scored, "query_id", "neighbor_id", "cos", k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: exact top-k within each bucket. Sub-quadratic;
     * recall depends on nPlanes (fewer planes → bigger buckets → higher
     * recall, more work). One table — for production recall targets use

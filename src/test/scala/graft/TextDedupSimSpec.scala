@@ -550,13 +550,18 @@ class TextDedupSimSpec extends SparkSpec {
         .filter($"query_id".isin(qIds.toSeq: _*)))
     val ivf = neighborSets(
       Similarity.annIvf(all, queries, "vec_id", "embedding", nCells = 4, k = k))
-    val (rLsh, rIvf) = (recallOf(lsh), recallOf(ivf))
-    info(f"recall@$k: annLsh $rLsh%.3f, annIvf $rIvf%.3f")
+    val sq8 = neighborSets(
+      Similarity.annIvfSq8(all, queries, "vec_id", "embedding", nCells = 4, k = k))
+    val (rLsh, rIvf, rSq8) = (recallOf(lsh), recallOf(ivf), recallOf(sq8))
+    info(f"recall@$k: annLsh $rLsh%.3f, annIvf $rIvf%.3f, annIvfSq8 $rSq8%.3f")
     // this corpus's neighbors sit near background similarity — the
     // hardest case for bucketing; floors document the trade honestly
     // (deterministic: fixed seeds, fixed data)
     assert(rLsh >= 0.25, s"annLsh recall@$k $rLsh")
     assert(rIvf >= 0.25, s"annIvf recall@$k $rIvf")
+    // the int8 grid loses at most a whisker of recall vs full-precision
+    // IVF on the same cells (same coarse quantizer, same probes)
+    assert(rSq8 >= rIvf - 0.05, s"annIvfSq8 recall@$k $rSq8 vs annIvf $rIvf")
   }
 
   test("annLshMulti with a planesFor config: recall@k >= 0.8 on planted near-dups") {
