@@ -992,6 +992,34 @@ object DocQueries {
       | CAST(sum(CASE WHEN n_dup * 2 > n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
       |FROM p GROUP BY source ORDER BY source""".stripMargin
 
+  /** Deterministic stratified sampling — the held-out/eval-set carving
+    * step of training-data assembly: exactly k docs per source, chosen
+    * by CONTENT-hash order (md5, shared by both engines) rather than
+    * rand(), so the sample is reproducible across runs, engines, and
+    * repartitionings, and stays stable under corpus append (a doc's
+    * rank moves only if new docs hash below it). Per-group window over
+    * reducer-sized groups; a giant-group corpus would rank through
+    * TopKAggregator on a numeric hash instead (same trade as
+    * q_cosine_topk vs a window sort).
+    */
+  def qSamplePerGroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy(md5($"text"), $"doc_id")
+    Tables.documents(s, d)
+      .select($"source", $"doc_id", $"text")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"source", $"rk", $"doc_id")
+      .orderBy($"source", $"rk")
+  }
+
+  val qSamplePerGroupOracle: String =
+    """WITH r AS (SELECT source, doc_id,
+      |  row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+      | FROM documents)
+      |SELECT source, rk, doc_id FROM r WHERE rk <= 5
+      |ORDER BY source, rk""".stripMargin
+
   /** Gopher document-level rule filter (Rae et al. 2021, Table A1) —
     * the published heuristic gate LLM pipelines run before training,
     * completing this repo's Gopher set (q_repetition carries the
@@ -1154,6 +1182,7 @@ object DocQueries {
     "q_bpe_pairs" -> qBpePairs,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_gopher_rules" -> qGopherRules,
+    "q_sample_pergroup" -> qSamplePerGroup,
     "q_pack_sequences" -> qPackSequences,
     "q_mixture_weights" -> qMixtureWeights,
     "q_mixture_apply" -> qMixtureApply,
@@ -1191,6 +1220,7 @@ object DocQueries {
     "q_bpe_pairs" -> qBpePairsOracle,
     "q_embed_quantize" -> qEmbedQuantizeOracle,
     "q_gopher_rules" -> qGopherRulesOracle,
+    "q_sample_pergroup" -> qSamplePerGroupOracle,
     "q_pack_sequences" -> qPackSequencesOracle,
     "q_mixture_weights" -> qMixtureWeightsOracle,
     "q_mixture_apply" -> qMixtureApplyOracle,

@@ -113,6 +113,44 @@ class PiiBpeSpec extends SparkSpec {
     }
   }
 
+  test("PiiScrub property: planted PII is always redacted, clean text never touched") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def gen[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    // clean filler: lowercase words (no digits, no @) — nothing a rule
+    // can match, so any change to it is a false positive
+    val word = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val filler = Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val d = Gen.numChar.map(_.toString)
+    def digits(n: Int): Gen[String] = Gen.listOfN(n, Gen.numChar).map(_.mkString)
+    val email = for { u <- word; h <- word } yield s"$u@$h.com"
+    val ssn = for { a <- digits(3); b <- digits(2); c <- digits(4) } yield s"$a-$b-$c"
+    val phone = for { a <- digits(3); b <- digits(3); c <- digits(4);
+      sep <- Gen.oneOf(" ", ".", "-") } yield s"$a$sep$b$sep$c"
+    val ip = Gen.listOfN(4, Gen.chooseNum(0, 255)).map(_.mkString("."))
+    val cc = for { gs <- Gen.listOfN(4, digits(4)); sep <- Gen.oneOf(" ", "-") }
+      yield gs.mkString(sep)
+    val pii = Gen.oneOf(email, ssn, phone, ip, cc)
+    val line = for { pre <- filler; p <- pii; post <- filler }
+      yield (s"$pre $p $post".trim, s"$pre ".dropWhile(_ == ' ') + "…" + post)
+    val cases = gen(Gen.listOfN(300, Gen.zip(filler, line.map(_._1))), 17L)
+    val df = cases.toDF("clean", "dirty").select(
+      $"clean", $"dirty",
+      PiiScrub.scrub($"clean").as("clean_out"),
+      PiiScrub.scrub($"dirty").as("dirty_out"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      // clean text is byte-identical through the scrubber
+      assert(r.getString(2) == r.getString(0), s"false positive on: '${r.getString(0)}'")
+      // the planted PII never survives: no digit runs >= 3 and no '@'
+      // remain (every rule's tag is digit- and @-free)
+      val out = r.getString(3)
+      assert(!out.matches(".*\\d{3,}.*") && !out.contains("@"),
+        s"PII survived: '${r.getString(1)}' -> '$out'")
+    }
+  }
+
   test("Bpe stops early when every word is fully fused") {
     val wc = Seq(("ab", 3L), ("ab", 1L)).toDF("w", "cnt")
     val merges = Bpe.learnMerges(wc, 10)
