@@ -288,6 +288,45 @@ object CoreQueries2 {
       | round(avg(abs(z)), 4) + 0 AS avg_abs_z
       |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The full SQL window-rank function family in one per-group window
+    * (rank / dense_rank / percent_rank / cume_dist / ntile), head rows
+    * per priority — rounding out the §2.1 window-navigation coverage
+    * next to row_number (q4) and lag/lead (q_lead_lag). The window
+    * partitions by priority (reducer-sized groups, never a global
+    * single-partition sort); ties are broken inside the ORDER BY so
+    * percent_rank/cume_dist are engine-exact.
+    */
+  def qRankFuncs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, d)
+      .select($"o_orderpriority", $"o_orderkey",
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        (round(percent_rank().over(w), 4) + lit(0.0)).as("pct_rank"),
+        (round(cume_dist().over(w), 4) + lit(0.0)).as("cume"),
+        ntile(4).over(w).as("quartile"),
+        row_number().over(w).as("rn"))
+      .filter($"rn" <= 8)
+      .select($"o_orderpriority", $"o_orderkey", $"rnk", $"drnk",
+        $"pct_rank", $"cume", $"quartile")
+      .orderBy($"o_orderpriority", $"rnk")
+  }
+
+  val qRankFuncsOracle: String =
+    """WITH r AS (SELECT o_orderpriority, o_orderkey,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  round(percent_rank() OVER w, 4) + 0 AS pct_rank,
+      |  round(cume_dist() OVER w, 4) + 0 AS cume,
+      |  ntile(4) OVER w AS quartile,
+      |  row_number() OVER w AS rn
+      | FROM orders
+      | WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
+      |SELECT o_orderpriority, o_orderkey, rnk, drnk, pct_rank, cume, quartile
+      |FROM r WHERE rn <= 8 ORDER BY o_orderpriority, rnk""".stripMargin
+
   /** GDPR-style identifier pseudonymization audit — the privacy pass a
     * training-data pipeline runs before text ever reaches a model.
     * Identifier-shaped values are detected by pattern, mapped to a
@@ -332,6 +371,7 @@ object CoreQueries2 {
 
   val all: Map[String, Q] = Map(
     "q_pseudonymize" -> qPseudonymize,
+    "q_rank_funcs" -> qRankFuncs,
     "q_outlier_mad" -> qOutlierMad,
     "q_group_percentiles" -> qGroupPercentiles,
     "q_anomaly_zscore" -> qAnomalyZscore,
@@ -345,6 +385,7 @@ object CoreQueries2 {
 
   val oracles: Map[String, String] = Map(
     "q_pseudonymize" -> qPseudonymizeOracle,
+    "q_rank_funcs" -> qRankFuncsOracle,
     "q_outlier_mad" -> qOutlierMadOracle,
     "q_group_percentiles" -> qGroupPercentilesOracle,
     "q_anomaly_zscore" -> qAnomalyZscoreOracle,
