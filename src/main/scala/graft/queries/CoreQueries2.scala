@@ -288,6 +288,50 @@ object CoreQueries2 {
       | round(avg(abs(z)), 4) + 0 AS avg_abs_z
       |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Cohort reconciliation via FULL OUTER join — the join type the
+    * rest of the surface doesn't exercise (inner/left/semi/anti/range/
+    * as-of are covered elsewhere), in its natural data-engineering
+    * role: reconcile two keyed aggregates (early vs late purchase
+    * cohorts), classify keys present in one / other / both, and roll
+    * up the value delta per status. Both inputs pre-aggregate to one
+    * row per key BEFORE the join (map-side partials, key-partitioned
+    * shuffle join of two deduplicated sides — never a row-level
+    * full-outer blowup); AQE is free to pick the join strategy.
+    */
+  def qCohortReconcile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+    val cut = lit("2000-01-01").cast("date")
+    val early = orders.filter($"o_orderdate" < cut)
+      .groupBy($"o_custkey").agg(sum($"o_totalprice").as("early"))
+    val late = orders.filter($"o_orderdate" >= cut)
+      .groupBy($"o_custkey").agg(sum($"o_totalprice").as("late"))
+    early.join(late, Seq("o_custkey"), "full_outer")
+      .select(
+        when($"early".isNull, "late_only")
+          .when($"late".isNull, "early_only")
+          .otherwise("both").as("status"),
+        (coalesce($"late", lit(0.0)) - coalesce($"early", lit(0.0))).as("delta"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_customers"),
+        (round(sum($"delta"), 2) + lit(0.0)).as("total_delta"))
+      .orderBy($"status")
+  }
+
+  val qCohortReconcileOracle: String =
+    """WITH e AS (SELECT o_custkey, sum(o_totalprice) AS early FROM orders
+      |  WHERE o_orderdate < DATE '2000-01-01' GROUP BY 1),
+      |l AS (SELECT o_custkey, sum(o_totalprice) AS late FROM orders
+      |  WHERE o_orderdate >= DATE '2000-01-01' GROUP BY 1),
+      |j AS (SELECT early, late FROM e FULL OUTER JOIN l ON e.o_custkey = l.o_custkey),
+      |s AS (SELECT CASE WHEN early IS NULL THEN 'late_only'
+      |             WHEN late IS NULL THEN 'early_only'
+      |             ELSE 'both' END AS status,
+      |  coalesce(late, 0) - coalesce(early, 0) AS delta FROM j)
+      |SELECT status, count(*) AS n_customers,
+      | round(sum(delta), 2) + 0 AS total_delta
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The full SQL window-rank function family in one per-group window
     * (rank / dense_rank / percent_rank / cume_dist / ntile), head rows
     * per priority — rounding out the §2.1 window-navigation coverage
@@ -372,6 +416,7 @@ object CoreQueries2 {
   val all: Map[String, Q] = Map(
     "q_pseudonymize" -> qPseudonymize,
     "q_rank_funcs" -> qRankFuncs,
+    "q_cohort_reconcile" -> qCohortReconcile,
     "q_outlier_mad" -> qOutlierMad,
     "q_group_percentiles" -> qGroupPercentiles,
     "q_anomaly_zscore" -> qAnomalyZscore,
@@ -386,6 +431,7 @@ object CoreQueries2 {
   val oracles: Map[String, String] = Map(
     "q_pseudonymize" -> qPseudonymizeOracle,
     "q_rank_funcs" -> qRankFuncsOracle,
+    "q_cohort_reconcile" -> qCohortReconcileOracle,
     "q_outlier_mad" -> qOutlierMadOracle,
     "q_group_percentiles" -> qGroupPercentilesOracle,
     "q_anomaly_zscore" -> qAnomalyZscoreOracle,
