@@ -992,6 +992,54 @@ object DocQueries {
       | CAST(sum(CASE WHEN n_dup * 2 > n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
       |FROM p GROUP BY source ORDER BY source""".stripMargin
 
+  /** Span-length duplication profile — the diagnostic that picks the
+    * span length for q_span_dedup (exact-substring dedup work à la Lee
+    * et al. tunes exactly this knob): for each n in {1,2,3,5,8}, the
+    * fraction of word-n-gram occurrences that are corpus-duplicated
+    * (present in ≥ 2 docs) and the distinct-gram count. Short spans
+    * duplicate by chance (vocabulary reuse), long spans only by real
+    * copying — the elbow locates the dedup threshold. Runs on a fixed
+    * 20% doc subset; each n is one explode → per-gram aggregate →
+    * 1-row rollup, unioned (5 bounded branches, no joins).
+    */
+  def qDupSpanProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sub = Tables.documents(s, d).filter($"doc_id" % 5 === 0)
+      .select($"doc_id", TextFunctions.tokens($"text").as("tk"))
+    val perN = Seq(1, 2, 3, 5, 8).map { n =>
+      val grams = (if (n == 1) sub.select($"doc_id", explode($"tk").as("g"))
+        else sub.select($"doc_id", explode(TextFunctions.wordNgramsOf($"tk", n)).as("g")))
+        .select($"doc_id", xxhash64($"g").as("h"))
+      grams.groupBy($"h")
+        .agg(count(lit(1)).as("occ"), countDistinct($"doc_id").as("nd"))
+        .agg(lit(n).as("n"),
+          sum($"occ").as("n_grams"),
+          count(lit(1)).as("n_distinct"),
+          r4(sum(when($"nd" >= 2, $"occ").otherwise(0L)).cast("double") / sum($"occ"))
+            .as("dup_frac"))
+    }
+    perN.reduce(_ unionByName _).orderBy($"n")
+  }
+
+  val qDupSpanProfileOracle: String = {
+    def gramExpr(n: Int): String =
+      if (n == 1) "unnest(tk)"
+      else {
+        val parts = (0 until n).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+        s"unnest(list_transform(range(1, len(tk) - ${n - 2}), i -> ${parts.mkString(" || ' ' || ")}))"
+      }
+    val branches = Seq(1, 2, 3, 5, 8).map { n =>
+      s"""(SELECT $n AS n, CAST(sum(occ) AS BIGINT) AS n_grams,
+         | count(*) AS n_distinct,
+         | round(sum(CASE WHEN nd >= 2 THEN occ ELSE 0 END) * 1.0 / sum(occ), 4) + 0 AS dup_frac
+         |FROM (SELECT g, count(*) AS occ, count(DISTINCT doc_id) AS nd
+         |  FROM (SELECT doc_id, ${gramExpr(n)} AS g FROM t) GROUP BY g))""".stripMargin
+    }
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |  FROM documents WHERE doc_id % 5 = 0)
+       |SELECT * FROM (${branches.mkString("\nUNION ALL\n")}) ORDER BY n""".stripMargin
+  }
+
   /** Deterministic stratified sampling — the held-out/eval-set carving
     * step of training-data assembly: exactly k docs per source, chosen
     * by CONTENT-hash order (md5, shared by both engines) rather than
@@ -1183,6 +1231,7 @@ object DocQueries {
     "q_embed_quantize" -> qEmbedQuantize,
     "q_gopher_rules" -> qGopherRules,
     "q_sample_pergroup" -> qSamplePerGroup,
+    "q_dup_span_profile" -> qDupSpanProfile,
     "q_pack_sequences" -> qPackSequences,
     "q_mixture_weights" -> qMixtureWeights,
     "q_mixture_apply" -> qMixtureApply,
@@ -1221,6 +1270,7 @@ object DocQueries {
     "q_embed_quantize" -> qEmbedQuantizeOracle,
     "q_gopher_rules" -> qGopherRulesOracle,
     "q_sample_pergroup" -> qSamplePerGroupOracle,
+    "q_dup_span_profile" -> qDupSpanProfileOracle,
     "q_pack_sequences" -> qPackSequencesOracle,
     "q_mixture_weights" -> qMixtureWeightsOracle,
     "q_mixture_apply" -> qMixtureApplyOracle,
