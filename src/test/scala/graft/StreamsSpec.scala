@@ -398,4 +398,24 @@ class StreamsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == expected)
   }
+
+  test("media near-dup: stub features compose with the similarity machinery") {
+    // the real-world pattern (CLIP-embedding near-dup over decoded
+    // media) with the decode stubbed: payloads 1 and 2 differ in one
+    // byte → stripe features nearly identical; 3 is unrelated
+    val texts = Seq(
+      (1L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
+      (2L, "aaaa bbbb cccc dddd eeee ffff gggg hhhi"),
+      (3L, "zz y xxxxxxxxxx w vvvvv u ttttttttt s r"))
+    val media = texts.toDF("doc_id", "text")
+      .select($"doc_id".as("media_id"), encode($"text", "UTF-8").as("payload"),
+        org.apache.spark.sql.functions.struct(
+          lit("jpg").as("format"), lit(100).as("width"), lit(100).as("height")).as("meta"))
+    val feats = Multimodal.extractFeatures(media)
+    val pairs = graft.sim.Similarity.nearDupPairs(
+        feats.select($"media_id", $"features"), "media_id", "features", 0.999)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"pairs: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)), s"pairs: $pairs")
+  }
 }
