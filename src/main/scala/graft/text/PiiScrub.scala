@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * rules cannot re-match inside an earlier rule's output.
   *
   * The synthetic `documents` corpus contains no PII by construction,
-  * so this seat is spec-covered on planted inputs (PiiScrubSpec)
+  * so this seat is spec-covered on planted inputs (PiiBpeSpec)
   * rather than oracle-checked — a zero-match oracle row would be
   * vacuously green. [[surrogateKey]] backs the oracle-checked
   * q_pseudonymize, which has full signal on `customer`.
