@@ -1225,7 +1225,77 @@ object DocQueries {
       |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM p
       |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  /** Coarse cluster assignment (the IVF/SemDedup partition step) made
+    * oracle-checkable: centroids are the 8 smallest-vec_id embeddings
+    * (deterministic "init" both engines can name), every vector is
+    * assigned to its max-cosine centroid via
+    * [[Similarity.assignToCentroids]] — one broadcast join + a bounded
+    * top-1 aggregation, NO shuffle of the vector side. Cosines are
+    * rounded to 4 dp BEFORE the argmax in both engines, ties broken by
+    * smaller centroid id, so the winner is engine-independent. The
+    * iterative fits (MLlib k-means in annIvf/semDedup) are spec-
+    * covered; this row pins the assignment algebra they share.
+    */
+  def qClusterAssign(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.embeddings(s, d)
+    val cents = v.orderBy($"vec_id").limit(8)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    Similarity.assignToCentroids(v, "vec_id", "embedding", cents, "cid", "ce")
+      .select($"id".as("vec_id"), $"cluster_id", $"cos")
+      .orderBy($"vec_id")
+  }
+
+  val qClusterAssignOracle: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+      |s AS (SELECT v.vec_id, c.cid,
+      |  round(list_dot_product(v.e,c.ce)/(sqrt(list_dot_product(v.e,v.e))*sqrt(list_dot_product(c.ce,c.ce))),4) + 0 AS cos
+      | FROM v CROSS JOIN c),
+      |r AS (SELECT vec_id, cid, cos,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk FROM s)
+      |SELECT vec_id, cid AS cluster_id, cos FROM r WHERE rk = 1
+      |ORDER BY vec_id""".stripMargin
+
+  /** Zipf-law fit per language: ln(count) regressed on ln(rank) over
+    * each language's top-100 tokens (rank by count desc, token asc —
+    * deterministic). The fitted slope is the corpus's Zipf exponent
+    * (≈ −1 for natural language) — a standard corpus-health diagnostic
+    * in LLM data work (vocabulary heavy-tailedness; flat slopes flag
+    * templated/synthetic text). Slope = covar_pop/var_pop, identical
+    * closed form in both engines; one explode + one hash agg + a
+    * top-100-per-lang window on the (lang, token) count frame (vocab-
+    * bounded, NOT corpus-bounded) + a k-row final agg.
+    */
+  def qZipfSlope(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, d)
+      .select($"lang", explode(TextFunctions.tokens($"text")).as("token"))
+      .groupBy($"lang", $"token").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"token")
+    counts.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 100)
+      .select($"lang", log($"rk".cast("double")).as("x"), log($"n".cast("double")).as("y"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_vocab"),
+        r4(covar_pop($"y", $"x") / var_pop($"x")).as("zipf_slope"))
+      .orderBy($"lang")
+  }
+
+  val qZipfSlopeOracle: String =
+    """WITH c AS (SELECT lang, token, count(*) AS n FROM (
+      |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents) GROUP BY lang, token),
+      |r AS (SELECT lang, ln(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token)) AS x,
+      |  ln(n) AS y, row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+      | FROM c)
+      |SELECT lang, count(*) AS n_vocab,
+      | round(covar_pop(y, x) / var_pop(x), 4) + 0 AS zipf_slope
+      |FROM r WHERE rk <= 100 GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_cluster_assign" -> qClusterAssign,
+    "q_zipf_slope" -> qZipfSlope,
     "q_span_dedup" -> qSpanDedup,
     "q_bpe_pairs" -> qBpePairs,
     "q_embed_quantize" -> qEmbedQuantize,
@@ -1265,6 +1335,8 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cluster_assign" -> qClusterAssignOracle,
+    "q_zipf_slope" -> qZipfSlopeOracle,
     "q_span_dedup" -> qSpanDedupOracle,
     "q_bpe_pairs" -> qBpePairsOracle,
     "q_embed_quantize" -> qEmbedQuantizeOracle,

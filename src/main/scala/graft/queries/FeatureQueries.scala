@@ -478,7 +478,50 @@ object FeatureQueries {
       | CAST(sum(bd) AS BIGINT) AS n_bad_domain
       |FROM f""".stripMargin
 
+  /** Winsorization (clip at exact per-group [p05, p95]) — the outlier
+    * treatment q_outlier_iqr DETECTS, applied as a transform. Bounds
+    * come from [[graft.operators.GlobalRank.quantilesByGroup]] (the
+    * cardinality-routing entry point — 3 flags routes to the exact
+    * per-group arm), are rounded to 4 dp BEFORE clipping so both
+    * engines make identical clip decisions, and rejoin the fact side
+    * by broadcast (a bounds frame is ≤ |groups| rows — never a
+    * shuffle). Output: per group, how many rows each tail clipped and
+    * the winsorized mean — one quantile pass + one broadcast join +
+    * one hash agg.
+    */
+  def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val bounds = graft.operators.GlobalRank.quantilesByGroup(
+        li, "l_returnflag", $"l_extendedprice", Seq("lo" -> 0.05, "hi" -> 0.95))
+      .select($"l_returnflag", r4($"lo").as("lo"), r4($"hi").as("hi"))
+    li.select($"l_returnflag", $"l_extendedprice".as("x"))
+      .join(broadcast(bounds), Seq("l_returnflag"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"x" < $"lo", 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when($"x" > $"hi", 1L).otherwise(0L)).as("n_clipped_high"),
+        r4(avg(when($"x" < $"lo", $"lo").when($"x" > $"hi", $"hi")
+          .otherwise($"x"))).as("mean_winsorized"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qWinsorizeOracle: String =
+    """WITH b AS (SELECT l_returnflag AS g,
+      |  round(quantile_cont(l_extendedprice, 0.05), 4) + 0 AS lo,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) + 0 AS hi
+      | FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, count(*) AS n,
+      | CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+      | CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+      | round(avg(CASE WHEN l_extendedprice < lo THEN lo
+      |               WHEN l_extendedprice > hi THEN hi
+      |               ELSE l_extendedprice END), 4) + 0 AS mean_winsorized
+      |FROM lineitem JOIN b ON l_returnflag = b.g
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_winsorize" -> qWinsorize,
     "q_feature_online" -> qFeatureOnline,
     "q_schema_validate" -> qSchemaValidate,
     "q_chi2" -> qChi2,
@@ -500,6 +543,7 @@ object FeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_winsorize" -> qWinsorizeOracle,
     "q_feature_online" -> qFeatureOnlineOracle,
     "q_schema_validate" -> qSchemaValidateOracle,
     "q_chi2" -> qChi2Oracle,

@@ -306,4 +306,86 @@ object Similarity {
     vd.unpersist()
     res
   }
+
+  /** Nearest-centroid assignment: each vector joined against a BOUNDED
+    * centroid frame (broadcast — k rows never justify a shuffle of the
+    * corpus side), scored by cosine rounded to 4 dp, winner picked per
+    * vector via [[TopKAggregator.topKPerKey]] (map-side combinable;
+    * ties broken by smallest centroid id, fully deterministic). This is
+    * the coarse-assignment step IVF and SemDedup share, exposed so the
+    * oracle surface can pin it (q_cluster_assign) independently of any
+    * iterative fit. Scale: one broadcast hash join + one bounded-buffer
+    * aggregation — no shuffle of the vector side at all.
+    */
+  def assignToCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String): DataFrame = {
+    val v = vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val c = centroids.select(col(centIdCol).cast("long").as("cid"),
+      col(centVecCol).cast("array<double>").as("cv"))
+    val scored = v.join(broadcast(c))
+      .withColumn("cos", round(cosine(col("v"), col("cv")), 4) + lit(0.0))
+      .select(col("id"), col("cid"), col("cos"))
+    TopKAggregator.topKPerKey(scored, "id", "cid", "cos", 1)
+      .select(col("id"), col("cid").as("cluster_id"), col("cos"))
+  }
+
+  /** SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by k-means clustering followed by within-cluster
+    * cosine thresholding. Candidate generation is the cluster
+    * partition itself — pairwise work is O(Σ cluster_size²), bounded
+    * by choosing nClusters ∝ √n (the paper uses 11k clusters for
+    * 300M embeddings) — never all-pairs over the corpus.
+    *
+    * Within a cluster, any pair with rounded cosine ≥ `threshold`
+    * marks the member MORE similar to its centroid as removed (the
+    * paper's keep-rule: retain the item farthest from the centroid,
+    * i.e. the least redundant exemplar), ties broken by larger id
+    * removed. The rule is applied pairwise-transitively (a victim can
+    * itself eliminate a higher-priority victim's neighbor only via its
+    * own pairs), which matches the paper's greedy sweep and is order-
+    * independent: victim = lexicographic max of ((centroid_cos, id))
+    * per pair, removed = DISTINCT victims.
+    *
+    * Returns (id, cluster_id, centroid_cos, keep). Spec'd in
+    * TextDedupSimSpec (planted duplicate groups collapse to one kept
+    * member each; spread singletons all survive).
+    */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, threshold: Double, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("__fv", array_to_vector(col("v")))
+    val km = new KMeans().setK(nClusters).setSeed(seed).setFeaturesCol("__fv")
+      .setPredictionCol("cluster_id")
+    val model = km.fit(v)
+    val centArr = model.clusterCenters.map(_.toArray)
+    val centLit = array(centArr.map(c => array(c.map(lit): _*)): _*)
+    val assigned = model.transform(v)
+      .withColumn("centroid_cos",
+        round(cosine(col("v"), element_at(centLit, col("cluster_id") + 1)), 4) + lit(0.0))
+      .select(col("id"), col("v"), col("cluster_id").cast("long").as("cluster_id"),
+        col("centroid_cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cluster_id"), col("id").as("id_a"),
+      col("v").as("va"), col("centroid_cos").as("ca"))
+    val b = assigned.select(col("cluster_id"), col("id").as("id_b"),
+      col("v").as("vb"), col("centroid_cos").as("cb"))
+    val victims = a.join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("va"), col("vb")), 4) + lit(0.0) >= threshold)
+      .select(when(col("ca") > col("cb") ||
+          (col("ca") === col("cb") && col("id_a") > col("id_b")), col("id_a"))
+        .otherwise(col("id_b")).as("id"))
+      .distinct()
+    val res = assigned
+      .join(victims.withColumn("__rm", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster_id"), col("centroid_cos"),
+        col("__rm").isNull.as("keep"))
+      .localCheckpoint()
+    assigned.unpersist()
+    res
+  }
 }

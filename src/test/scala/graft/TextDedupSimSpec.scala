@@ -687,4 +687,68 @@ class TextDedupSimSpec extends SparkSpec {
     val b = vecs.select(Similarity.hyperplaneBucket($"v", 3, 4, 9L)).collect().map(_.getLong(0))
     assert(b(0) == b(1))
   }
+
+  test("assignToCentroids equals a local brute-force argmax") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val pts = (1 to 50).map(i => (i.toLong, unit()))
+    val cents = (101 to 104).map(i => (i.toLong, unit()))
+    val got = Similarity.assignToCentroids(
+        pts.toDF("id", "v"), "id", "v", cents.toDF("cid", "cv"), "cid", "cv")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cosL(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = pts.map { case (id, v) =>
+      // same tiebreak as the operator: rounded cos desc, centroid id asc
+      id -> cents.map { case (cid, cv) =>
+        (BigDecimal(cosL(v, cv)).setScale(4, BigDecimal.RoundingMode.HALF_UP), cid)
+      }.maxBy { case (c, cid) => (c, -cid) }._2
+    }.toMap
+    assert(got == want)
+  }
+
+  test("semDedup: planted duplicate groups collapse to the least-central member; singletons survive") {
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // 40 spread singletons (16-dim random units: background |cos| ≪ 0.9)
+    val singles = (1 to 40).map(i => (i.toLong, unit()))
+    // 5 planted groups of 3 near-identical vectors
+    val groups = (0 until 5).map { g =>
+      val a = unit()
+      (0 until 3).map { j =>
+        val v = a.zipWithIndex.map { case (x, i) => x + (if (i % 5 == j % 5) 0.02f else 0.0f) }
+        (1000L + 10 * g + j, v)
+      }
+    }
+    val vecs = (singles ++ groups.flatten).toDF("id", "v")
+    val res = Similarity.semDedup(vecs, "id", "v", nClusters = 6, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(res.length == 55, "one row per input vector")
+    val keep = res.filter(_._4).map(_._1).toSet
+    // every singleton survives
+    assert((1L to 40L).forall(keep.contains))
+    // each planted group keeps exactly one member: the (centroid_cos, id)
+    // lexicographic min (the paper's farthest-from-centroid exemplar)
+    groups.foreach { g =>
+      val ids = g.map(_._1).toSet
+      val members = res.filter(m => ids.contains(m._1))
+      assert(members.map(_._2).distinct.length == 1, s"group $ids split across clusters")
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"group $ids kept ${kept.length}")
+      val wantKeep = members.minBy(m => (m._3, m._1))._1
+      assert(kept.head._1 == wantKeep)
+    }
+  }
 }
