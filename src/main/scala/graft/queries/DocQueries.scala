@@ -1257,6 +1257,53 @@ object DocQueries {
       |SELECT vec_id, cid AS cluster_id, cos FROM r WHERE rk = 1
       |ORDER BY vec_id""".stripMargin
 
+  /** The FULL SemDedup keep-rule pinned by oracle (q_cluster_assign
+    * pins only the partition step): deterministic smallest-id
+    * centroids → cosine-argmax assignment → within-cluster pairs with
+    * rounded cos ≥ 0.35 mark the MORE-centroid-similar member removed
+    * (ties: larger id) → per-cluster removal audit. Exercises
+    * [[Similarity.semDedupWithCentroids]] — the same keepRule code
+    * path the k-means [[Similarity.semDedup]] runs, with the fit
+    * swapped for engine-reproducible centroids. The threshold sits in
+    * this corpus's top ~1% of within-cluster pair similarity (max
+    * ≈ 0.49), so removals are real but sparse — the regime SemDedup
+    * targets.
+    */
+  def qSemdedupAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.embeddings(s, d)
+    val cents = v.orderBy($"vec_id").limit(8)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    Similarity.semDedupWithCentroids(v, "vec_id", "embedding", cents, "cid", "ce", 0.35)
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"keep", 0L).otherwise(1L)).as("n_removed"),
+        r4(avg(when($"keep", $"centroid_cos"))).as("mean_kept_ccos"))
+      .orderBy($"cluster_id")
+  }
+
+  val qSemdedupAuditOracle: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+      |s AS (SELECT v.vec_id, c.cid,
+      |  round(list_dot_product(v.e,c.ce)/(sqrt(list_dot_product(v.e,v.e))*sqrt(list_dot_product(c.ce,c.ce))),4) + 0 AS cos
+      | FROM v CROSS JOIN c),
+      |a AS (SELECT vec_id, cid, cos FROM (
+      |  SELECT vec_id, cid, cos,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk FROM s)
+      | WHERE rk = 1),
+      |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cos AS ca, y.cos AS cb
+      | FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      | JOIN v vx ON vx.vec_id = x.vec_id JOIN v vy ON vy.vec_id = y.vec_id
+      | WHERE round(list_dot_product(vx.e,vy.e)/(sqrt(list_dot_product(vx.e,vx.e))*sqrt(list_dot_product(vy.e,vy.e))),4) >= 0.35),
+      |victims AS (SELECT DISTINCT CASE WHEN ca > cb OR (ca = cb AND id_a > id_b)
+      |  THEN id_a ELSE id_b END AS vid FROM p)
+      |SELECT a.cid AS cluster_id, count(*) AS n,
+      | CAST(sum(CASE WHEN vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      | round(avg(CASE WHEN vid IS NULL THEN cos END), 4) + 0 AS mean_kept_ccos
+      |FROM a LEFT JOIN victims ON a.vec_id = victims.vid
+      |GROUP BY a.cid ORDER BY a.cid""".stripMargin
+
   /** Zipf-law fit per language: ln(count) regressed on ln(rank) over
     * each language's top-100 tokens (rank by count desc, token asc —
     * deterministic). The fitted slope is the corpus's Zipf exponent
@@ -1295,6 +1342,7 @@ object DocQueries {
 
   val all: Map[String, Q] = Map(
     "q_cluster_assign" -> qClusterAssign,
+    "q_semdedup_audit" -> qSemdedupAudit,
     "q_zipf_slope" -> qZipfSlope,
     "q_span_dedup" -> qSpanDedup,
     "q_bpe_pairs" -> qBpePairs,
@@ -1336,6 +1384,7 @@ object DocQueries {
 
   val oracles: Map[String, String] = Map(
     "q_cluster_assign" -> qClusterAssignOracle,
+    "q_semdedup_audit" -> qSemdedupAuditOracle,
     "q_zipf_slope" -> qZipfSlopeOracle,
     "q_span_dedup" -> qSpanDedupOracle,
     "q_bpe_pairs" -> qBpePairsOracle,

@@ -368,6 +368,38 @@ object Similarity {
         round(cosine(col("v"), element_at(centLit, col("cluster_id") + 1)), 4) + lit(0.0))
       .select(col("id"), col("v"), col("cluster_id").cast("long").as("cluster_id"),
         col("centroid_cos"))
+    keepRule(assigned, threshold)
+  }
+
+  /** [[semDedup]] with caller-supplied centroids instead of a k-means
+    * fit — assignment via [[assignToCentroids]] (cosine argmax; for
+    * unit-normalized embeddings this matches k-means' Euclidean
+    * argmin). With a DETERMINISTIC centroid frame every step is
+    * engine-reproducible algebra, which is how q_semdedup_audit pins
+    * the full keep-rule by DuckDB oracle rather than only by spec.
+    */
+  def semDedupWithCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      threshold: Double): DataFrame = {
+    val v = vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val assigned = assignToCentroids(vecs, idCol, vecCol, centroids, centIdCol, centVecCol)
+      .withColumnRenamed("cos", "centroid_cos")
+      .join(v, Seq("id"))
+      .select(col("id"), col("v"), col("cluster_id"), col("centroid_cos"))
+    keepRule(assigned, threshold)
+  }
+
+  /** SemDedup's keep-rule over an assigned frame (id, v, cluster_id,
+    * centroid_cos): within a cluster, any pair with rounded cosine ≥
+    * threshold marks the member MORE similar to its centroid as
+    * removed (ties: larger id removed); removed = DISTINCT victims.
+    * The cluster partition bounds the pairwise join; the input is
+    * persisted across its two consumers (pair sides + final flag join)
+    * and the bounded result is checkpointed so the cache releases here.
+    */
+  private def keepRule(assignedIn: DataFrame, threshold: Double): DataFrame = {
+    val assigned = assignedIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cluster_id"), col("id").as("id_a"),
       col("v").as("va"), col("centroid_cos").as("ca"))

@@ -751,4 +751,46 @@ class TextDedupSimSpec extends SparkSpec {
       assert(kept.head._1 == wantKeep)
     }
   }
+
+  test("semDedupWithCentroids equals a local brute-force of the keep-rule") {
+    val rnd = new scala.util.Random(17)
+    val dim = 12
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val pts = (1 to 60).map(i => (i.toLong, unit())) ++
+      // planted near-dups to force removals through the threshold
+      (0 until 4).flatMap { g =>
+        val a = unit()
+        Seq((300L + 2 * g, a),
+          (301L + 2 * g, a.zipWithIndex.map { case (x, i) => x + (if (i % 4 == 0) 0.03 else 0.0) }))
+      }
+    val cents = (101 to 105).map(i => (i.toLong, unit()))
+    val threshold = 0.8
+    val got = Similarity.semDedupWithCentroids(
+        pts.toDF("id", "v"), "id", "v", cents.toDF("cid", "cv"), "cid", "cv", threshold)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(3)))).toMap
+    // local mirror: rounded-cos argmax assignment, then pairwise keep-rule
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cosL(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val assign = pts.map { case (id, v) =>
+      val (cc, cid) = cents.map { case (cid, cv) => (r4(cosL(v, cv)), cid) }
+        .maxBy { case (c, cid) => (c, -cid) }
+      id -> (cid, cc, v)
+    }.toMap
+    val victims = (for {
+      (ia, (ca, cca, va)) <- assign.toSeq
+      (ib, (cb, ccb, vb)) <- assign.toSeq
+      if ia < ib && ca == cb && r4(cosL(va, vb)) >= threshold
+    } yield if (cca > ccb || (cca == ccb && ia > ib)) ia else ib).toSet
+    assert(victims.nonEmpty, "planted dups should force removals")
+    val want = assign.map { case (id, (cid, _, _)) => id -> ((cid, !victims.contains(id))) }
+    assert(got == want)
+  }
 }
