@@ -388,6 +388,49 @@ object Evaluator {
       .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"),
         count(lit(1)).as("n_bins"))
 
+  /** Drift audit for MANY features in ONE melted pass — the
+    * monitoring sweep run per model refresh. Each side is melted to
+    * (feature, v) via a single explode (ONE scan per side, not one
+    * scan per feature); bin edges are exact quantiles FIT ON THE
+    * BASELINE side via the quantilesByGroup router with the feature
+    * NAME as the group key (|features| ≤ 64 → the exact per-group
+    * arm), rounded to 4 dp so both engines of the oracle twin bin
+    * identically; per-(feature, bin) counts come from one hash agg,
+    * per-feature totals from a bounded window over that ≤
+    * |features|·(probs+1)-row frame. PSI per feature with [[psi]]'s
+    * eps floor. Scale: two scans + one quantile fit + one shuffle,
+    * independent of feature count.
+    */
+  def psiByFeature(baseline: DataFrame, current: DataFrame,
+      features: Seq[String], probs: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      eps: Double = 1e-4): DataFrame = {
+    require(features.nonEmpty && probs.nonEmpty)
+    def melt(df: DataFrame): DataFrame = df.select(explode(array(features.map(f =>
+      struct(lit(f).as("feature"), col(f).cast("double").as("v"))): _*)).as("m"))
+      .select(col("m.feature").as("feature"), col("m.v").as("v"))
+    val edgeNames = probs.indices.map(i => s"e${i + 1}")
+    val edges = graft.operators.GlobalRank.quantilesByGroup(
+        melt(baseline), "feature", col("v"), edgeNames.zip(probs))
+      .select(col("feature") +: edgeNames.map(e => (round(col(e), 4) + lit(0.0)).as(e)): _*)
+    val melted = melt(baseline).withColumn("r", lit(1L))
+      .unionByName(melt(current).withColumn("r", lit(0L)))
+    val binned = melted.join(broadcast(edges), Seq("feature"))
+      .withColumn("bin", edgeNames.zipWithIndex.foldRight(lit(edgeNames.size): Column) {
+        case ((e, i), tail) => when(col("v") <= col(e), i).otherwise(tail)
+      })
+    val counts = binned.groupBy(col("feature"), col("bin"))
+      .agg(sum(col("r")).as("nb"), sum(lit(1L) - col("r")).as("nc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("feature"))
+    counts
+      .withColumn("tb", sum(col("nb")).over(w))
+      .withColumn("tc", sum(col("nc")).over(w))
+      .withColumn("p", greatest(col("nb").cast("double") / col("tb"), lit(eps)))
+      .withColumn("q", greatest(col("nc").cast("double") / col("tc"), lit(eps)))
+      .groupBy(col("feature"))
+      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"),
+        max(col("tb")).as("n_ref"), max(col("tc")).as("n_cur"))
+  }
+
   /** Jensen-Shannon divergence of the same binned cohorts — symmetric
     * and bounded (≤ ln 2), the better-behaved cousin of [[psi]] when
     * cohorts have empty bins (0·ln 0 terms vanish, no eps needed).

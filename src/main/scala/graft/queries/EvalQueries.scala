@@ -546,7 +546,51 @@ object EvalQueries {
        | count(*) AS n
        |FROM p""".stripMargin
 
+  /** Multi-feature drift audit in one melted pass
+    * ([[Evaluator.psiByFeature]]): PSI for four lineitem features at
+    * once between the even/odd-orderkey cohorts, quantile-edge bins
+    * fit on the reference cohort (exact, via the quantilesByGroup
+    * router keyed by feature NAME — a 4-group exact-arm route). The
+    * cohorts here are a synthetic A/B split, so near-zero PSI is the
+    * expected (and verified) reading; the op's job is the shape: two
+    * scans + one quantile fit + one hash agg for ANY number of
+    * features, not a per-feature job loop.
+    */
+  def qDriftAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    Evaluator.psiByFeature(
+        li.filter($"l_orderkey" % 2 === 0), li.filter($"l_orderkey" % 2 === 1), feats)
+      .select($"feature", r6($"psi").as("psi"), $"n_ref", $"n_cur")
+      .orderBy($"feature")
+  }
+
+  val qDriftAuditOracle: String =
+    """WITH m AS (
+      | SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS v, l_orderkey % 2 = 0 AS ref FROM lineitem
+      | UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE), l_orderkey % 2 = 0 FROM lineitem
+      | UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE), l_orderkey % 2 = 0 FROM lineitem
+      | UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE), l_orderkey % 2 = 0 FROM lineitem),
+      |e AS (SELECT feature,
+      |  round(quantile_cont(v, 0.25), 4) + 0 AS e1,
+      |  round(quantile_cont(v, 0.5), 4) + 0 AS e2,
+      |  round(quantile_cont(v, 0.75), 4) + 0 AS e3
+      | FROM m WHERE ref GROUP BY feature),
+      |b AS (SELECT m.feature,
+      |  CASE WHEN v <= e1 THEN 0 WHEN v <= e2 THEN 1 WHEN v <= e3 THEN 2 ELSE 3 END AS bin,
+      |  CAST(ref AS INT) AS r FROM m JOIN e ON m.feature = e.feature),
+      |c AS (SELECT feature, bin, sum(r) AS nb, sum(1 - r) AS nc FROM b GROUP BY feature, bin),
+      |t AS (SELECT feature, sum(nb) AS tb, sum(nc) AS tc FROM c GROUP BY feature),
+      |p AS (SELECT c.feature, greatest(nb * 1.0 / tb, 0.0001) AS p, greatest(nc * 1.0 / tc, 0.0001) AS q
+      | FROM c JOIN t ON c.feature = t.feature)
+      |SELECT p.feature, round(sum((p - q) * ln(p / q)), 6) + 0 AS psi,
+      | CAST(max(tb) AS BIGINT) AS n_ref, CAST(max(tc) AS BIGINT) AS n_cur
+      |FROM p JOIN t ON p.feature = t.feature
+      |GROUP BY p.feature ORDER BY p.feature""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_drift_audit" -> qDriftAudit,
     "q_regression_metrics" -> qRegressionMetrics,
     "q_ndcg" -> qNdcg,
     "q_cohen_kappa" -> qCohenKappa,
@@ -571,6 +615,7 @@ object EvalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_drift_audit" -> qDriftAuditOracle,
     "q_regression_metrics" -> qRegressionMetricsOracle,
     "q_ndcg" -> qNdcgOracle,
     "q_cohen_kappa" -> qCohenKappaOracle,

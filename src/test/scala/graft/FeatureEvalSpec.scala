@@ -465,6 +465,23 @@ class FeatureEvalSpec extends SparkSpec {
     assert(moved > 0.1, s"psi $moved") // conventional "significant drift" bar is 0.2
   }
 
+  test("psiByFeature: one melted pass separates the drifted feature from the stable one") {
+    // f_stable identically distributed across sides; f_drift shifted +2
+    val ref = (1 to 500).map(i => (i % 50 / 10.0, i % 20 / 5.0)).toDF("f_stable", "f_drift")
+    val cur = (1 to 500).map(i => (i % 50 / 10.0, i % 20 / 5.0 + 2.0)).toDF("f_stable", "f_drift")
+    val out = Evaluator.psiByFeature(ref, cur, Seq("f_stable", "f_drift"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set("f_stable", "f_drift"))
+    assert(out.values.forall { case (_, nr, nc) => nr == 500 && nc == 500 })
+    assert(math.abs(out("f_stable")._1) < 1e-12, s"stable psi ${out("f_stable")._1}")
+    assert(out("f_drift")._1 > 0.2, s"drift psi ${out("f_drift")._1}")
+    // single-feature sanity: a feature vs itself is exactly zero drift
+    val self = Evaluator.psiByFeature(ref, ref, Seq("f_stable"))
+      .head().getAs[Double]("psi")
+    assert(math.abs(self) < 1e-12)
+  }
+
   test("average precision matches the sklearn worked example") {
     // sklearn docs: y=[0,0,1,1], scores=[0.1,0.4,0.35,0.8] → AP = 0.833333...
     val df = Seq((1, 0, 0.1), (2, 0, 0.4), (3, 1, 0.35), (4, 1, 0.8)).toDF("id", "label", "score")
