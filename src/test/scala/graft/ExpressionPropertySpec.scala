@@ -69,4 +69,33 @@ class ExpressionPropertySpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     docs.indices.foreach(i => assert(got(i) == expected(i), s"doc $i: ${docs(i)}"))
   }
+
+  test("MisraGriesTopK: heavy keys guaranteed, counts in the n/m band, merge-safe") {
+    // zipf-ish stream over a keyspace much larger than m: key_i has
+    // weight ~ n/i for heads plus a long singleton tail
+    val heads = (1 to 20).flatMap(i => Seq.fill(2000 / i)(s"k$i"))
+    val tail = (1 to 3000).map(i => s"t$i")
+    val stream = new scala.util.Random(23L).shuffle(heads ++ tail)
+    val n = stream.size
+    val m = 64
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // 32 partitions force partial-aggregation merges on every run
+    val out = stream.toDF("k").repartition(32)
+      .agg(graft.functions.MisraGriesTopK.heavyHitters($"k", m).as("hh"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size <= m)
+    val bound = n.toDouble / m
+    // every key with true frequency > n/m must be present
+    exact.filter(_._2 > bound).keys.foreach(k =>
+      assert(out.contains(k), s"heavy key $k (${exact(k)}) missing; bound $bound"))
+    // reported counts are lower bounds within the band
+    out.foreach { case (k, c) =>
+      assert(c <= exact(k), s"$k overcounted: $c > ${exact(k)}")
+      assert(exact(k) - c <= bound, s"$k undercounted beyond band: $c vs ${exact(k)}")
+    }
+    // the head of the summary is the true top key
+    val top = out.maxBy(_._2)._1
+    assert(top == "k1", s"top key $top")
+  }
 }
