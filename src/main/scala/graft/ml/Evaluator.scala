@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -405,20 +405,14 @@ object Evaluator {
       features: Seq[String], probs: Seq[Double] = Seq(0.25, 0.5, 0.75),
       eps: Double = 1e-4): DataFrame = {
     require(features.nonEmpty && probs.nonEmpty)
-    def melt(df: DataFrame): DataFrame = df.select(explode(array(features.map(f =>
-      struct(lit(f).as("feature"), col(f).cast("double").as("v"))): _*)).as("m"))
-      .select(col("m.feature").as("feature"), col("m.v").as("v"))
     val edgeNames = probs.indices.map(i => s"e${i + 1}")
     val edges = graft.operators.GlobalRank.quantilesByGroup(
-        melt(baseline), "feature", col("v"), edgeNames.zip(probs))
+        meltFeatures(baseline, features), "feature", col("v"), edgeNames.zip(probs))
       .select(col("feature") +: edgeNames.map(e => (round(col(e), 4) + lit(0.0)).as(e)): _*)
-    val melted = melt(baseline).withColumn("r", lit(1L))
-      .unionByName(melt(current).withColumn("r", lit(0L)))
-    val binned = melted.join(broadcast(edges), Seq("feature"))
-      .withColumn("bin", edgeNames.zipWithIndex.foldRight(lit(edgeNames.size): Column) {
-        case ((e, i), tail) => when(col("v") <= col(e), i).otherwise(tail)
-      })
-    val counts = binned.groupBy(col("feature"), col("bin"))
+    val melted = meltFeatures(baseline, features).withColumn("r", lit(1L))
+      .unionByName(meltFeatures(current, features).withColumn("r", lit(0L)))
+    val counts = binByEdges(melted, edges, edgeNames)
+      .groupBy(col("feature"), col("bin"))
       .agg(sum(col("r")).as("nb"), sum(lit(1L) - col("r")).as("nc"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("feature"))
     counts
@@ -429,6 +423,85 @@ object Evaluator {
       .groupBy(col("feature"))
       .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"),
         max(col("tb")).as("n_ref"), max(col("tc")).as("n_cur"))
+  }
+
+  private def meltFeatures(df: DataFrame, features: Seq[String]): DataFrame =
+    df.select(explode(array(features.map(f =>
+      struct(lit(f).as("feature"), col(f).cast("double").as("v"))): _*)).as("m"))
+      .select(col("m.feature").as("feature"), col("m.v").as("v"))
+
+  private def binByEdges(melted: DataFrame, edges: DataFrame,
+      edgeNames: Seq[String]): DataFrame =
+    melted.join(broadcast(edges), Seq("feature"))
+      .withColumn("bin", edgeNames.zipWithIndex.foldRight(lit(edgeNames.size): Column) {
+        case ((e, i), tail) => when(col("v") <= col(e), i).otherwise(tail)
+      })
+
+  /** [[psiByFeature]]'s baseline side fit ONCE and collected: rounded
+    * quantile edges plus per-(feature, bin) reference proportions —
+    * O(features × bins) values. For repeated scoring (per microbatch,
+    * per day) refitting the reference quantiles every time is a full
+    * extra scan of a frame that never changes; this summary makes each
+    * subsequent PSI reading a single pass over the CURRENT side only.
+    */
+  case class DriftBaseline(features: Seq[String], edgeNames: Seq[String],
+      edges: Seq[(String, Seq[Double])], refP: Map[(String, Int), Double],
+      nRef: Map[String, Long])
+
+  def fitDriftBaseline(baseline: DataFrame, features: Seq[String],
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DriftBaseline = {
+    require(features.nonEmpty && probs.nonEmpty)
+    val edgeNames = probs.indices.map(i => s"e${i + 1}")
+    val edges = graft.operators.GlobalRank.quantilesByGroup(
+        meltFeatures(baseline, features), "feature", col("v"), edgeNames.zip(probs))
+      .select(col("feature") +: edgeNames.map(e => (round(col(e), 4) + lit(0.0)).as(e)): _*)
+    val edgeRows = edges.collect().map(r =>
+      r.getString(0) -> edgeNames.indices.map(i => r.getDouble(i + 1)))
+    val counts = binByEdges(meltFeatures(baseline, features), edges, edgeNames)
+      .groupBy(col("feature"), col("bin")).agg(count(lit(1)).as("nb"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val nRef = counts.groupBy(_._1._1).map { case (f, cs) => f -> cs.values.sum }
+    val refP = counts.map { case ((f, b), nb) => (f, b) -> nb.toDouble / nRef(f) }
+    DriftBaseline(features, edgeNames, edgeRows.toSeq, refP, nRef)
+  }
+
+  /** PSI of `current` against a fitted [[DriftBaseline]]: one pass
+    * over the current side (melt → broadcast-join the O(features)
+    * edge frame → one hash agg), then a driver-side fold over the
+    * O(features × bins) cells — every reference bin participates even
+    * when the current batch misses it (q floors to eps there), which
+    * is exactly the empty-bin drift signal. Returns
+    * (feature, psi, n_ref, n_cur) like [[psiByFeature]].
+    */
+  def psiAgainstBaseline(current: DataFrame, base: DriftBaseline,
+      eps: Double = 1e-4): DataFrame = {
+    val spark = current.sparkSession
+    import spark.implicits._
+    val edges = base.edges.map { case (f, es) =>
+      Row.fromSeq(f +: es) }
+    val edgesDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(edges, 1),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("feature",
+          org.apache.spark.sql.types.StringType, nullable = false) +:
+        base.edgeNames.map(e => org.apache.spark.sql.types.StructField(e,
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val curCounts = binByEdges(meltFeatures(current, base.features), edgesDf, base.edgeNames)
+      .groupBy(col("feature"), col("bin")).agg(count(lit(1)).as("nc"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val nCur = base.features.map(f =>
+      f -> curCounts.collect { case ((`f`, _), c) => c }.sum).toMap
+    val nBins = base.edgeNames.size + 1
+    val rows = base.features.map { f =>
+      val psi = (0 until nBins).map { b =>
+        val p = math.max(base.refP.getOrElse((f, b), 0.0), eps)
+        val q = math.max(
+          if (nCur(f) == 0L) 0.0 else curCounts.getOrElse((f, b), 0L).toDouble / nCur(f), eps)
+        (p - q) * math.log(p / q)
+      }.sum
+      (f, psi, base.nRef(f), nCur(f))
+    }
+    rows.toDF("feature", "psi", "n_ref", "n_cur")
   }
 
   /** Jensen-Shannon divergence of the same binned cohorts — symmetric

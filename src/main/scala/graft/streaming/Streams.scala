@@ -209,6 +209,35 @@ object Streams {
       .partitionBy("__batch_part")
       .parquet(outPath)
 
+  /** Per-microbatch drift monitor — the streaming seat of
+    * [[graft.ml.Evaluator.psiByFeature]]'s refresh-time sweep. The
+    * baseline is fit ONCE at sink construction
+    * ([[graft.ml.Evaluator.fitDriftBaseline]] — quantile edges +
+    * reference bin proportions, O(features × bins) driver state), so
+    * each microbatch costs one pass over that batch only: melt →
+    * broadcast edge join → one hash agg → an O(cells) driver fold.
+    * Rows (batch_id, feature, psi, n_ref, n_cur) land idempotently per
+    * batch id (same dynamic-partition-overwrite contract as
+    * [[scoringSink]]) — the table a threshold alert reads.
+    */
+  def driftMonitorSink(stream: DataFrame, baseline: DataFrame,
+      features: Seq[String], outPath: String, checkpoint: String,
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): org.apache.spark.sql.streaming.StreamingQuery = {
+    val base = graft.ml.Evaluator.fitDriftBaseline(baseline, features, probs)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ml.Evaluator.psiAgainstBaseline(batch, base)
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("__batch_part", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_part")
+          .parquet(outPath)
+      }
+      .start()
+  }
+
   /** Stream-stream inner join with an event-time bound: a left event
     * joins right events on `key` whose `ts` falls in
     * [left.ts, left.ts + within] — the canonical impressions⋈clicks

@@ -482,6 +482,28 @@ class FeatureEvalSpec extends SparkSpec {
     assert(math.abs(self) < 1e-12)
   }
 
+  test("psiAgainstBaseline(fitDriftBaseline) equals the one-shot psiByFeature") {
+    val ref = (1 to 400).map(i => (i % 30 / 6.0, i % 17 / 4.0)).toDF("fa", "fb")
+    val cur = (1 to 300).map(i => (i % 30 / 6.0 + (i % 3) * 0.5, i % 17 / 4.0)).toDF("fa", "fb")
+    val feats = Seq("fa", "fb")
+    def byFeature(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    val oneShot = byFeature(Evaluator.psiByFeature(ref, cur, feats))
+    val base = Evaluator.fitDriftBaseline(ref, feats)
+    val reused = byFeature(Evaluator.psiAgainstBaseline(cur, base))
+    assert(reused.keySet == oneShot.keySet)
+    feats.foreach { f =>
+      assert(math.abs(reused(f)._1 - oneShot(f)._1) < 1e-9,
+        s"$f: ${reused(f)._1} vs ${oneShot(f)._1}")
+      assert(reused(f)._2 == oneShot(f)._2 && reused(f)._3 == oneShot(f)._3)
+    }
+    // an empty current side reads every bin at the eps floor, not NaN
+    val empty = Evaluator.psiAgainstBaseline(ref.limit(0), base)
+      .collect().map(r => r.getDouble(1))
+    assert(empty.forall(p => !p.isNaN))
+  }
+
   test("average precision matches the sklearn worked example") {
     // sklearn docs: y=[0,0,1,1], scores=[0.1,0.4,0.35,0.8] → AP = 0.833333...
     val df = Seq((1, 0, 0.1), (2, 0, 0.4), (3, 1, 0.35), (4, 1, 0.8)).toDF("id", "label", "score")

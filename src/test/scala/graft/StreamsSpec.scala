@@ -418,4 +418,27 @@ class StreamsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), s"pairs: $pairs")
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)), s"pairs: $pairs")
   }
+
+  test("drift monitor sink reads ~0 for an in-distribution batch and flags a shifted one") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val baseline = (1 to 400).map(i => Ev(t("2024-01-01 00:00:00"), "c",
+      i % 40 / 8.0, i % 7, i)).toDF()
+    val ms = MemoryStream[Ev]
+    val q = Streams.driftMonitorSink(ms.toDF(), baseline, Seq("value"),
+      s"$dir/out", s"$dir/ckpt")
+    // batch 0: same distribution as the baseline
+    ms.addData((1 to 400).map(i => Ev(t("2024-01-01 00:01:00"), "c", i % 40 / 8.0, i % 7, i)))
+    q.processAllAvailable()
+    // batch 1: shifted +3
+    ms.addData((1 to 400).map(i => Ev(t("2024-01-01 00:02:00"), "c", i % 40 / 8.0 + 3.0, i % 7, i)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .select($"batch_id", $"feature", $"psi").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(math.abs(out(0L)) < 1e-9, s"in-distribution psi ${out(0L)}")
+    assert(out(1L) > 0.2, s"shifted psi ${out(1L)}")
+  }
 }
