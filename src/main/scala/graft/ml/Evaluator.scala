@@ -392,10 +392,12 @@ object Evaluator {
     * monitoring sweep run per model refresh. Each side is melted to
     * (feature, v) via a single explode (ONE scan per side, not one
     * scan per feature); bin edges are exact quantiles FIT ON THE
-    * BASELINE side via the quantilesByGroup router with the feature
-    * NAME as the group key (|features| ≤ 64 → the exact per-group
-    * arm), rounded to 4 dp so both engines of the oracle twin bin
-    * identically; per-(feature, bin) counts come from one hash agg,
+    * BASELINE side via exactQuantilesByGroup with the feature NAME as
+    * the group key — called DIRECTLY, not through the quantilesByGroup
+    * router, because |features| is statically known here and the
+    * router's cardinality probe would cost a full extra pass over the
+    * melted frame — rounded to 4 dp so both engines of the oracle twin
+    * bin identically; per-(feature, bin) counts come from one hash agg,
     * per-feature totals from a bounded window over that ≤
     * |features|·(probs+1)-row frame. PSI per feature with [[psi]]'s
     * eps floor. Scale: two scans + one quantile fit + one shuffle,
@@ -406,9 +408,7 @@ object Evaluator {
       eps: Double = 1e-4): DataFrame = {
     require(features.nonEmpty && probs.nonEmpty)
     val edgeNames = probs.indices.map(i => s"e${i + 1}")
-    val edges = graft.operators.GlobalRank.quantilesByGroup(
-        meltFeatures(baseline, features), "feature", col("v"), edgeNames.zip(probs))
-      .select(col("feature") +: edgeNames.map(e => (round(col(e), 4) + lit(0.0)).as(e)): _*)
+    val edges = fitEdges(baseline, features, edgeNames.zip(probs))
     val melted = meltFeatures(baseline, features).withColumn("r", lit(1L))
       .unionByName(meltFeatures(current, features).withColumn("r", lit(0L)))
     val counts = binByEdges(melted, edges, edgeNames)
@@ -429,6 +429,17 @@ object Evaluator {
     df.select(explode(array(features.map(f =>
       struct(lit(f).as("feature"), col(f).cast("double").as("v"))): _*)).as("m"))
       .select(col("m.feature").as("feature"), col("m.v").as("v"))
+
+  // exact per-feature quantile edges, rounded for engine-identical
+  // binning; |features| is the (static) group cardinality, so the
+  // exact arm is called directly — no router probe pass
+  private def fitEdges(baseline: DataFrame, features: Seq[String],
+      namedProbs: Seq[(String, Double)]): DataFrame =
+    graft.operators.GlobalRank.exactQuantilesByGroup(
+        meltFeatures(baseline, features), "feature", col("v"), namedProbs,
+        maxGroups = math.max(64, features.size))
+      .select(col("feature") +: namedProbs.map { case (e, _) =>
+        (round(col(e), 4) + lit(0.0)).as(e) }: _*)
 
   private def binByEdges(melted: DataFrame, edges: DataFrame,
       edgeNames: Seq[String]): DataFrame =
@@ -452,9 +463,7 @@ object Evaluator {
       probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DriftBaseline = {
     require(features.nonEmpty && probs.nonEmpty)
     val edgeNames = probs.indices.map(i => s"e${i + 1}")
-    val edges = graft.operators.GlobalRank.quantilesByGroup(
-        meltFeatures(baseline, features), "feature", col("v"), edgeNames.zip(probs))
-      .select(col("feature") +: edgeNames.map(e => (round(col(e), 4) + lit(0.0)).as(e)): _*)
+    val edges = fitEdges(baseline, features, edgeNames.zip(probs))
     val edgeRows = edges.collect().map(r =>
       r.getString(0) -> edgeNames.indices.map(i => r.getDouble(i + 1)))
     val counts = binByEdges(meltFeatures(baseline, features), edges, edgeNames)

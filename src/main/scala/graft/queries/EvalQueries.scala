@@ -549,8 +549,9 @@ object EvalQueries {
   /** Multi-feature drift audit in one melted pass
     * ([[Evaluator.psiByFeature]]): PSI for four lineitem features at
     * once between the even/odd-orderkey cohorts, quantile-edge bins
-    * fit on the reference cohort (exact, via the quantilesByGroup
-    * router keyed by feature NAME — a 4-group exact-arm route). The
+    * fit on the reference cohort (exact per-group arm called directly
+    * — |features| is statically known, so the router's cardinality
+    * probe would be a wasted pass over the melted frame). The
     * cohorts here are a synthetic A/B split, so near-zero PSI is the
     * expected (and verified) reading; the op's job is the shape: two
     * scans + one quantile fit + one hash agg for ANY number of

@@ -156,4 +156,37 @@ class PiiBpeSpec extends SparkSpec {
     val merges = Bpe.learnMerges(wc, 10)
     assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b")))
   }
+
+  test("QualityClassifier: weak-label training separates held-out prose from repetition") {
+    import graft.text.QualityClassifier
+    val rnd = new scala.util.Random(29)
+    // distinct vocabularies: the classifier can only learn token
+    // WEIGHTS (bag-of-words is blind to repetition when token mass is
+    // equal), so the fixture plants the signal real quality filters
+    // exploit — junk text draws from a different vocabulary — while
+    // the WEAK LABEL still comes from the repetition rule
+    val vocab = (1 to 30).map(i => s"w$i")
+    val spam = (1 to 10).map(i => s"s$i")
+    def goodDoc(): String = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).distinct
+      .padTo(6, "filler").mkString(" ")
+    def badDoc(): String = { val w = spam(rnd.nextInt(spam.size)); Seq.fill(12)(w).mkString(" ") }
+    val docs = (1 to 80).map(i => (i.toLong, if (i % 2 == 0) goodDoc() else badDoc(),
+      if (i % 2 == 0) 1.0 else 0.0))
+    val df = docs.toDF("id", "text", "truth")
+      .withColumn("wl", QualityClassifier.weakLabel($"text"))
+    // the weak label reproduces the planted split here (that's the point
+    // of the fixture); train on one half, evaluate on the held-out half
+    assert(df.filter($"wl" =!= $"truth").count() == 0)
+    val train = df.filter($"id" <= 40)
+    val heldOut = df.filter($"id" > 40)
+    val model = QualityClassifier.train(train, "text", "wl", numFeatures = 1 << 10)
+    val scoredOut = QualityClassifier.score(model, heldOut, "text")
+    val auc = graft.ml.Evaluator
+      .binaryMetrics(scoredOut, "truth", "quality_score", "id", 0.5, 0.5)
+      .head().getAs[Double]("roc_auc")
+    assert(auc >= 0.9, s"held-out AUC $auc")
+    val means = scoredOut.groupBy($"truth").agg(avg($"quality_score").as("m"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(means(1.0) > means(0.0) + 0.2, s"score gap: $means")
+  }
 }
