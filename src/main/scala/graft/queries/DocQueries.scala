@@ -1257,6 +1257,68 @@ object DocQueries {
       |SELECT vec_id, cid AS cluster_id, cos FROM r WHERE rk = 1
       |ORDER BY vec_id""".stripMargin
 
+  /** Bigram-LM quality scoring — the next LM order above
+    * q_unigram_logprob's perplexity-filter analog: per-doc average
+    * −ln p(w₂|w₁) under a Jelinek-Mercer–interpolated bigram model
+    * (0.75·C₁₂/C₁ + 0.25·C₂/N — interpolation, not raw MLE, so unseen
+    * continuations never hit ln 0), rolled up per source with a
+    * flagged tail. Context-aware scoring catches shuffled-word junk
+    * that unigram perplexity scores as fluent. Same scale shape as the
+    * unigram query: both count frames are vocab-bounded and
+    * checkpointed; vocab joins stay shuffle joins (AQE may broadcast —
+    * a 100M-row vocab must never be forced); per-doc nll is rounded to
+    * 6 dp BEFORE the threshold/rollup so the flag decision is
+    * engine-exact.
+    */
+  def qBigramLogprob(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docsTk = Tables.documents(s, d)
+      .select($"doc_id", $"source", TextFunctions.tokens($"text").as("tk"))
+    val uni = docsTk.select(explode($"tk").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1")).localCheckpoint()
+    val bg = docsTk
+      .select($"doc_id", $"source", explode(TextFunctions.wordNgramsOf($"tk", 2)).as("bg"))
+    val biC = bg.groupBy($"bg").agg(count(lit(1)).as("c12")).localCheckpoint()
+    val tot = uni.agg(sum($"c1").cast("double").as("n"))
+    val perDoc = bg
+      .join(biC, "bg")
+      .select($"doc_id", $"source",
+        split($"bg", " ").getItem(0).as("w1"), split($"bg", " ").getItem(1).as("w2"), $"c12")
+      .join(uni.select($"w".as("w1"), $"c1"), "w1")
+      .join(uni.select($"w".as("w2"), $"c1".as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .groupBy($"doc_id", $"source")
+      .agg((round(avg(-log(lit(0.75) * $"c12" / $"c1" + lit(0.25) * $"c2" / $"n")), 6)
+        + lit(0.0)).as("nll"))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        r4(avg($"nll")).as("avg_nll"),
+        sum(when($"nll" > 6.0, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy($"source")
+  }
+
+  val qBigramLogprobOracle: String =
+    """WITH t AS (SELECT doc_id, source,
+      |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |uni AS (SELECT unnest(tk) AS w FROM t),
+      |u AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+      |n AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM u),
+      |bg AS (SELECT doc_id, source,
+      |  unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+      | FROM t),
+      |b AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+      |p AS (SELECT doc_id, source,
+      |  round(avg(-ln(0.75 * c12 / u1.c1 + 0.25 * u2.c1 / n.n)), 6) + 0 AS nll
+      | FROM bg JOIN b USING (bg)
+      | JOIN u u1 ON split_part(bg.bg, ' ', 1) = u1.w
+      | JOIN u u2 ON split_part(bg.bg, ' ', 2) = u2.w
+      | CROSS JOIN n
+      | GROUP BY 1, 2)
+      |SELECT source, count(*) AS n_docs,
+      | round(avg(nll), 4) + 0 AS avg_nll,
+      | CAST(sum(CASE WHEN nll > 6.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+      |FROM p GROUP BY source ORDER BY source""".stripMargin
+
   /** The FULL SemDedup keep-rule pinned by oracle (q_cluster_assign
     * pins only the partition step): deterministic smallest-id
     * centroids → cosine-argmax assignment → within-cluster pairs with
@@ -1343,6 +1405,7 @@ object DocQueries {
   val all: Map[String, Q] = Map(
     "q_cluster_assign" -> qClusterAssign,
     "q_semdedup_audit" -> qSemdedupAudit,
+    "q_bigram_logprob" -> qBigramLogprob,
     "q_zipf_slope" -> qZipfSlope,
     "q_span_dedup" -> qSpanDedup,
     "q_bpe_pairs" -> qBpePairs,
@@ -1385,6 +1448,7 @@ object DocQueries {
   val oracles: Map[String, String] = Map(
     "q_cluster_assign" -> qClusterAssignOracle,
     "q_semdedup_audit" -> qSemdedupAuditOracle,
+    "q_bigram_logprob" -> qBigramLogprobOracle,
     "q_zipf_slope" -> qZipfSlopeOracle,
     "q_span_dedup" -> qSpanDedupOracle,
     "q_bpe_pairs" -> qBpePairsOracle,
