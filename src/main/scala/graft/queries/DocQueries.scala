@@ -1268,24 +1268,30 @@ object DocQueries {
     * checkpointed; vocab joins stay shuffle joins (AQE may broadcast —
     * a 100M-row vocab must never be forced); per-doc nll is rounded to
     * 6 dp BEFORE the threshold/rollup so the flag decision is
-    * engine-exact.
+    * engine-exact. Every join key is an xxhash64 LONG (the
+    * q_contamination discipline): tokens and bigrams ride 8 bytes
+    * through the count shuffles and three joins instead of strings;
+    * collisions merge counts at ~n²/2⁶⁵ probability, and the DuckDB
+    * twin joins by STRING, so the oracle row itself is the per-run
+    * proof no collision bit.
     */
   def qBigramLogprob(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docsTk = Tables.documents(s, d)
       .select($"doc_id", $"source", TextFunctions.tokens($"text").as("tk"))
     val uni = docsTk.select(explode($"tk").as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("c1")).localCheckpoint()
-    val bg = docsTk
+      .groupBy(xxhash64($"w").as("h")).agg(count(lit(1)).as("c1")).localCheckpoint()
+    val inst = docsTk
       .select($"doc_id", $"source", explode(TextFunctions.wordNgramsOf($"tk", 2)).as("bg"))
-    val biC = bg.groupBy($"bg").agg(count(lit(1)).as("c12")).localCheckpoint()
+      .select($"doc_id", $"source", xxhash64($"bg").as("h12"),
+        xxhash64(split($"bg", " ").getItem(0)).as("h1"),
+        xxhash64(split($"bg", " ").getItem(1)).as("h2"))
+    val biC = inst.groupBy($"h12").agg(count(lit(1)).as("c12")).localCheckpoint()
     val tot = uni.agg(sum($"c1").cast("double").as("n"))
-    val perDoc = bg
-      .join(biC, "bg")
-      .select($"doc_id", $"source",
-        split($"bg", " ").getItem(0).as("w1"), split($"bg", " ").getItem(1).as("w2"), $"c12")
-      .join(uni.select($"w".as("w1"), $"c1"), "w1")
-      .join(uni.select($"w".as("w2"), $"c1".as("c2")), "w2")
+    val perDoc = inst
+      .join(biC, "h12")
+      .join(uni.select($"h".as("h1"), $"c1"), "h1")
+      .join(uni.select($"h".as("h2"), $"c1".as("c2")), "h2")
       .crossJoin(broadcast(tot))
       .groupBy($"doc_id", $"source")
       .agg((round(avg(-log(lit(0.75) * $"c12" / $"c1" + lit(0.25) * $"c2" / $"n")), 6)
