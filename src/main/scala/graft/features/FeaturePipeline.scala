@@ -39,6 +39,15 @@ object ScalerKind extends Enumeration {
 final case class ImputerSpec(col: String, strategy: Imputation.Value)
 final case class ScalerSpec(col: String, kind: ScalerKind.Value)
 
+/** Winsorization: clip to the column's fitted [pLo, pHi] exact
+  * quantiles (the applied form of the IQR audit — q_winsorize is the
+  * oracle-checked query twin). Applied AFTER imputation and BEFORE
+  * scaling; scaler stats are fit on the winsorized distribution, so a
+  * StandardScaler downstream sees the clipped mean/std (the order
+  * sklearn users get from a clip-then-scale Pipeline).
+  */
+final case class WinsorSpec(col: String, pLo: Double = 0.05, pHi: Double = 0.95)
+
 /** One-hot with sklearn semantics: categories sorted, optional
   * drop-first, categories with relative frequency < minFrequency
   * grouped into a single "infrequent" bucket
@@ -52,7 +61,8 @@ final case class FeaturePipelineSpec(
     oneHots: Seq[OneHotSpec] = Nil,
     varianceThreshold: Option[Double] = None,
     varianceCols: Seq[String] = Nil,
-    exactQuantiles: Boolean = true
+    exactQuantiles: Boolean = true,
+    winsors: Seq[WinsorSpec] = Nil
 )
 
 /** Per-column fitted stats. q1/median/q3 are NaN for columns without a
@@ -69,7 +79,8 @@ final case class FittedFeaturePipeline(
     categories: Map[String, Seq[String]],     // kept (frequent) categories, sorted
     infrequent: Map[String, Seq[String]],     // grouped categories, sorted
     variances: Map[String, Double],
-    scaleStats: Map[String, NumStats]         // fitted on IMPUTED values (sklearn imputer→scaler order)
+    scaleStats: Map[String, NumStats],        // fitted on IMPUTED (+winsorized) values (sklearn stage order)
+    winsorBounds: Map[String, (Double, Double)] = Map.empty  // fitted on imputed values
 ) {
 
   /** sklearn-compatible feature-name cleanup
@@ -86,6 +97,11 @@ final case class FittedFeaturePipeline(
       case Imputation.Zero   => lit(0.0)
     }
     coalesce(base, replacement)
+  }
+
+  def winsorExpr(w: WinsorSpec): Column = {
+    val (lo, hi) = winsorBounds(w.col)
+    least(greatest(col(w.col), lit(lo)), lit(hi))
   }
 
   def scaleExpr(sc: ScalerSpec): Column = {
@@ -124,12 +140,14 @@ final case class FittedFeaturePipeline(
       case None    => variances.keys.toSeq.sorted
     }
 
-  /** Apply the fitted transforms: impute → scale → one-hot. Pure
-    * projection over the input — no shuffle, fully codegen'd.
+  /** Apply the fitted transforms: impute → winsorize → scale →
+    * one-hot. Pure projection over the input — no shuffle, fully
+    * codegen'd.
     */
   def transform(df: DataFrame): DataFrame = {
     val imputed = spec.imputers.foldLeft(df)((d, i) => d.withColumn(i.col, imputeExpr(i)))
-    val scaled = spec.scalers.foldLeft(imputed)((d, sc) => d.withColumn(sc.col, scaleExpr(sc)))
+    val winsored = spec.winsors.foldLeft(imputed)((d, w) => d.withColumn(w.col, winsorExpr(w)))
+    val scaled = spec.scalers.foldLeft(winsored)((d, sc) => d.withColumn(sc.col, scaleExpr(sc)))
     spec.oneHots.foldLeft(scaled) { (d, oh) =>
       oneHotColumns(oh).foldLeft(d) { case (dd, (name, expr)) => dd.withColumn(name, expr) }
     }
@@ -239,11 +257,31 @@ object FeaturePipeline {
         case Imputation.Zero   => lit(0.0)
       })
     }.toMap
-    val refitCols = spec.scalers.map(_.col).distinct.filter(imputeBy.contains)
+    // Winsor bounds fit on the IMPUTED values (stage order: impute →
+    // winsorize), one melted exact-quantile pass per distinct (pLo,
+    // pHi) pair — columns sharing the default bounds share one sort.
+    val winsorBounds: Map[String, (Double, Double)] =
+      spec.winsors.groupBy(w => (w.pLo, w.pHi)).flatMap { case ((lo, hi), ws) =>
+        val cols = ws.map(_.col).distinct
+        val proj = train.select(cols.map(c =>
+          imputeBy.get(c).map(r => coalesce(col(c), r)).getOrElse(col(c)).as(c)): _*)
+        val qs = graft.operators.GlobalRank.exactQuantilesPerColumn(proj, cols, Seq(lo, hi))
+        cols.map(c => c -> ((qs(c)(0), qs(c)(1))))
+      }
+    val winsorBy: Map[String, Column => Column] = winsorBounds.map { case (c, (lo, hi)) =>
+      c -> ((x: Column) => least(greatest(x, lit(lo)), lit(hi)))
+    }
+    // scaler stats reflect every upstream stage's output: refit for
+    // scaler columns that are imputed OR winsorized
+    val refitCols = spec.scalers.map(_.col).distinct
+      .filter(c => imputeBy.contains(c) || winsorBy.contains(c))
     val scaleStats: Map[String, NumStats] =
       if (refitCols.isEmpty) numStats
       else {
-        val proj = train.select(refitCols.map(c => coalesce(col(c), imputeBy(c)).as(c)): _*)
+        val proj = train.select(refitCols.map { c =>
+          val imputed = imputeBy.get(c).map(r => coalesce(col(c), r)).getOrElse(col(c))
+          winsorBy.get(c).map(_(imputed)).getOrElse(imputed).as(c)
+        }: _*)
         val aggs = refitCols.flatMap { c =>
           Seq(avg(col(c)).as(s"${c}__mean"), stddev_samp(col(c)).as(s"${c}__std"),
             min(col(c)).cast("double").as(s"${c}__min"), max(col(c)).cast("double").as(s"${c}__max")) ++
@@ -273,6 +311,6 @@ object FeaturePipeline {
     FittedFeaturePipeline(spec, numStats, modes,
       catInfo.map { case (k, v) => k -> v._1 },
       catInfo.map { case (k, v) => k -> v._2 },
-      variances, scaleStats)
+      variances, scaleStats, winsorBounds)
   }
 }

@@ -23,6 +23,36 @@ class FeatureEvalSpec extends SparkSpec {
     assert(out.filter($"x_med".isNull || $"x_mean".isNull || $"c".isNull).count() == 0)
   }
 
+  test("winsor stage clips at fitted quantiles; scaler sees the clipped distribution") {
+    // 1..20 plus planted outliers; p10/p90 of the imputed values
+    // (no nulls here, so of the raw values) clip exactly at the exact
+    // interpolated quantiles
+    val vals = (1 to 20).map(_.toDouble) :+ 1000.0 :+ -1000.0
+    val df = vals.toDF("x")
+    val fitted = FeaturePipeline.fit(df,
+      FeaturePipelineSpec(winsors = Seq(WinsorSpec("x", 0.1, 0.9))))
+    val (lo, hi) = fitted.winsorBounds("x")
+    // exact interpolated p10/p90 of the 22 sorted values
+    def q(p: Double): Double = {
+      val sorted = vals.sorted
+      val t = p * (sorted.size - 1)
+      val (l, h) = (math.floor(t).toInt, math.ceil(t).toInt)
+      sorted(l) + (t - l) * (sorted(h) - sorted(l))
+    }
+    assert(math.abs(lo - q(0.1)) < 1e-9 && math.abs(hi - q(0.9)) < 1e-9)
+    val out = fitted.transform(df).select($"x").collect().map(_.getDouble(0))
+    assert(out.min == lo && out.max == hi)
+    // interior values untouched
+    assert(out.count(v => v > lo && v < hi) == vals.count(v => v > q(0.1) && v < q(0.9)))
+    // with a standard scaler downstream, stats reflect the CLIPPED
+    // distribution: transformed mean is exactly 0
+    val fitted2 = FeaturePipeline.fit(df, FeaturePipelineSpec(
+      scalers = Seq(ScalerSpec("x", ScalerKind.Standard)),
+      winsors = Seq(WinsorSpec("x", 0.1, 0.9))))
+    val m = fitted2.transform(df).agg(avg($"x")).head().getDouble(0)
+    assert(math.abs(m) < 1e-12, s"scaled mean $m")
+  }
+
   test("scaler stats are fitted on imputed values (sklearn imputer→scaler order)") {
     // raw x = [1, 3, null]; median impute → [1, 3, 2]
     // imputed mean = 2, sample std = 1 (raw non-null std would be sqrt(2))
