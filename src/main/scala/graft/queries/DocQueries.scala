@@ -183,6 +183,50 @@ object DocQueries {
       |   / (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) >= 0.62
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Cross-SOURCE duplication rollup — the curation report built on
+    * the near-dup machinery: which sources leak into each other, and
+    * how strongly. Same threshold as q_minhash_pairs on a 4× wider
+    * sub-corpus (banded-LSH candidates + exact verification, so the
+    * rollup spans a 4-source pair matrix); each pair side
+    * joins its `source`, the (source, source) key is canonicalized
+    * with least/greatest so A→B and B→A aggregate together, and the
+    * rollup is one hash agg over the (already candidate-bounded) pair
+    * set. The DuckDB twin recomputes the pairs exactly — the green row
+    * therefore also re-certifies, per run, that banding loses no
+    * qualifying pair on this corpus.
+    */
+  def qSourceOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sub = Tables.documents(s, d).filter($"doc_id" % 5 === 0)
+    val pairs = Dedup.minhashNearDup(sub, "doc_id", "text", 3, 32, 42L, 0.62)
+      .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
+    val src = sub.select($"doc_id", $"source")
+    pairs
+      .join(src.select($"doc_id".as("id_a"), $"source".as("sa")), "id_a")
+      .join(src.select($"doc_id".as("id_b"), $"source".as("sb")), "id_b")
+      .select(least($"sa", $"sb").as("source_a"),
+        greatest($"sa", $"sb").as("source_b"), $"jaccard")
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"), r4(avg($"jaccard")).as("avg_jaccard"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val qSourceOverlapOracle: String =
+    """WITH s AS (
+      | SELECT doc_id AS id, source,
+      |  list_distinct(list_transform(range(1, length(text)-1), i -> substring(text,i,3))) AS sh
+      | FROM documents WHERE doc_id % 5 = 0),
+      |p AS (SELECT least(a.source, b.source) AS source_a,
+      |  greatest(a.source, b.source) AS source_b,
+      |  round(CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)
+      |    / (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))),4) + 0 AS jaccard
+      | FROM s a JOIN s b ON a.id < b.id
+      | WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)
+      |    / (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) >= 0.62)
+      |SELECT source_a, source_b, count(*) AS n_pairs,
+      | round(avg(jaccard), 4) + 0 AS avg_jaccard
+      |FROM p GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin
+
   /** Exact n-gram Jaccard similarity join. Uses the inverted-index
     * join here: this synthetic corpus has median background J≈0.46
     * over a tiny shingle vocabulary, so prefix filtering (the real-
@@ -1412,6 +1456,7 @@ object DocQueries {
     "q_cluster_assign" -> qClusterAssign,
     "q_semdedup_audit" -> qSemdedupAudit,
     "q_bigram_logprob" -> qBigramLogprob,
+    "q_source_overlap" -> qSourceOverlap,
     "q_zipf_slope" -> qZipfSlope,
     "q_span_dedup" -> qSpanDedup,
     "q_bpe_pairs" -> qBpePairs,
@@ -1455,6 +1500,7 @@ object DocQueries {
     "q_cluster_assign" -> qClusterAssignOracle,
     "q_semdedup_audit" -> qSemdedupAuditOracle,
     "q_bigram_logprob" -> qBigramLogprobOracle,
+    "q_source_overlap" -> qSourceOverlapOracle,
     "q_zipf_slope" -> qZipfSlopeOracle,
     "q_span_dedup" -> qSpanDedupOracle,
     "q_bpe_pairs" -> qBpePairsOracle,
