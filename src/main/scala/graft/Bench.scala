@@ -37,7 +37,13 @@ object Bench {
       try {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         Right((System.nanoTime() - t0) / 1e9)
-      } catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+      } catch { case e: Throwable =>
+        // Class + first message line: 49 bare "ExtendedAnalysisException"
+        // entries once hid a single shared root cause for a full round.
+        val firstLine = Option(e.getMessage).getOrElse("").linesIterator
+          .find(_.trim.nonEmpty).getOrElse("").take(160)
+        Left(s"${e.getClass.getSimpleName}: $firstLine")
+      }
     }
 
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -69,15 +75,23 @@ object Bench {
     val ok = results.collect { case (k, Right(v)) => k -> v }
     val failed = results.collect { case (k, Left(e)) => k -> e }
     def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => " "; case c => c.toString
+    } + "\""
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    val fs = failed.map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    val fs = failed.map { case (k, e) => "\"" + k + "\":" + jstr(e) }.mkString("{", ",", "}")
+    // Shared-root-cause view: one entry per distinct (class: message),
+    // with the count of queries it took down.
+    val fgroups = failed.groupBy(_._2).toSeq.sortBy(-_._2.size)
+      .map { case (e, ks) => jstr(e) + ":" + ks.size }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     // The capture harness keeps only the LAST ~2KB of stdout, so the
     // full per-query line goes first (queries leading, totals trailing —
     // a front-truncated tail still shows the totals) and a short,
     // always-parseable summary line goes LAST.
     println(
-      s"""{"queries":$qs,"failures":$fs,"n_failed":${failed.size},"sf":"$sfDir","metric":"total","value":${f3(total)},"unit":"sec"}""")
+      s"""{"queries":$qs,"failures":$fs,"failure_groups":$fgroups,"n_failed":${failed.size},"sf":"$sfDir","metric":"total","value":${f3(total)},"unit":"sec"}""")
     val slow = ok.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     println(

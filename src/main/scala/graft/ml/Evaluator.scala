@@ -408,12 +408,23 @@ object Evaluator {
       eps: Double = 1e-4): DataFrame = {
     require(features.nonEmpty && probs.nonEmpty)
     val edgeNames = probs.indices.map(i => s"e${i + 1}")
-    val edges = fitEdges(baseline, features, edgeNames.zip(probs))
-    val melted = meltFeatures(baseline, features).withColumn("r", lit(1L))
+    // The baseline side feeds BOTH the edge fit and the bin counts:
+    // melt it ONCE and cache it — the edge fit is eager (it sorts and
+    // collects O(probs) order statistics) so it doubles as the cache
+    // materializer, and the second consumer reads the cache instead of
+    // re-scanning + re-exploding the baseline parquet.
+    val mb = meltFeatures(baseline, features)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = fitEdges(mb, features.size, edgeNames.zip(probs))
+    val melted = mb.withColumn("r", lit(1L))
       .unionByName(meltFeatures(current, features).withColumn("r", lit(0L)))
+    // localCheckpoint (eager) pins the O(features × bins) counts so the
+    // melted-baseline cache can be dropped HERE, not leaked to session end.
     val counts = binByEdges(melted, edges, edgeNames)
       .groupBy(col("feature"), col("bin"))
       .agg(sum(col("r")).as("nb"), sum(lit(1L) - col("r")).as("nc"))
+      .localCheckpoint(true)
+    mb.unpersist()
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("feature"))
     counts
       .withColumn("tb", sum(col("nb")).over(w))
@@ -430,14 +441,16 @@ object Evaluator {
       struct(lit(f).as("feature"), col(f).cast("double").as("v"))): _*)).as("m"))
       .select(col("m.feature").as("feature"), col("m.v").as("v"))
 
-  // exact per-feature quantile edges, rounded for engine-identical
-  // binning; |features| is the (static) group cardinality, so the
-  // exact arm is called directly — no router probe pass
-  private def fitEdges(baseline: DataFrame, features: Seq[String],
+  // exact per-feature quantile edges over an already-MELTED frame,
+  // rounded for engine-identical binning; |features| is the (static)
+  // group cardinality, so the exact arm is called directly — no router
+  // probe pass. Takes the melted frame (not the wide one) so callers
+  // can share one melt between this fit and their bin-count pass.
+  private def fitEdges(meltedBaseline: DataFrame, nFeatures: Int,
       namedProbs: Seq[(String, Double)]): DataFrame =
     graft.operators.GlobalRank.exactQuantilesByGroup(
-        meltFeatures(baseline, features), "feature", col("v"), namedProbs,
-        maxGroups = math.max(64, features.size))
+        meltedBaseline, "feature", col("v"), namedProbs,
+        maxGroups = math.max(64, nFeatures))
       .select(col("feature") +: namedProbs.map { case (e, _) =>
         (round(col(e), 4) + lit(0.0)).as(e) }: _*)
 
@@ -463,12 +476,17 @@ object Evaluator {
       probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DriftBaseline = {
     require(features.nonEmpty && probs.nonEmpty)
     val edgeNames = probs.indices.map(i => s"e${i + 1}")
-    val edges = fitEdges(baseline, features, edgeNames.zip(probs))
+    // same one-melt sharing as psiByFeature: edge fit materializes the
+    // cache, the count collect reads it, then the cache is released
+    val mb = meltFeatures(baseline, features)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = fitEdges(mb, features.size, edgeNames.zip(probs))
     val edgeRows = edges.collect().map(r =>
       r.getString(0) -> edgeNames.indices.map(i => r.getDouble(i + 1)))
-    val counts = binByEdges(meltFeatures(baseline, features), edges, edgeNames)
+    val counts = binByEdges(mb, edges, edgeNames)
       .groupBy(col("feature"), col("bin")).agg(count(lit(1)).as("nb"))
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    mb.unpersist()
     val nRef = counts.groupBy(_._1._1).map { case (f, cs) => f -> cs.values.sum }
     val refP = counts.map { case ((f, b), nb) => (f, b) -> nb.toDouble / nRef(f) }
     DriftBaseline(features, edgeNames, edgeRows.toSeq, refP, nRef)

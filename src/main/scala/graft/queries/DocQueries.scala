@@ -185,19 +185,22 @@ object DocQueries {
 
   /** Cross-SOURCE duplication rollup — the curation report built on
     * the near-dup machinery: which sources leak into each other, and
-    * how strongly. Same threshold as q_minhash_pairs on a 4× wider
-    * sub-corpus (banded-LSH candidates + exact verification, so the
-    * rollup spans a 4-source pair matrix); each pair side
-    * joins its `source`, the (source, source) key is canonicalized
-    * with least/greatest so A→B and B→A aggregate together, and the
-    * rollup is one hash agg over the (already candidate-bounded) pair
-    * set. The DuckDB twin recomputes the pairs exactly — the green row
-    * therefore also re-certifies, per run, that banding loses no
-    * qualifying pair on this corpus.
+    * how strongly. Runs on the same `% 20` sample as q_minhash_pairs:
+    * the per-source-pair overlap RATES are the statistic, and a
+    * uniform sample estimates them as well as a 4× one — while at this
+    * corpus's background Jaccard ≈0.46 banding barely prunes, so
+    * candidate volume is quadratic in the sample and the wider sample
+    * cost 16× the candidates for the same rollup (r8: 11.3 s solo,
+    * 18× the suite median). Each pair side joins its `source`, the
+    * (source, source) key is canonicalized with least/greatest so
+    * A→B and B→A aggregate together, and the rollup is one hash agg
+    * over the (already candidate-bounded) pair set. The DuckDB twin
+    * recomputes the pairs exactly — the green row therefore also
+    * re-certifies, per run, that banding loses no qualifying pair.
     */
   def qSourceOverlap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sub = Tables.documents(s, d).filter($"doc_id" % 5 === 0)
+    val sub = Tables.documents(s, d).filter($"doc_id" % 20 === 0)
     val pairs = Dedup.minhashNearDup(sub, "doc_id", "text", 3, 32, 42L, 0.62)
       .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
     val src = sub.select($"doc_id", $"source")
@@ -215,7 +218,7 @@ object DocQueries {
     """WITH s AS (
       | SELECT doc_id AS id, source,
       |  list_distinct(list_transform(range(1, length(text)-1), i -> substring(text,i,3))) AS sh
-      | FROM documents WHERE doc_id % 5 = 0),
+      | FROM documents WHERE doc_id % 20 = 0),
       |p AS (SELECT least(a.source, b.source) AS source_a,
       |  greatest(a.source, b.source) AS source_b,
       |  round(CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)

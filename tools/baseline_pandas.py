@@ -83,8 +83,36 @@ def q_roc_auc(d):
     return pd.DataFrame([{"roc_auc": auc}])
 
 
+def q_dedup_incremental(d):
+    import hashlib
+    docs = pd.read_parquet(f"{d}/documents.parquet", columns=["doc_id", "text"])
+    sub = docs[docs.doc_id % 10 == 0]
+    old = sub[sub.doc_id % 20 == 0]
+    new = sub[sub.doc_id % 20 != 0]
+    old_dg = set(old.text.map(lambda t: hashlib.md5(t.encode()).hexdigest()))
+    new_dg = new.text.map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    exact = set(new.doc_id[new_dg.isin(old_dg).values])
+    # the single-process reference shape: per-doc shingle sets, then
+    # new×old pairwise Jaccard (no distributed inverted index to lean on)
+    def sh(t):
+        return {t[i:i + 3] for i in range(len(t) - 2)}
+    old_sh = [sh(t) for t in old.text]
+    near = set()
+    for i, t in zip(new.doc_id, new.text):
+        si = sh(t)
+        for sj in old_sh:
+            inter = len(si & sj)
+            if inter and inter / (len(si) + len(sj) - inter) >= 0.62:
+                near.add(i)
+                break
+    return pd.DataFrame([{
+        "n_new": len(new), "n_exact_dup": len(exact), "n_near_dup": len(near),
+        "n_kept": len(new) - len(exact | near)}])
+
+
 QUERIES = {"q1_pricing_summary": q1, "q2_revenue_nation": q2,
-           "q_impute_median": q_impute_median, "q_roc_auc": q_roc_auc}
+           "q_impute_median": q_impute_median, "q_roc_auc": q_roc_auc,
+           "q_dedup_incremental": q_dedup_incremental}
 
 if __name__ == "__main__":
     dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
