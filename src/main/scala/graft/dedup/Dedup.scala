@@ -306,6 +306,45 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs at Hamming distance ≤ `maxDist`, banded
+    * LSH over the 60-bit signature — the Hamming-space twin of the
+    * MinHash band join (ref: utils/prep.py duplicate handling is
+    * exact-only; this is the standard web-scale extension, Manku et
+    * al. WWW'07). The signature splits into `bands` contiguous
+    * bit-bands; by pigeonhole, two signatures differing in ≤ maxDist
+    * bits share at least one EXACT band whenever bands > maxDist, so
+    * the candidate set is a per-band equality self-join on
+    * (band_idx, band_bits) — an 8-byte shuffle key that spreads
+    * random signatures across 2^(60/bands) buckets — and
+    * verification is one codegen'd popcount per candidate pair.
+    * ZERO missed pairs (pigeonhole is deterministic, unlike MinHash
+    * banding's probabilistic recall) and never all-pairs: the
+    * 100 TB shape. Signatures ride the candidate join, so the
+    * checkpointed sig frame is scanned once by the band explode and
+    * never re-joined for verification.
+    */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, bands: Int = 5): DataFrame = {
+    require(bands > maxDist,
+      s"pigeonhole completeness needs bands > maxDist (got $bands <= $maxDist)")
+    require(60 % bands == 0, s"bands must divide 60 (got $bands)")
+    val w = 60 / bands
+    val sig = df.select(col(idCol).cast("long").as("id"),
+        simhash60(col(textCol)).as("sh"))
+      .localCheckpoint() // feeds both sides of the candidate self-join
+    val banded = sig.select(col("id"), col("sh"), explode(array(
+        (0 until bands).map(i => struct(lit(i).as("b"),
+          shiftright(col("sh"), i * w).bitwiseAND(lit((1L << w) - 1)).as("v"))): _*)).as("bd"))
+      .select(col("id"), col("sh"), col("bd.b").as("b"), col("bd.v").as("v"))
+    banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        hammingDist(col("x.sh"), col("y.sh")).cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct() // a pair can collide in several bands
+  }
+
   /** Near-dup CLUSTER formation: connected components over candidate
     * pairs, labeling every id with the minimum id of its component —
     * the step that turns pairwise near-dup hits into "keep one doc per

@@ -413,7 +413,44 @@ object CoreQueries2 {
       | count(DISTINCT redacted) AS n_redacted_forms
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** k-anonymity audit over quasi-identifiers — the privacy gate a
+    * training-data release runs next to pseudonymization (this file's
+    * [[qPseudonymize]]): group the table by its quasi-identifier tuple
+    * (nation, market segment — the columns an adversary can link
+    * externally), histogram the equivalence-class sizes into k-bands,
+    * and report how many ROWS sit in classes below each band — rows in
+    * classes of size < k are re-identifiable at that k. One hash agg
+    * to class sizes (|classes| ≤ |nations|×|segments|, tiny), then an
+    * O(classes) rollup: nothing data-proportional leaves the first
+    * shuffle at 100 TB. Bands are integer cuts (1, 2-4, 5-9, 10+) —
+    * no float boundary to disagree on.
+    */
+  def qKanon(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val classes = Tables.customer(s, d)
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("sz"))
+    classes
+      .select(
+        when($"sz" === 1, "1").when($"sz" < 5, "2-4")
+          .when($"sz" < 10, "5-9").otherwise("10+").as("k_band"),
+        $"sz")
+      .groupBy($"k_band")
+      .agg(count(lit(1)).as("n_classes"), sum($"sz").as("n_rows"))
+      .orderBy($"k_band")
+  }
+
+  val qKanonOracle: String =
+    """WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz
+      | FROM customer GROUP BY 1, 2),
+      |b AS (SELECT CASE WHEN sz = 1 THEN '1' WHEN sz < 5 THEN '2-4'
+      |  WHEN sz < 10 THEN '5-9' ELSE '10+' END AS k_band, sz FROM c)
+      |SELECT k_band, count(*) AS n_classes,
+      | CAST(sum(sz) AS BIGINT) AS n_rows
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_kanon" -> qKanon,
     "q_pseudonymize" -> qPseudonymize,
     "q_rank_funcs" -> qRankFuncs,
     "q_cohort_reconcile" -> qCohortReconcile,
@@ -429,6 +466,7 @@ object CoreQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_kanon" -> qKanonOracle,
     "q_pseudonymize" -> qPseudonymizeOracle,
     "q_rank_funcs" -> qRankFuncsOracle,
     "q_cohort_reconcile" -> qCohortReconcileOracle,

@@ -336,6 +336,44 @@ object DocQueries {
       |        THEN CAST(pow(2,b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
       |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Banded SimHash near-dup pairs ([[Dedup.simhashNearDup]]): all
+    * pairs in the %5 sample within Hamming distance 4 of each other's
+    * 60-bit SimHash, found via the 5×12-bit band join (pigeonhole:
+    * bands > maxDist ⇒ no missed pair) and verified with an exact
+    * popcount. The DuckDB twin recomputes signatures with the same
+    * integer arithmetic and compares ALL pairs — every green row
+    * re-proves the banding's deterministic completeness on this
+    * corpus.
+    */
+  def qSimhashNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sub = Tables.documents(s, d).filter($"doc_id" % 5 === 0)
+    Dedup.simhashNearDup(sub, "doc_id", "text", 4, 5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val qSimhashNearDupOracle: String =
+    """WITH t AS (
+      | SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      | FROM documents WHERE doc_id % 5 = 0),
+      |h AS (
+      | SELECT doc_id, list_transform(tk, s ->
+      |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(range(1, length(s)+1), i -> CAST(ascii(substring(s,i,1)) AS BIGINT))),
+      |     (acc, x) -> (acc*31 + x) % 1000000007)
+      |   + 1073741824 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(range(1, length(s)+1), i -> CAST(ascii(substring(s,i,1)) AS BIGINT))),
+      |     (acc, x) -> (acc*37 + x) % 1000000007)) AS hs
+      | FROM t),
+      |s AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+      |   CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // CAST(pow(2,b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
+      |        THEN CAST(pow(2,b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash FROM h)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      | CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** [R] rows-only: random-hyperplane LSH ANN top-k on the multi-table
     * path (3 independent 4-plane tables — each prunes ~16×, a neighbor
     * missed by one table is caught by another; the
@@ -489,6 +527,62 @@ object DocQueries {
       |SELECT source, count(*) AS n_docs,
       | round(avg(nll), 4) + 0 AS avg_nll,
       | CAST(sum(CASE WHEN nll > 8.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+      |FROM p GROUP BY source ORDER BY source""".stripMargin
+
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023 — the
+    * standard pretraining-data selection pass): every document scored
+    * by how much likelier its tokens are under a TARGET unigram LM
+    * than under the RAW-corpus LM — per-token mean of
+    * ln(p_t(w)/p_r(w)) with add-0.5 smoothing over the shared vocab,
+    * so target-absent tokens penalize instead of −∞. Target here =
+    * the deterministic min(source) cohort; output is the per-source
+    * selection report (mean log-weight + docs with positive weight —
+    * the docs importance resampling would favor). Scale shape: ONE
+    * conditional count pass builds both LMs keyed by xxhash64 longs
+    * (vocab-bounded, checkpointed), totals are a scalar agg broadcast
+    * back, scoring is one join + one hash agg — the vocab join stays
+    * a shuffle join for 100M-row vocabs (AQE may broadcast small
+    * ones). Per-doc weights round to 6 dp before the >0 selection cut
+    * so both engines cut identically.
+    */
+  def qDsirWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docsTk = Tables.documents(s, d)
+      .select($"doc_id", $"source", explode(TextFunctions.tokens($"text")).as("w"))
+    val tgt = Tables.documents(s, d).agg(min($"source").as("tgt"))
+    val inst = docsTk.crossJoin(broadcast(tgt))
+      .select($"doc_id", $"source", xxhash64($"w").as("h"),
+        ($"source" === $"tgt").as("is_t"))
+    val counts = inst.groupBy($"h")
+      .agg(count(lit(1)).as("cr"), sum(when($"is_t", 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint()
+    val tot = counts.agg(sum($"cr").cast("double").as("nr"),
+      sum($"ct").cast("double").as("nt"), count(lit(1)).cast("double").as("v"))
+    val perDoc = inst.join(counts, "h").crossJoin(broadcast(tot))
+      .groupBy($"doc_id", $"source")
+      .agg((round(avg(log((($"ct" + lit(0.5)) / ($"nt" + lit(0.5) * $"v")) *
+        (($"nr" + lit(0.5) * $"v") / ($"cr" + lit(0.5))))), 6) + lit(0.0)).as("logw"))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), r4(avg($"logw")).as("avg_logw"),
+        sum(when($"logw" > 0.0, 1L).otherwise(0L)).as("n_selected"))
+      .orderBy($"source")
+  }
+
+  val qDsirWeightsOracle: String =
+    """WITH tk AS (SELECT doc_id, source,
+      |  unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+      |tgt AS (SELECT min(source) AS t FROM documents),
+      |c AS (SELECT w, count(*) AS cr,
+      |  sum(CASE WHEN source = (SELECT t FROM tgt) THEN 1 ELSE 0 END) AS ct
+      | FROM tk GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr, CAST(sum(ct) AS DOUBLE) AS nt,
+      |  CAST(count(*) AS DOUBLE) AS v FROM c),
+      |p AS (SELECT doc_id, source,
+      |  round(avg(ln(((ct + 0.5) / (nt + 0.5 * v)) * ((nr + 0.5 * v) / (cr + 0.5)))), 6) + 0 AS logw
+      | FROM tk JOIN c USING (w) CROSS JOIN tot GROUP BY 1, 2)
+      |SELECT source, count(*) AS n_docs, round(avg(logw), 4) + 0 AS avg_logw,
+      | CAST(sum(CASE WHEN logw > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
       |FROM p GROUP BY source ORDER BY source""".stripMargin
 
   /** INCREMENTAL dedup audit — the production shape of corpus dedup:
@@ -1460,6 +1554,8 @@ object DocQueries {
     "q_semdedup_audit" -> qSemdedupAudit,
     "q_bigram_logprob" -> qBigramLogprob,
     "q_source_overlap" -> qSourceOverlap,
+    "q_simhash_neardup" -> qSimhashNearDup,
+    "q_dsir_weights" -> qDsirWeights,
     "q_zipf_slope" -> qZipfSlope,
     "q_span_dedup" -> qSpanDedup,
     "q_bpe_pairs" -> qBpePairs,
@@ -1504,6 +1600,8 @@ object DocQueries {
     "q_semdedup_audit" -> qSemdedupAuditOracle,
     "q_bigram_logprob" -> qBigramLogprobOracle,
     "q_source_overlap" -> qSourceOverlapOracle,
+    "q_simhash_neardup" -> qSimhashNearDupOracle,
+    "q_dsir_weights" -> qDsirWeightsOracle,
     "q_zipf_slope" -> qZipfSlopeOracle,
     "q_span_dedup" -> qSpanDedupOracle,
     "q_bpe_pairs" -> qBpePairsOracle,

@@ -400,6 +400,27 @@ class TextDedupSimSpec extends SparkSpec {
     assert(ham(m(1L), m(2L)) <= 12)
   }
 
+  test("banded simhash near-dup equals brute-force popcount on real docs") {
+    val docs = Tables.documents(spark, sf).filter($"doc_id" % 2 === 0)
+    val maxDist = 6
+    val banded = Dedup.simhashNearDup(docs, "doc_id", "text", maxDist, bands = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = docs.select($"doc_id", Dedup.simhash60($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= maxDist
+    } yield (ia, ib, d)).toSet
+    // pigeonhole (bands > maxDist) makes the band join lossless — set
+    // equality, not recall
+    assert(banded == brute)
+    assert(brute.nonEmpty, "corpus sample should contain close simhash pairs")
+    // config guard: the constructor refuses lossy geometries
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(docs, "doc_id", "text", maxDist = 5, bands = 5)
+    }
+  }
+
   test("cosine topK returns exact nearest neighbors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
