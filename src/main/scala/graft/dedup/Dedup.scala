@@ -336,7 +336,11 @@ object Dedup {
         (0 until bands).map(i => struct(lit(i).as("b"),
           shiftright(col("sh"), i * w).bitwiseAND(lit((1L << w) - 1)).as("v"))): _*)).as("bd"))
       .select(col("id"), col("sh"), col("bd.b").as("b"), col("bd.v").as("v"))
-    banded.as("x").join(banded.as("y"),
+    // shuffle_hash pinned: left alone, the optimizer costs the band
+    // frame from PRE-explode stats and broadcasts it (the
+    // q_dedup_incremental trap, PLANS.md:175) — a 5×-corpus broadcast
+    // at scale. The (b, v) hash shuffle is the plan both sides need.
+    banded.as("x").hint("shuffle_hash").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),

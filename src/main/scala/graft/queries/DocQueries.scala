@@ -585,6 +585,43 @@ object DocQueries {
       | CAST(sum(CASE WHEN logw > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
       |FROM p GROUP BY source ORDER BY source""".stripMargin
 
+  /** Training-order shuffle + sharding — the last step of training-data
+    * assembly: give every document a DETERMINISTIC pseudo-random
+    * position (md5 of its seeded id — reproducible across runs,
+    * engines, and partitionings), then cut the order into equal
+    * contiguous shards and audit per-shard source balance (the
+    * property that makes sequential-read training batches unbiased).
+    * The global position comes from [[graft.operators.GlobalRank]] —
+    * range-partition + per-partition offsets — NOT a no-partition
+    * `row_number().over(orderBy)`, which collapses the corpus to one
+    * machine; shard assignment is integer arithmetic on the rank
+    * (floor((r−1)·S/N), exact to 2^63/S rows); the audit is one hash
+    * agg. The O(shards × sources) result is collected eagerly so the
+    * rank cache releases deterministically.
+    */
+  def qShuffleShards(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      md5(concat(col("doc_id").cast("string"), lit("#42"))).as("k"))
+    val ranked = graft.operators.GlobalRank.withGlobalRowNumber(
+      docs, Seq(col("k"), col("doc_id")), "__r")
+    val nShards = 8
+    val res = ranked.df
+      .withColumn("shard", expr(s"CAST(((__r - 1) * $nShards) DIV ${ranked.total} AS INT)"))
+      .groupBy(col("shard"), col("source")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("shard"), col("source"))
+    val rows = res.collect()
+    ranked.release()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+  }
+
+  val qShuffleShardsOracle: String =
+    """WITH r AS (SELECT source,
+      |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || '#42'), doc_id) AS r
+      | FROM documents),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT CAST(((r - 1) * 8) // n AS INT) AS shard, source, count(*) AS n_docs
+      |FROM r CROSS JOIN n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** INCREMENTAL dedup audit — the production shape of corpus dedup:
     * each incoming batch is checked against the already-kept corpus,
     * never against itself twice. Exact layer = md5 digest semi-join
@@ -1556,6 +1593,7 @@ object DocQueries {
     "q_source_overlap" -> qSourceOverlap,
     "q_simhash_neardup" -> qSimhashNearDup,
     "q_dsir_weights" -> qDsirWeights,
+    "q_shuffle_shards" -> qShuffleShards,
     "q_zipf_slope" -> qZipfSlope,
     "q_span_dedup" -> qSpanDedup,
     "q_bpe_pairs" -> qBpePairs,
@@ -1602,6 +1640,7 @@ object DocQueries {
     "q_source_overlap" -> qSourceOverlapOracle,
     "q_simhash_neardup" -> qSimhashNearDupOracle,
     "q_dsir_weights" -> qDsirWeightsOracle,
+    "q_shuffle_shards" -> qShuffleShardsOracle,
     "q_zipf_slope" -> qZipfSlopeOracle,
     "q_span_dedup" -> qSpanDedupOracle,
     "q_bpe_pairs" -> qBpePairsOracle,
