@@ -85,6 +85,34 @@ object StreamQueries {
       | round(avg(100 + doc_id % 400),4) + 0 AS avg_width
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Binary-payload exact dedup — the image-corpus dedup step pinned
+    * by oracle: per-format asset counts, distinct payload digests
+    * (sha-256 over the raw bytes — the 32-byte key the dedup shuffle
+    * rides at 100 TB regardless of asset size), duplicate-asset count
+    * and byte totals. One projection + one hash agg; the binary column
+    * itself never leaves the map side.
+    */
+  def qMmDigest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      .select($"meta.format".as("format"), sha2($"payload", 256).as("dg"),
+        length($"payload").as("nb"))
+      .groupBy($"format")
+      .agg(count(lit(1)).as("n_assets"),
+        countDistinct($"dg").as("n_distinct_payloads"),
+        (count(lit(1)) - countDistinct($"dg")).as("n_dup_assets"),
+        sum($"nb").as("sum_bytes"))
+      .orderBy($"format")
+  }
+
+  val qMmDigestOracle: String =
+    """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+      | count(*) AS n_assets,
+      | count(DISTINCT sha256(text)) AS n_distinct_payloads,
+      | count(*) - count(DISTINCT sha256(text)) AS n_dup_assets,
+      | CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Per-user session summary via Spark's NATIVE session_window
     * (dynamic gap-merged groupBy windows) — the declarative sibling of
     * q_sessionize's lag+cumsum (same boundary rule: a new session
@@ -230,6 +258,7 @@ object StreamQueries {
     "q_session_window" -> qSessionWindow,
     "q_sessionize" -> qSessionize,
     "q_mm_meta" -> qMmMeta,
+    "q_mm_digest" -> qMmDigest,
     "q_asof_attribution" -> qAsofAttribution
   )
 
@@ -241,6 +270,7 @@ object StreamQueries {
     "q_session_window" -> qSessionWindowOracle,
     "q_sessionize" -> qSessionizeOracle,
     "q_mm_meta" -> qMmMetaOracle,
+    "q_mm_digest" -> qMmDigestOracle,
     "q_asof_attribution" -> qAsofAttributionOracle
   )
 }

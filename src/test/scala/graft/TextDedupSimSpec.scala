@@ -421,6 +421,20 @@ class TextDedupSimSpec extends SparkSpec {
     }
   }
 
+  test("banded simhash is lossless across band geometries (pigeonhole sweep)") {
+    // same corpus, three legal geometries with different band widths —
+    // the pair set must be IDENTICAL for a fixed maxDist regardless of
+    // how the 60 bits are cut (completeness is structural, not tuned)
+    val docs = Tables.documents(spark, sf).filter($"doc_id" % 4 === 0)
+    val results = Seq(5, 6, 12).map { bands =>
+      Dedup.simhashNearDup(docs, "doc_id", "text", maxDist = 4, bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    assert(results.distinct.size == 1,
+      s"band geometries disagree: sizes ${results.map(_.size)}")
+    assert(results.head.nonEmpty)
+  }
+
   test("cosine topK returns exact nearest neighbors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
