@@ -306,24 +306,34 @@ object FeatureQueries {
     // GlobalRank.exactQuantiles); fit once, apply in the agg below
     val qs = graft.operators.GlobalRank.exactQuantiles(
       li, $"l_extendedprice", Seq(0.25, 0.75))
-    val (q1, q3) = (qs(0), qs(1))
+    // Round the QUARTILES to 4 dp before the fence arithmetic (both
+    // engines identically), making the fence inputs equal decimals.
+    // The fences themselves are then EXACTLY 5-decimal values (2-dp
+    // prices → 4-dp interpolated quartiles → ×1.5 adds one digit), so
+    // they are DISPLAYED at 6 dp: at sf0.1 the true fence
+    // −51094.37125 sits exactly on the 4-dp half-way boundary and the
+    // engines' half-rules disagree; at 6 dp a 5-decimal-exact value
+    // has no boundary to disagree on.
+    def r4d(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (q1, q3) = (r4d(qs(0)), r4d(qs(1)))
     val lo = q1 - 1.5 * (q3 - q1)
     val hi = q3 + 1.5 * (q3 - q1)
     li.groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum(when($"l_extendedprice" < lo || $"l_extendedprice" > hi, 1L).otherwise(0L)).as("n_outliers"))
-      .withColumn("lo", r4(lit(lo)))
-      .withColumn("hi", r4(lit(hi)))
+      .withColumn("lo", round(lit(lo), 6) + lit(0.0))
+      .withColumn("hi", round(lit(hi), 6) + lit(0.0))
       .orderBy($"l_returnflag")
   }
 
   val qOutlierIqrOracle: String =
-    """WITH st AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
-      |                   quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem),
+    """WITH st AS (SELECT round(quantile_cont(l_extendedprice, 0.25), 4) + 0 AS q1,
+      |                   round(quantile_cont(l_extendedprice, 0.75), 4) + 0 AS q3 FROM lineitem),
       |f AS (SELECT q1 - 1.5*(q3-q1) AS lo, q3 + 1.5*(q3-q1) AS hi FROM st)
       |SELECT l_returnflag, count(*) AS n,
       | CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-      | round(max(lo),4) + 0 AS lo, round(max(hi),4) + 0 AS hi
+      | round(max(lo),6) + 0 AS lo, round(max(hi),6) + 0 AS hi
       |FROM lineitem CROSS JOIN f
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 

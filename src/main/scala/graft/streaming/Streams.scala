@@ -138,6 +138,56 @@ object Streams {
     novel.join(corpus.select(dg.as("digest")).distinct(), Seq("digest"), "left_anti")
   }
 
+  /** Streaming NEAR-dup filter against a kept corpus in Hamming space —
+    * the streaming twin of [[graft.dedup.Dedup.simhashNearDup]], with
+    * the same pigeonhole guarantee: each microbatch's docs are
+    * SimHash-banded (bands > maxDist contiguous bit-bands), joined to
+    * the corpus's banded signature index on the 8-byte (band, bits)
+    * key, candidates verified by popcount, and matched docs dropped.
+    * The survivors anti-join is per-MICROBATCH inside foreachBatch
+    * (a stream-side anti-join against stream-derived hits is not a
+    * supported streaming plan), landing idempotently in a batch_id
+    * partition like [[scoringSink]]. The static side is signatures
+    * only (8 bytes/doc + band index — never text), persisted once at
+    * sink construction; per-microbatch cost is the batch's band
+    * fan-out probing it, and NO streaming state grows with corpus
+    * size. Deterministic recall (unlike the MinHash twin): a kept doc
+    * within maxDist bits is ALWAYS caught.
+    */
+  def simhashDedupSink(stream: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, maxDist: Int, bands: Int,
+      outPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(bands > maxDist && 60 % bands == 0,
+      s"pigeonhole completeness needs bands > maxDist and bands | 60 (got $bands, $maxDist)")
+    val w = 60 / bands
+    def banded(df: DataFrame, prefix: String): DataFrame =
+      df.select(col(idCol).as(s"${prefix}_id"),
+          graft.dedup.Dedup.simhash60(col(textCol)).as(s"${prefix}_sh"))
+        .select(col(s"${prefix}_id"), col(s"${prefix}_sh"), explode(array(
+          (0 until bands).map(i => struct(lit(i).as("b"),
+            shiftright(col(s"${prefix}_sh"), i * w).bitwiseAND(lit((1L << w) - 1)).as("v"))): _*)).as("bd"))
+        .select(col(s"${prefix}_id"), col(s"${prefix}_sh"),
+          col("bd.b").as("b"), col("bd.v").as("v"))
+    val corpusIdx = banded(corpus, "c")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val hits = banded(batch.toDF(), "s")
+          .join(corpusIdx, Seq("b", "v"))
+          .filter(bit_count(col("s_sh").bitwiseXOR(col("c_sh"))) <= maxDist)
+          .select(col("s_id").as(idCol)).distinct()
+        batch.toDF().join(hits, Seq(idCol), "left_anti")
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("__batch_part", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_part")
+          .parquet(outPath)
+      }
+      .start()
+  }
+
   /** Streaming model-scoring sink — the Spark-native seat of the
     * reference's online scoring API (reference: inference/api_server.py
     * FastAPI predict endpoint; SURVEY §1 scopes the HTTP server out,

@@ -204,6 +204,30 @@ class StreamsSpec extends SparkSpec {
     assert(out.forall(_.getAs[String]("digest").length == 32))
   }
 
+  test("streaming simhash near-dup sink drops corpus-close docs (pigeonhole recall)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-shdedup").toString
+    val corpus = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val ms = MemoryStream[DocIn]
+    val q = Streams.simhashDedupSink(ms.toDF(), corpus, "doc_id", "text",
+      maxDist = 12, bands = 15, s"$dir/out", s"$dir/ckpt")
+    ms.addData(
+      DocIn(t("2024-01-01 00:00:00"), 1, "alpha beta gamma delta epsilon zeta eta theta"), // identical
+      DocIn(t("2024-01-01 00:00:01"), 2, "alpha beta gamma delta epsilon zeta eta iota"),  // 1 token off (≤12 bits, pinned by the simhash spec above)
+      DocIn(t("2024-01-01 00:00:02"), 3, "one two three four five six seven eight"))       // unrelated
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(3L),
+      s"survivors: ${out.mkString(",")}")
+    // lossy geometry refused up front, not silently incomplete
+    intercept[IllegalArgumentException] {
+      Streams.simhashDedupSink(ms.toDF(), corpus, "doc_id", "text", 12, 12,
+        s"$dir/out2", s"$dir/ckpt2")
+    }
+  }
+
   test("foreachBatch sink lands stream microbatches as parquet") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
