@@ -585,6 +585,50 @@ object DocQueries {
       | CAST(sum(CASE WHEN logw > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
       |FROM p GROUP BY source ORDER BY source""".stripMargin
 
+  /** Length-grouped batching audit — the padding-efficiency report
+    * behind bucketed batch assembly (batching similar-length docs cuts
+    * the padding FLOPs a uniform batcher wastes): docs bucket by
+    * token count at integer 64-token cuts (capped at bucket 8 = 512+),
+    * and each bucket reports docs, token sum, its pad target (the
+    * bucket's max length) and the padding waste RATE if batches pad to
+    * that target — versus the whole-corpus pad-to-global-max waste as
+    * the comparison scalar on every row. Pure per-row expression work
+    * + one hash agg on a ≤ 9-key space + one tiny window for the
+    * global max; every boundary is integer, the only rounding is the
+    * final display ratio.
+    */
+  def qLengthBuckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(TextFunctions.tokenCount($"text").cast("long").as("n"))
+    val buckets = docs
+      .select(expr("CAST(least(n div 64, 8) AS INT)").as("bucket"), $"n")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("sum_tokens"),
+        max($"n").as("pad_to"))
+    val w = Window.partitionBy() // 9-row frame — bounded
+    buckets
+      .withColumn("waste_frac",
+        r4(($"n_docs" * $"pad_to" - $"sum_tokens").cast("double") /
+          ($"n_docs" * $"pad_to")))
+      .withColumn("global_waste_frac",
+        r4((sum($"n_docs").over(w) * max($"pad_to").over(w) -
+          sum($"sum_tokens").over(w)).cast("double") /
+          (sum($"n_docs").over(w) * max($"pad_to").over(w))))
+      .orderBy($"bucket")
+  }
+
+  val qLengthBucketsOracle: String =
+    """WITH t AS (SELECT len(string_split_regex(trim(text), '\s+')) AS n FROM documents),
+      |b AS (SELECT CAST(least(n // 64, 8) AS INT) AS bucket, count(*) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS sum_tokens, CAST(max(n) AS BIGINT) AS pad_to
+      | FROM t GROUP BY 1),
+      |g AS (SELECT sum(n_docs) AS nd, max(pad_to) AS pt, sum(sum_tokens) AS st FROM b)
+      |SELECT bucket, n_docs, sum_tokens, pad_to,
+      | round((n_docs * pad_to - sum_tokens) * 1.0 / (n_docs * pad_to), 4) + 0 AS waste_frac,
+      | round((g.nd * g.pt - g.st) * 1.0 / (g.nd * g.pt), 4) + 0 AS global_waste_frac
+      |FROM b CROSS JOIN g ORDER BY bucket""".stripMargin
+
   /** Training-order shuffle + sharding — the last step of training-data
     * assembly: give every document a DETERMINISTIC pseudo-random
     * position (md5 of its seeded id — reproducible across runs,
@@ -1594,6 +1638,7 @@ object DocQueries {
     "q_simhash_neardup" -> qSimhashNearDup,
     "q_dsir_weights" -> qDsirWeights,
     "q_shuffle_shards" -> qShuffleShards,
+    "q_length_buckets" -> qLengthBuckets,
     "q_zipf_slope" -> qZipfSlope,
     "q_span_dedup" -> qSpanDedup,
     "q_bpe_pairs" -> qBpePairs,
@@ -1641,6 +1686,7 @@ object DocQueries {
     "q_simhash_neardup" -> qSimhashNearDupOracle,
     "q_dsir_weights" -> qDsirWeightsOracle,
     "q_shuffle_shards" -> qShuffleShardsOracle,
+    "q_length_buckets" -> qLengthBucketsOracle,
     "q_zipf_slope" -> qZipfSlopeOracle,
     "q_span_dedup" -> qSpanDedupOracle,
     "q_bpe_pairs" -> qBpePairsOracle,

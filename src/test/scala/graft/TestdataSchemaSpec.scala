@@ -74,4 +74,22 @@ class TestdataSchemaSpec extends SparkSpec {
         s"TESTDATA DRIFT: $dir/$name.parquet has no rows")
     }
   }
+
+  // Queries assume these ids are primary keys (joins, dedup baselines,
+  // per-doc aggregations) — a regeneration that introduced duplicates
+  // would corrupt results without any schema change.
+  private val primaryKeys = Seq(
+    "customer" -> "c_custkey", "orders" -> "o_orderkey",
+    "events" -> "event_id", "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  for (dir <- sfDirs; (name, pk) <- primaryKeys) {
+    test(s"tripwire: $name.$pk is unique at $dir") {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val total = df.count()
+      val distinct = df.select(pk).distinct().count()
+      assert(total == distinct,
+        s"TESTDATA DRIFT: $dir/$name.parquet has $total rows but only " +
+          s"$distinct distinct $pk values — queries assume $pk is a primary key")
+    }
+  }
 }
