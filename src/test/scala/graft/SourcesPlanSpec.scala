@@ -235,6 +235,34 @@ class SourcesPlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString(", "))
   }
 
+  test("simhash band join stays a shuffle join (pinned against the exploded-broadcast trap)") {
+    // the optimizer costs the band frame from PRE-explode stats and
+    // would broadcast a 5x-corpus frame at scale (PLANS.md r9 entry);
+    // the shuffle_hash hint pins the (band, bits) hash shuffle — this
+    // guard fails if a refactor drops the hint or AQE re-plans around it
+    val docs = Tables.documents(spark, sf).filter($"doc_id" % 5 === 0)
+    val plan = graft.dedup.Dedup.simhashNearDup(docs, "doc_id", "text", 4, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.take(1200))
+    assert(!plan.contains("BroadcastHashJoin"),
+      "band self-join must not broadcast the exploded frame:\n" + plan.take(1200))
+  }
+
+  test("shuffle-shard ranking plans no global-order window") {
+    // q_shuffle_shards' scale contract: the training-order rank comes
+    // from range partitioning + offsets, never a no-partition Window
+    // (which collapses the corpus to one task)
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"source",
+      md5(concat($"doc_id".cast("string"), lit("#42"))).as("k"))
+    val ranked = graft.operators.GlobalRank.withGlobalRowNumber(
+      docs, Seq($"k", $"doc_id"), "__r")
+    try {
+      val plan = ranked.df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), "no window expected:\n" + plan.take(1200))
+      assert(plan.contains("rangepartitioning"), plan.take(1200))
+    } finally ranked.release()
+  }
+
   test("runtime bloom filter from a selective dim prunes the fact-side scan") {
     // the 100 TB story: a selective filter on the dim side should reach
     // the fact scan as a bloom-filter semi-filter BEFORE the shuffle
