@@ -235,6 +235,41 @@ class SourcesPlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString(", "))
   }
 
+  test("textCorpus ingests line-per-doc files with content-addressed ids") {
+    val dir = tmp()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.txt"),
+      "alpha doc one\n\nbeta doc two\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.txt"),
+      "gamma doc three\nalpha doc one\n")
+    val docs = graft.sources.Sources.textCorpus(spark, dir).collect()
+    assert(docs.length == 4, docs.mkString(",")) // blank line dropped
+    assert(docs.map(_.getAs[String]("source")).toSet == Set("a.txt", "b.txt"))
+    // content-addressed: the duplicate line shares its doc_id across files
+    val byText = docs.groupBy(_.getAs[String]("text"))
+    assert(byText("alpha doc one").map(_.getAs[Long]("doc_id")).distinct.length == 1)
+    assert(byText.keySet.map(t => byText(t).head.getAs[Long]("doc_id")).size == 3)
+  }
+
+  test("mediaFromFiles ingests binary files to the media schema with glob pushdown") {
+    val dir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/x.png"),
+      Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/y.jpg"),
+      Array[Byte](5, 6))
+    val all = graft.sources.Sources.mediaFromFiles(spark, dir).collect()
+    assert(all.length == 2)
+    val png = all.find(_.getAs[org.apache.spark.sql.Row]("meta").getAs[String]("format") == "png").get
+    assert(png.getAs[Array[Byte]]("payload").toSeq == Seq[Byte](1, 2, 3, 4))
+    assert(png.getAs[Long]("n_bytes") == 4L)
+    // glob filter prunes at the SOURCE (pathGlobFilter pushdown)
+    val onlyJpg = graft.sources.Sources.mediaFromFiles(spark, dir, Some("*.jpg"))
+    assert(onlyJpg.count() == 1)
+    // ids are content-addressed: re-ingest produces identical ids
+    val again = graft.sources.Sources.mediaFromFiles(spark, dir).collect()
+    assert(again.map(_.getAs[Long]("media_id")).sorted.toSeq ==
+      all.map(_.getAs[Long]("media_id")).sorted.toSeq)
+  }
+
   test("simhash band join stays a shuffle join (pinned against the exploded-broadcast trap)") {
     // the optimizer costs the band frame from PRE-explode stats and
     // would broadcast a 5x-corpus frame at scale (PLANS.md r9 entry);
