@@ -27,6 +27,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Tables.t's TIMESTAMP_NTZ→TIMESTAMP cast is digit-preserving
+      // only under UTC; without this a non-UTC JVM default shifts
+      // instants and changes filter row counts vs Verify.
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

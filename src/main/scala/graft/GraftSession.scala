@@ -28,6 +28,12 @@ object GraftSession {
       // small enough that a task's columnar batches fit in executor
       // memory alongside shuffle buffers.
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      // Every loader/query in this library treats naive parquet
+      // timestamps as UTC instants (Tables.t's NTZ→TIMESTAMP cast is
+      // digit-preserving only under UTC), and TIMESTAMP(NANOS) files
+      // must decode (as long) rather than crash the vectorized reader.
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // registered custom expressions (sorted_intersect_size,
       // simhash60, poly_hash) available to SQL users session-wide
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

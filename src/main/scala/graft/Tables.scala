@@ -42,7 +42,10 @@ object Tables {
     * logical schema: `ts: timestamp` at microsecond precision.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is a session default (GraftSession / Verify / Bench /
+    // SparkSpec all set it at build time) — not set per-call here,
+    // because a mid-session conf flip does not invalidate plans already
+    // cached against the other decoding.
     val raw = t(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -641,7 +641,9 @@ object DocQueries {
     * machine; shard assignment is integer arithmetic on the rank
     * (floor((r−1)·S/N), exact to 2^63/S rows); the audit is one hash
     * agg. The O(shards × sources) result is collected eagerly so the
-    * rank cache releases deterministically.
+    * rank cache releases deterministically — note for plan-only
+    * callers (PlanDump, SourcesPlanSpec): CONSTRUCTING this frame runs
+    * the whole rank+audit, unlike the fit-once queries' tiny jobs.
     */
   def qShuffleShards(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),

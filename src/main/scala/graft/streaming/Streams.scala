@@ -138,55 +138,194 @@ object Streams {
     novel.join(corpus.select(dg.as("digest")).distinct(), Seq("digest"), "left_anti")
   }
 
-  /** Streaming NEAR-dup filter against a kept corpus in Hamming space —
-    * the streaming twin of [[graft.dedup.Dedup.simhashNearDup]], with
-    * the same pigeonhole guarantee: each microbatch's docs are
-    * SimHash-banded (bands > maxDist contiguous bit-bands), joined to
-    * the corpus's banded signature index on the 8-byte (band, bits)
-    * key, candidates verified by popcount, and matched docs dropped.
-    * The survivors anti-join is per-MICROBATCH inside foreachBatch
-    * (a stream-side anti-join against stream-derived hits is not a
-    * supported streaming plan), landing idempotently in a batch_id
-    * partition like [[scoringSink]]. The static side is signatures
-    * only (8 bytes/doc + band index — never text), persisted once at
-    * sink construction; per-microbatch cost is the batch's band
-    * fan-out probing it, and NO streaming state grows with corpus
-    * size. Deterministic recall (unlike the MinHash twin): a kept doc
-    * within maxDist bits is ALWAYS caught.
+  /** SimHash banding shared by [[simhashDedupSink]]'s corpus index and
+    * per-batch probes: (id, sh, b, v) — one row per (doc, band), v =
+    * the band's 60/bands bits.
+    */
+  private[graft] def bandedSimhash(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, prefix: String): DataFrame = {
+    val w = 60 / bands
+    df.select(col(idCol).as(s"${prefix}_id"),
+        graft.dedup.Dedup.simhash60(col(textCol)).as(s"${prefix}_sh"))
+      .select(col(s"${prefix}_id"), col(s"${prefix}_sh"), explode(array(
+        (0 until bands).map(i => struct(lit(i).as("b"),
+          shiftright(col(s"${prefix}_sh"), i * w).bitwiseAND(lit((1L << w) - 1)).as("v"))): _*)).as("bd"))
+      .select(col(s"${prefix}_id"), col(s"${prefix}_sh"),
+        col("bd.b").as("b"), col("bd.v").as("v"))
+  }
+
+  /** One microbatch of [[simhashDedupSink]] — exposed so a spec can
+    * replay a batch id and assert neither output nor signature rows
+    * duplicate. Probes corpus-index ∪ accumulated-survivor signatures
+    * (own batch's rows EXCLUDED, so a replay sees exactly the state
+    * the original run saw), drops in-batch near-dup pairs keeping the
+    * min id, then lands survivors AND their banded signatures in their
+    * own `__batch_part=N` partitions (dynamic overwrite — the same
+    * idempotency contract as [[writeScoredBatch]]).
+    */
+  private[graft] def simhashDedupBatch(corpusIdx: DataFrame, batch: DataFrame,
+      batchId: Long, idCol: String, textCol: String, maxDist: Int, bands: Int,
+      outPath: String, sigPath: String): Unit = {
+    val spark = batch.sparkSession
+    // microbatch-bounded; checkpointed so simhash + banding run once
+    // across the index probe, the self-join, and the survivor semi-join
+    val bsig = bandedSimhash(batch, idCol, textCol, bands, "s").localCheckpoint()
+    val kept: DataFrame =
+      try spark.read.parquet(sigPath)
+        .filter(col("__batch_part") =!= batchId) // replay: pre-own-batch state
+        .select(col("c_id"), col("c_sh"), col("b"), col("v"))
+      catch { case _: org.apache.spark.sql.AnalysisException => corpusIdx.limit(0) }
+    val hits = bsig.join(corpusIdx.unionByName(kept), Seq("b", "v"))
+      .filter(bit_count(col("s_sh").bitwiseXOR(col("c_sh"))) <= maxDist)
+      .select(col("s_id")).distinct()
+    // in-batch near-dup pairs: band self-join, drop every id that has a
+    // smaller near-dup (keep-min — the greedy rule exact dedup uses)
+    val inBatch = bsig.select(col("s_id").as("a_id"), col("s_sh").as("a_sh"), col("b"), col("v"))
+      .join(bsig.select(col("s_id").as("b_id"), col("s_sh").as("b_sh"), col("b"), col("v")), Seq("b", "v"))
+      .filter(col("a_id") < col("b_id") &&
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxDist)
+      .select(col("b_id").as("s_id")).distinct()
+    val dropped = hits.unionByName(inBatch).distinct().withColumnRenamed("s_id", idCol)
+    val survivors = batch.join(dropped, Seq(idCol), "left_anti").localCheckpoint()
+    survivors
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("__batch_part", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_part")
+      .parquet(outPath)
+    bsig.join(survivors.select(col(idCol).as("s_id")), Seq("s_id"), "left_semi")
+      .select(col("s_id").as("c_id"), col("s_sh").as("c_sh"), col("b"), col("v"))
+      .withColumn("__batch_part", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_part")
+      .parquet(sigPath)
+  }
+
+  /** Streaming NEAR-dup filter in Hamming space with a GROWING kept
+    * index — the streaming twin of [[graft.dedup.Dedup.simhashNearDup]],
+    * with the same pigeonhole guarantee: docs are SimHash-banded
+    * (bands > maxDist contiguous bit-bands), joined to the kept index
+    * on the 8-byte (band, bits) key, candidates verified by popcount,
+    * matches dropped. The kept index is corpus-index ∪ ACCUMULATED
+    * SURVIVOR SIGNATURES: each batch's survivors append their banded
+    * (id, simhash) rows to `outPath.__sig` (idempotent per batch id),
+    * so a near-dup of a batch-N survivor arriving in batch N+1 is
+    * caught — and in-batch near-dup pairs are dropped too (band
+    * self-join, keep min id). All state is signatures only (8
+    * bytes/doc + band fan-out — never text), the accumulated side
+    * lives in parquet not streaming state, and the per-batch work is
+    * the batch's band fan-out probing it. Deterministic recall (unlike
+    * the MinHash twin [[minhashDedupSink]]): a kept doc within maxDist
+    * bits is ALWAYS caught. The corpus index is persisted at
+    * construction and unpersisted when the query terminates.
     */
   def simhashDedupSink(stream: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, maxDist: Int, bands: Int,
       outPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     require(bands > maxDist && 60 % bands == 0,
       s"pigeonhole completeness needs bands > maxDist and bands | 60 (got $bands, $maxDist)")
-    val w = 60 / bands
-    def banded(df: DataFrame, prefix: String): DataFrame =
-      df.select(col(idCol).as(s"${prefix}_id"),
-          graft.dedup.Dedup.simhash60(col(textCol)).as(s"${prefix}_sh"))
-        .select(col(s"${prefix}_id"), col(s"${prefix}_sh"), explode(array(
-          (0 until bands).map(i => struct(lit(i).as("b"),
-            shiftright(col(s"${prefix}_sh"), i * w).bitwiseAND(lit((1L << w) - 1)).as("v"))): _*)).as("bd"))
-        .select(col(s"${prefix}_id"), col(s"${prefix}_sh"),
-          col("bd.b").as("b"), col("bd.v").as("v"))
-    val corpusIdx = banded(corpus, "c")
+    val corpusIdx = bandedSimhash(corpus, idCol, textCol, bands, "c")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qry = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        simhashDedupBatch(corpusIdx, batch.toDF(), batchId, idCol, textCol,
+          maxDist, bands, outPath, s"$outPath.__sig")
+      }
+      .start()
+    releaseOnTermination(qry, corpusIdx)
+    qry
+  }
+
+  /** Unpersist `cached` when `qry` terminates (and deregister the
+    * listener) — the release path for sinks that pin an index at
+    * construction; without it every sink constructed in a long-lived
+    * session leaks its cache for the session lifetime.
+    */
+  private def releaseOnTermination(qry: org.apache.spark.sql.streaming.StreamingQuery,
+      cached: DataFrame): Unit = {
+    val streams = cached.sparkSession.streams
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == qry.id) {
+          cached.unpersist()
+          streams.removeListener(this)
+        }
+    }
+    streams.addListener(listener)
+  }
+
+  /** One microbatch of [[minhashDedupSink]] — exposed for replay specs
+    * (same contract as [[simhashDedupBatch]]). The kept side is the
+    * corpus ∪ the OUTPUT table's survivors (own batch excluded), so
+    * the index grows with survivors without any extra state table:
+    * survivors carry their text, and MinHash verification needs the
+    * shingle sets anyway.
+    */
+  private[graft] def minhashDedupBatch(corpus: DataFrame, batch: DataFrame,
+      batchId: Long, idCol: String, textCol: String, n: Int, numPerm: Int,
+      seed: Long, threshold: Double, outPath: String): Unit = {
+    val spark = batch.sparkSession
+    val keptDocs: DataFrame =
+      try spark.read.parquet(outPath)
+        .filter(col("__batch_part") =!= batchId) // replay: pre-own-batch state
+        .select(col(idCol), col(textCol))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        corpus.select(col(idCol), col(textCol)).limit(0) }
+    val old = corpus.select(col(idCol), col(textCol)).unionByName(keptDocs)
+    val crossHits = graft.dedup.Dedup
+      .minhashNearDupBipartite(batch, old, idCol, textCol, n, numPerm, seed, threshold)
+      .select(col("id_new").as(idCol))
+    // in-batch pairs: id_a < id_b from lshCandidates, so dropping id_b
+    // is the same keep-min rule as the simhash sink
+    val inBatch = graft.dedup.Dedup
+      .minhashNearDup(batch, idCol, textCol, n, numPerm, seed, threshold)
+      .select(col("id_b").as(idCol))
+    batch.join(crossHits.unionByName(inBatch).distinct(), Seq(idCol), "left_anti")
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("__batch_part", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_part")
+      .parquet(outPath)
+  }
+
+  /** Streaming near-dup filter in JACCARD space — the MinHash twin of
+    * [[simhashDedupSink]], for the near-dups simhash misses: token
+    * REPLACEMENTS barely move set overlap (high shingle Jaccard) but
+    * flip many simhash bits (every replaced token shifts all 60 bit
+    * sums), so a J ≥ threshold pair can sit far outside any Hamming
+    * budget. Each microbatch runs
+    * [[graft.dedup.Dedup.minhashNearDupBipartite]] against corpus ∪
+    * accumulated survivors (read back from the output table — growing
+    * index for free), plus an in-batch [[graft.dedup.Dedup.minhashNearDup]]
+    * pass keeping the min id, landing idempotently per batch id.
+    * Probabilistic recall ((1−t)^numPerm miss bound) where the simhash
+    * twin is deterministic — run both sinks in sequence for the full
+    * production shape (Hamming then Jaccard). The kept side is
+    * re-shingled per batch: it lives in parquet (it must be re-read
+    * anyway since it grows), and shingling is a scan-local map —
+    * at 100 TB you'd cache the shingled corpus; the per-batch delta is
+    * the survivors, which ARE the cheap part.
+    */
+  def minhashDedupSink(stream: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int, numPerm: Int, seed: Long,
+      threshold: Double, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val hits = banded(batch.toDF(), "s")
-          .join(corpusIdx, Seq("b", "v"))
-          .filter(bit_count(col("s_sh").bitwiseXOR(col("c_sh"))) <= maxDist)
-          .select(col("s_id").as(idCol)).distinct()
-        batch.toDF().join(hits, Seq(idCol), "left_anti")
-          .withColumn("batch_id", lit(batchId))
-          .withColumn("__batch_part", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_part")
-          .parquet(outPath)
+        minhashDedupBatch(corpus, batch.toDF(), batchId, idCol, textCol,
+          n, numPerm, seed, threshold, outPath)
       }
       .start()
-  }
 
   /** Streaming model-scoring sink — the Spark-native seat of the
     * reference's online scoring API (reference: inference/api_server.py

@@ -95,6 +95,77 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Weighted adjacent-pair multiset of one segmentation. */
+  private def weightedPairs(syms: Seq[String], cnt: Long): Iterator[(String, String, Long)] =
+    if (syms.length < 2) Iterator.empty
+    else syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => (a, b, cnt) }
+
+  /** Pair-count deltas from applying merge (l, r) to one word: EMPTY
+    * when the word lacks the (l, r) adjacency — the property that makes
+    * [[learnMergesIncremental]]'s per-round shuffle proportional to
+    * affected words — otherwise the word's old pairs at −cnt plus its
+    * rewritten pairs at +cnt (cancellation under sum leaves exactly the
+    * counts a full re-explode would produce).
+    */
+  private[graft] def pairDeltas(w: BpeWord, l: String, r: String): Seq[(String, String, Long)] = {
+    val affected = w.syms.length >= 2 &&
+      w.syms.iterator.zip(w.syms.iterator.drop(1)).exists(p => p._1 == l && p._2 == r)
+    if (!affected) Nil
+    else (weightedPairs(w.syms, -w.cnt) ++
+      weightedPairs(mergePair(w.syms, l, r), w.cnt)).toSeq
+  }
+
+  /** [[learnMerges]] with INCREMENTAL pair statistics — the form that
+    * scales to thousands of merges: the (left, right) → n frame is
+    * built once from the initial vocabulary and thereafter maintained
+    * by DELTAS. After merging (a, b), only words containing the "a b"
+    * adjacency change, and for each the old pairs enter at −cnt and the
+    * rewritten pairs at +cnt ([[pairDeltas]]); the per-round shuffle is
+    * those delta rows — proportional to affected words (Zipf-small
+    * after the first merges) — instead of re-exploding every symbol of
+    * every word. Identical output to [[learnMerges]] (same counts, same
+    * lexicographic tie-break; spec-pinned), because the delta update is
+    * an exact algebraic rewrite of the full aggregation.
+    */
+  def learnMergesIncremental(wordCounts: DataFrame, numMerges: Int): Seq[BpeMerge] = {
+    val spark = wordCounts.sparkSession
+    import spark.implicits._
+    var vocab: Dataset[BpeWord] = wordCounts.select(col("w").cast("string"), col("cnt").cast("long"))
+      .as[(String, Long)]
+      .map { case (w, c) => BpeWord(w.toCharArray.map(_.toString).toSeq, c) }
+      .localCheckpoint()
+    var pairs: DataFrame = vocab
+      .flatMap(v => weightedPairs(v.syms, v.cnt))
+      .toDF("left", "right", "n")
+      .groupBy("left", "right").agg(sum("n").as("n"))
+      .localCheckpoint()
+    val merges = ArrayBuffer.empty[BpeMerge]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val top = pairs.orderBy(desc("n"), asc("left"), asc("right")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rt, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += BpeMerge(r, l, rt, n)
+        val deltas = vocab.flatMap(v => pairDeltas(v, l, rt)).toDF("left", "right", "n")
+        val prevPairs = pairs
+        pairs = pairs.unionByName(deltas)
+          .groupBy("left", "right").agg(sum("n").as("n"))
+          .filter(col("n") > 0)
+          .localCheckpoint()
+        prevPairs.unpersist()
+        val prevVocab = vocab
+        vocab = vocab.map(v => BpeWord(mergePair(v.syms, l, rt), v.cnt)).localCheckpoint()
+        prevVocab.unpersist()
+        r += 1
+      }
+    }
+    vocab.unpersist()
+    pairs.unpersist()
+    merges.toSeq
+  }
+
   /** Segment one word with a learned merge list (rank order). */
   def encodeWord(w: String, merges: Seq[BpeMerge]): Seq[String] =
     merges.sortBy(_.rank).foldLeft(w.toCharArray.map(_.toString).toSeq) {

@@ -88,6 +88,26 @@ class PiiBpeSpec extends SparkSpec {
     assert(m1.map(m => (m.left, m.right)).distinct.size == 8)
   }
 
+  test("Bpe.learnMergesIncremental equals learnMerges; deltas skip unaffected words") {
+    // exact delta algebra on the Sennrich fixture AND a real corpus
+    val wcFix = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("w", "cnt")
+    assert(Bpe.learnMergesIncremental(wcFix, 5) == Bpe.learnMerges(wcFix, 5))
+    val docs = Tables.documents(spark, sf)
+    val wc = Bpe.wordCounts(docs, "text").localCheckpoint()
+    assert(Bpe.learnMergesIncremental(wc, 8) == Bpe.learnMerges(wc, 8))
+    // early-stop parity when every word fuses to one symbol
+    val tiny = Seq(("ab", 3L), ("ab", 2L)).toDF("w", "cnt")
+    assert(Bpe.learnMergesIncremental(tiny, 10) == Bpe.learnMerges(tiny, 10))
+    // the locality that makes it incremental: a word WITHOUT the merged
+    // adjacency contributes zero delta rows (per-round shuffle is
+    // affected-words-sized, not vocab-sized)
+    assert(Bpe.pairDeltas(BpeWord(Seq("x", "y", "z"), 5L), "a", "b").isEmpty)
+    assert(Bpe.pairDeltas(BpeWord(Seq("b", "a"), 5L), "a", "b").isEmpty) // reversed ≠ adjacency
+    assert(Bpe.pairDeltas(BpeWord(Seq("a", "b", "c"), 2L), "a", "b").toSet ==
+      Set(("a", "b", -2L), ("b", "c", -2L), ("ab", "c", 2L)))
+  }
+
   test("Bpe.encodeCorpus round-trips text and matches encodeWord") {
     val docs = Tables.documents(spark, sf).limit(50)
     val wc = Bpe.wordCounts(docs, "text").localCheckpoint()

@@ -223,7 +223,10 @@ class SourcesPlanSpec extends SparkSpec {
   test("no SparkEntry query plans a UDF, Python eval, or cartesian product") {
     // standing guard for the codegen-friendly surface contract
     // (SURVEY §3): planning only — no query executes here, though a few
-    // fit-once queries run their tiny fit jobs at construction.
+    // fit-once queries run their tiny fit jobs at construction, and
+    // q_shuffle_shards runs its full (collect-then-recreate) pipeline —
+    // the returned frame is a local relation whose plan is still
+    // checked; the cost is accepted because the sweep runs at sf0.001.
     // "UDF(" / ScalaUDF = actual user functions; bare "UDF" would also
     // match UDFAdaptors, the internal shim every typed Dataset op uses
     // (TopKAggregator's flatMap unpack is deliberate, O(queries×k))

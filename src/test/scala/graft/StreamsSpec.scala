@@ -228,6 +228,112 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("simhash dedup sink: index grows with survivors, in-batch pairs keep min, replay idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shgrow").toString
+    val out = s"$dir/out"; val sig = s"$dir/out.__sig"
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq((100L, corpusText)).toDF("doc_id", "text")
+    val corpusIdx = Streams.bandedSimhash(corpus, "doc_id", "text", bands = 15, "c")
+    val novel0 = "one two three four five six seven eight"
+    // preconditions pinned by name so a simhash change fails HERE, not
+    // as a mystery survivor-set diff below
+    def hd(a: String, b: String): Int = Seq((a, b)).toDF("x", "y")
+      .select(graft.dedup.Dedup.hammingDist(
+        graft.dedup.Dedup.simhash60($"x"), graft.dedup.Dedup.simhash60($"y")).as("d"))
+      .head().getAs[Int]("d")
+    val near0 = "one two three four five six seven nine"
+    val nearCorpus = "alpha beta gamma delta epsilon zeta eta iota"
+    assert(hd(novel0, near0) <= 12 && hd(corpusText, nearCorpus) <= 12,
+      s"test texts drifted out of Hamming budget: ${hd(novel0, near0)}, ${hd(corpusText, nearCorpus)}")
+
+    val b0 = Seq((1L, novel0)).toDF("doc_id", "text")
+    Streams.simhashDedupBatch(corpusIdx, b0, 0L, "doc_id", "text", 12, 15, out, sig)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(spark.read.parquet(sig).select("c_id").distinct().as[Long].collect().toSeq == Seq(1L))
+
+    val b1 = Seq(
+      (2L, near0),                          // near-dup of BATCH-0 SURVIVOR — the growing-index case
+      (3L, nearCorpus),                     // near-dup of the static corpus
+      (4L, "completely different words with nothing shared anywhere"),
+      (5L, "pair text repeated verbatim in this batch"),
+      (6L, "pair text repeated verbatim in this batch")) // in-batch dup of 5 → keep min
+      .toDF("doc_id", "text")
+    Streams.simhashDedupBatch(corpusIdx, b1, 1L, "doc_id", "text", 12, 15, out, sig)
+    def survivors() = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq
+    def sigRows() = spark.read.parquet(sig).count()
+    assert(survivors() == Seq(1L, 4L, 5L), s"survivors: ${survivors()}")
+    val sigN = sigRows()
+    assert(spark.read.parquet(sig).select("c_id").distinct().as[Long].collect().sorted.toSeq
+      == Seq(1L, 4L, 5L))
+
+    // replay batch 1: same survivors, no duplicated output or index rows
+    Streams.simhashDedupBatch(corpusIdx, b1, 1L, "doc_id", "text", 12, 15, out, sig)
+    assert(survivors() == Seq(1L, 4L, 5L), s"post-replay survivors: ${survivors()}")
+    assert(sigRows() == sigN, s"replay duplicated signature rows: ${sigRows()} vs $sigN")
+  }
+
+  test("simhash dedup sink unpersists its corpus index when the query terminates") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-shrel").toString
+    val corpus = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // storageLevel resolves through the cache manager by PLAN equality,
+    // so this probe (same plan as the sink's internal index) observes
+    // the sink's cache without holding a reference to it
+    val probe = Streams.bandedSimhash(corpus, "doc_id", "text", bands = 15, "c")
+    val ms = MemoryStream[DocIn]
+    val q = Streams.simhashDedupSink(ms.toDF(), corpus, "doc_id", "text",
+      maxDist = 4, bands = 15, s"$dir/out", s"$dir/ckpt")
+    ms.addData(DocIn(t("2024-01-01 00:00:00"), 1, "some novel text"))
+    q.processAllAvailable()
+    assert(probe.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "corpus index not pinned while the query is live")
+    q.stop()
+    // listener delivery is async on the listener-bus thread
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (probe.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+        && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(probe.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "corpus index still persisted after query termination")
+  }
+
+  test("minhash dedup sink drops a token-replacement near-dup the simhash sink misses") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhdedup").toString
+    val base = "the quick brown fox jumps over the lazy dog while the rain falls " +
+      "gently on the quiet village roofs tonight as winter settles over the valley"
+    // token REPLACEMENTS: shingle overlap stays high (local edits) but
+    // every swapped token shifts all 60 simhash bit-sums
+    val edited = base.replace("quick", "rapid").replace("lazy", "idle")
+      .replace("gently", "softly").replace("winter", "autumn")
+    val hamming = Seq((base, edited)).toDF("x", "y")
+      .select(graft.dedup.Dedup.hammingDist(
+        graft.dedup.Dedup.simhash60($"x"), graft.dedup.Dedup.simhash60($"y")).as("d"))
+      .head().getAs[Int]("d")
+    assert(hamming > 4, s"edited text no longer outside the Hamming budget: $hamming")
+    val jac = graft.dedup.Dedup.jaccardJoinExact(
+      graft.dedup.Dedup.shingled(
+        Seq((1L, base), (2L, edited)).toDF("doc_id", "text"), "doc_id", "text", 3), 0.62)
+    assert(jac.count() == 1, "edited text fell below the Jaccard threshold")
+
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    val ms = MemoryStream[DocIn]
+    val q = Streams.minhashDedupSink(ms.toDF(), corpus, "doc_id", "text",
+      n = 3, numPerm = 64, seed = 7L, threshold = 0.62, s"$dir/out", s"$dir/ckpt")
+    ms.addData(
+      DocIn(t("2024-01-01 00:00:00"), 1, edited), // J ≥ 0.62 vs corpus, Hamming > 4
+      DocIn(t("2024-01-01 00:00:01"), 2, "entirely unrelated sentence about spark physical " +
+        "plans and adaptive query execution strategies in distributed engines"))
+    q.processAllAvailable()
+    ms.addData( // near-dup of the batch-0 SURVIVOR — growing-index case
+      DocIn(t("2024-01-01 00:00:02"), 3, "entirely unrelated sentence about spark logical " +
+        "plans and adaptive query execution strategies in distributed engines"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(2L), s"survivors: $out")
+  }
+
   test("foreachBatch sink lands stream microbatches as parquet") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
