@@ -34,6 +34,13 @@ object GraftSession {
       // must decode (as long) rather than crash the vectorized reader.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Allow joins to reuse a child partitioned on a SUBSET of the
+      // join keys (e.g. as-of outputs hash-partitioned by entity key,
+      // joined on (key, ts, tiebreak)): the default true re-shuffles
+      // both sides onto the full key set, which doubles the exchanges
+      // in multi-view PIT retrieval. Subset co-partition skew is the
+      // trade-off; entity keys are high-cardinality here.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // registered custom expressions (sorted_intersect_size,
       // simhash60, poly_hash) available to SQL users session-wide
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

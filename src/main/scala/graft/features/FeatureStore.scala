@@ -42,6 +42,58 @@ object FeatureStore {
       tsCol: String, tieBreakCol: String, featureCols: Seq[String]): DataFrame =
     AsofJoin.asofBackward(entities, features, pkCol, tsCol, tieBreakCol, featureCols)
 
+  /** One named feature view for multi-view retrieval (reference:
+    * src/feature/feature_repo/define_feature.py:24-50 — the reference
+    * composes FeatureViews, each with its own event-timestamped source;
+    * Feast's get_historical_features takes a LIST of views). `name`
+    * prefixes the view's output columns (`name__col`); key/ts/tiebreak
+    * name the view's OWN columns (renamed internally to the entity
+    * frame's), so views with heterogeneous schemas compose.
+    */
+  final case class FeatureView(name: String, source: DataFrame, keyCol: String,
+      tsCol: String, tieBreakCol: String, featureCols: Seq[String],
+      toleranceSec: Option[Double] = None)
+
+  /** Multi-view point-in-time retrieval: for each entity row (key, ts),
+    * the latest value of EVERY view's features at or before ts — each
+    * view PIT-correct against its own event time (a view whose last
+    * update predates another's still serves its own latest-at-ts row).
+    *
+    * Plan shape (pinned in SourcesPlanSpec): each view runs ONE as-of
+    * union+window ([[graft.operators.AsofJoin.asofBackward]]) against
+    * the NARROW (key, ts, tiebreak) entity projection — one shuffle per
+    * view, independent so AQE runs them in parallel. View results are
+    * then merge-joined on the entity triple: every as-of output is
+    * already hash-partitioned by the entity key (the window's
+    * partitioning), so the view⋈view joins and the final join back to
+    * the full entity frame add NO exchange for the view side; the WIDE
+    * entity frame is shuffled exactly once, at the end. Chaining
+    * single-view [[historicalFeatures]] calls instead would re-shuffle
+    * the accumulated (entities + earlier views) frame per view.
+    *
+    * PRECONDITION (same as AsofJoin.asofNearest): (keyCol, tsCol,
+    * tieBreakCol) uniquely identifies entity rows — the recombining
+    * joins would multiply duplicates.
+    */
+  def historicalFeaturesMulti(entities: DataFrame, keyCol: String, tsCol: String,
+      tieBreakCol: String, views: Seq[FeatureView]): DataFrame = {
+    require(views.nonEmpty, "historicalFeaturesMulti needs at least one view")
+    require(views.map(_.name).distinct.size == views.size,
+      s"duplicate view names: ${views.map(_.name).mkString(", ")}")
+    val e = entities.select(col(keyCol), col(tsCol), col(tieBreakCol))
+    val perView = views.map { v =>
+      val renamed = v.source.select(
+        col(v.keyCol).as(keyCol) +: col(v.tsCol).as(tsCol) +:
+          col(v.tieBreakCol).as(tieBreakCol) +: v.featureCols.map(col): _*)
+      AsofJoin.asofBackward(e, renamed, keyCol, tsCol, tieBreakCol,
+          v.featureCols, v.toleranceSec)
+        .select(Seq(col(keyCol), col(tsCol), col(tieBreakCol)) ++
+          v.featureCols.map(c => col(s"asof_$c").as(s"${v.name}__$c")): _*)
+    }
+    val combined = perView.reduce(_.join(_, Seq(keyCol, tsCol, tieBreakCol)))
+    entities.join(combined, Seq(keyCol, tsCol, tieBreakCol))
+  }
+
   /** Online feature-view materialization (reference:
     * src/feature/feature_repo/define_feature.py:24-50 FeatureView over
     * the event-timestamped source + feature_store.yaml's online store;

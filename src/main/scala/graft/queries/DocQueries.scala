@@ -1481,6 +1481,48 @@ object DocQueries {
       |SELECT vec_id, cid AS cluster_id, cos FROM r WHERE rk = 1
       |ORDER BY vec_id""".stripMargin
 
+  /** Product-quantization codebook assignment (the PQ encode step of
+    * [[Similarity.annIvfPq]]) pinned by oracle — the q_cluster_assign
+    * pattern applied PER SUBVECTOR: codebooks are the 8 smallest-vec_id
+    * embeddings' slices (deterministic "init" both engines can name,
+    * m = 4 contiguous subvectors), every (vector, subvector) is
+    * assigned to its min-squared-distance code via
+    * [[Similarity.pqAssign]]. Distances expand to three sequential-fold
+    * dot products and round to 4 dp BEFORE the argmin (ties → smaller
+    * code), so the winner is engine-independent. The iterative
+    * per-subvector k-means fits in annIvfPq are spec-covered; this row
+    * pins the assignment algebra they feed.
+    */
+  def qPqAssign(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.embeddings(s, d)
+    val m = 4
+    val cents = v.orderBy($"vec_id").limit(8)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]].collect()
+    val sub = cents.head.size / m
+    val codebooks = (0 until m).map(j => cents.toSeq.map(c => c.slice(j * sub, (j + 1) * sub)))
+    Similarity.pqAssign(v, "vec_id", "embedding", codebooks)
+      .select($"id".as("vec_id"), $"sub_id", $"code", $"dist2")
+      .orderBy($"vec_id", $"sub_id")
+  }
+
+  val qPqAssignOracle: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |c AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8),
+      |cb AS (SELECT j.sub_id, CAST(row_number() OVER (PARTITION BY j.sub_id ORDER BY c.vec_id) - 1 AS BIGINT) AS code,
+      |  list_slice(c.e, j.sub_id*(len(c.e)//4)+1, (j.sub_id+1)*(len(c.e)//4)) AS ce
+      | FROM c CROSS JOIN (SELECT CAST(unnest(range(4)) AS INT) AS sub_id) j),
+      |s AS (SELECT v.vec_id, j.sub_id,
+      |  list_slice(v.e, j.sub_id*(len(v.e)//4)+1, (j.sub_id+1)*(len(v.e)//4)) AS sv
+      | FROM v CROSS JOIN (SELECT CAST(unnest(range(4)) AS INT) AS sub_id) j),
+      |d AS (SELECT s.vec_id, s.sub_id, cb.code,
+      |  round(list_dot_product(s.sv,s.sv) - 2.0*list_dot_product(s.sv,cb.ce) + list_dot_product(cb.ce,cb.ce), 4) + 0 AS dist2
+      | FROM s JOIN cb ON s.sub_id = cb.sub_id),
+      |r AS (SELECT vec_id, sub_id, code, dist2,
+      |  row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dist2, code) AS rk FROM d)
+      |SELECT vec_id, sub_id, code, dist2 FROM r WHERE rk = 1
+      |ORDER BY vec_id, sub_id""".stripMargin
+
   /** Bigram-LM quality scoring — the next LM order above
     * q_unigram_logprob's perplexity-filter analog: per-doc average
     * −ln p(w₂|w₁) under a Jelinek-Mercer–interpolated bigram model
@@ -1634,6 +1676,7 @@ object DocQueries {
 
   val all: Map[String, Q] = Map(
     "q_cluster_assign" -> qClusterAssign,
+    "q_pq_assign" -> qPqAssign,
     "q_semdedup_audit" -> qSemdedupAudit,
     "q_bigram_logprob" -> qBigramLogprob,
     "q_source_overlap" -> qSourceOverlap,
@@ -1682,6 +1725,7 @@ object DocQueries {
 
   val oracles: Map[String, String] = Map(
     "q_cluster_assign" -> qClusterAssignOracle,
+    "q_pq_assign" -> qPqAssignOracle,
     "q_semdedup_audit" -> qSemdedupAuditOracle,
     "q_bigram_logprob" -> qBigramLogprobOracle,
     "q_source_overlap" -> qSourceOverlapOracle,

@@ -257,6 +257,102 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Per-subvector codebook assignment — the PQ encode step made
+    * deterministic and oracle-checkable (the q_cluster_assign pattern
+    * applied per subvector): each vector is sliced into
+    * `codebooks.size` contiguous subvectors; each subvector is assigned
+    * to its nearest codebook entry by squared Euclidean distance
+    * rounded to 4 dp (ties → smaller code id — engine-independent).
+    * `codebooks(j)(c)` is code c's centroid for subvector j. Scale: the
+    * codebook frame is m×nCodes rows (broadcast); the vector side
+    * explodes ×m but never shuffles — the argmin is the same bounded
+    * map-side-combinable [[TopKAggregator.topKPerKey]] top-1 as
+    * [[assignToCentroids]]. Returns (id, sub_id, code, dist2).
+    */
+  def pqAssign(vecs: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebooks.size
+    require(m > 0 && codebooks.forall(_.nonEmpty), "empty codebooks")
+    val sub = codebooks.head.head.size
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val vd = vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val subRows = vd.select(col("id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub_id"), slice(col("v"), j * sub + 1, sub).as("sv"))): _*)).as("s"))
+      .select(col("id"), col("s.sub_id").as("sub_id"), col("s.sv").as("sv"))
+    val cbDf = codebooks.zipWithIndex.flatMap { case (cbj, j) =>
+      cbj.zipWithIndex.map { case (ce, c) => (j, c.toLong, ce) }
+    }.toDF("sub_id", "code", "ce")
+    // |sv−ce|² as sv·sv − 2 sv·ce + ce·ce, each dot the same sequential
+    // fold as [[cosine]] — the exact arithmetic DuckDB's
+    // list_dot_product combination reproduces (q_cluster_assign
+    // discipline), so the 4-dp rounding below is engine-exact
+    val scored = subRows.join(broadcast(cbDf), Seq("sub_id"))
+      .withColumn("dist2", round(
+        dotCol(col("sv"), col("sv")) - lit(2.0) * dotCol(col("sv"), col("ce")) +
+          dotCol(col("ce"), col("ce")), 4) + lit(0.0))
+      // composite (id, sub_id) packed into one long key (sub_id < m)
+      .select((col("id") * m + col("sub_id")).as("key"), col("code"),
+        (-col("dist2")).as("negd"))
+    TopKAggregator.topKPerKey(scored, "key", "code", "negd", 1)
+      .select(expr(s"key div $m").as("id"), (col("key") % m).cast("int").as("sub_id"),
+        col("code"), (-col("negd") + lit(0.0)).as("dist2"))
+  }
+
+  /** IVF + PQ: the inverted-file search of [[annIvf]] over a
+    * product-quantized corpus — the memory story past SQ8's 4×: m
+    * subvector codebooks of `nCodes` entries store each vector as m
+    * codes (m bytes at nCodes=256 vs 4·dim float32 — 16–32× for
+    * dim 64–128), the standard billion-vector ANN layout. Codebooks
+    * are fit per subvector with k-means ON THE ORIGINAL slices (index
+    * build is offline, pays full precision once); corpus vectors are
+    * scored through their RECONSTRUCTION (per-subvector centroid
+    * concat — exactly what stored codes decode to) while queries stay
+    * full-precision: asymmetric distance computation. Coarse cells,
+    * probing, and top-k are identical to [[annIvf]].
+    */
+  def annIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, m: Int, nCodes: Int, k: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subvectors")
+    val sub = dim / m
+    val toVec = (df: DataFrame) => df.withColumn("__fv",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("__fv")
+      .setPredictionCol("cell")
+    val model = km.fit(toVec(corpus))
+    // m independent sub-codebooks (seeded per subvector)
+    val subModels = (0 until m).map { j =>
+      new KMeans().setK(nCodes).setSeed(seed + j + 1)
+        .setFeaturesCol(s"__sv_$j").setPredictionCol(s"__code_$j")
+        .fit(corpus.withColumn(s"__sv_$j",
+          array_to_vector(slice(col(vecCol).cast("array<double>"), j * sub + 1, sub))))
+    }
+    // encode: m assignments; decode: concat of assigned centroids
+    val encoded = subModels.zipWithIndex.foldLeft(model.transform(toVec(corpus))) {
+      case (df, (sm, j)) => sm.transform(df.withColumn(s"__sv_$j",
+        array_to_vector(slice(col(vecCol).cast("array<double>"), j * sub + 1, sub))))
+    }
+    val reconstructed = concat((0 until m).map { j =>
+      val cbL = array(subModels(j).clusterCenters
+        .map(c => array(c.toArray.map(lit): _*)): _*)
+      element_at(cbL, col(s"__code_$j") + 1)
+    }: _*)
+    val assignedCorpus = encoded
+      .select(col(idCol).as("neighbor_id"), reconstructed.as("cv"), col("cell"))
+    val assignedQueries = model.transform(toVec(queries))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"))
+    val scored = assignedCorpus.join(assignedQueries, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4) + lit(0.0))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    TopKAggregator.topKPerKey(scored, "query_id", "neighbor_id", "cos", k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: exact top-k within each bucket. Sub-quadratic;
     * recall depends on nPlanes (fewer planes → bigger buckets → higher
     * recall, more work). One table — for production recall targets use

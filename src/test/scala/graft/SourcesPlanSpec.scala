@@ -100,6 +100,58 @@ class SourcesPlanSpec extends SparkSpec {
     assert(out(1).isNullAt(3)) // no feature rows for key 3
   }
 
+  test("multi-view PIT retrieval equals chained single-view; one shuffle per view, entity side shuffled once") {
+    import graft.features.FeatureStore
+    import graft.features.FeatureStore.FeatureView
+    val entities = Seq((1L, 250L, 10L), (1L, 90L, 11L), (2L, 250L, 12L), (3L, 250L, 13L))
+      .toDF("k", "ts_s", "eid").withColumn("payload", $"k" * lit(1000))
+    // view A: own column names, two feature columns
+    val vA = Seq((1L, 100L, 1L, 10.0, "a"), (1L, 200L, 2L, 20.0, "b"), (2L, 300L, 3L, 9.0, "x"))
+      .toDF("entity", "event_ts", "seq", "f", "tag")
+    // view B: updated on a DIFFERENT cadence — PIT must follow B's own event time
+    val vB = Seq((1L, 50L, 1L, 0.5), (2L, 240L, 2L, 0.7), (3L, 260L, 3L, 0.9))
+      .toDF("k", "ts_s", "eid", "g")
+    val views = Seq(
+      FeatureView("a", vA, "entity", "event_ts", "seq", Seq("f", "tag")),
+      FeatureView("b", vB, "k", "ts_s", "eid", Seq("g")))
+    val multi = FeatureStore.historicalFeaturesMulti(entities, "k", "ts_s", "eid", views)
+    val rows = multi.orderBy($"k", $"ts_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[Any]("a__f")), Option(r.getAs[Any]("a__tag")), Option(r.getAs[Any]("b__g"))))
+    assert(rows.toSeq == Seq(
+      (1L, 90L, None, None, Some(0.5)),                    // A has nothing ≤90; B does
+      (1L, 250L, Some(20.0), Some("b"), Some(0.5)),        // A's latest ≤250 is ts 200
+      (2L, 250L, None, None, Some(0.7)),                   // A's only k=2 row is LATER (300)
+      (3L, 250L, None, None, None)))                       // B's k=3 row is later (260)
+    assert(multi.columns.contains("payload"), "entity columns must be preserved")
+
+    // equals chaining single-view retrievals
+    val chainA = FeatureStore.historicalFeatures(entities,
+      vA.select($"entity".as("k"), $"event_ts".as("ts_s"), $"seq".as("eid"), $"f", $"tag"),
+      "k", "ts_s", "eid", Seq("f", "tag"))
+      .withColumnRenamed("asof_f", "a__f").withColumnRenamed("asof_tag", "a__tag")
+    val chained = FeatureStore.historicalFeatures(chainA, vB, "k", "ts_s", "eid", Seq("g"))
+      .withColumnRenamed("asof_g", "b__g")
+    val cols = multi.columns.sorted.map(col).toIndexedSeq
+    assert(multi.select(cols: _*).orderBy($"k", $"ts_s").collect().toSeq ==
+      chained.select(cols: _*).orderBy($"k", $"ts_s").collect().toSeq)
+
+    // plan: one shuffle per view + ONE for the wide entity frame — the
+    // view⋈view and entity⋈views joins reuse the windows' key
+    // partitioning (no extra exchange, no broadcast fallback needed)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false",
+      // GraftSession default (subset co-partition reuse) — the shared
+      // spec session is built without GraftSession.builder
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false") {
+      val plan = FeatureStore.historicalFeaturesMulti(entities, "k", "ts_s", "eid", views)
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == views.size + 1,
+        s"expected ${views.size + 1} exchanges (one per view + one entity), got $exchanges:\n$plan")
+    }
+  }
+
   test("online materialization equals historicalFeatures at max event time; bucketed layout") {
     import graft.features.FeatureStore
     val feats = Seq(
