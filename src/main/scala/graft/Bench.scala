@@ -52,7 +52,12 @@ object Bench {
       }
     }
 
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only name filter for fast slope iteration (SCALING.md);
+    // the driver contract is an arg-less run over every query
+    val only = args.toSet
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
       name -> ((once(fn), once(fn)) match {
         case (Right(a), Right(b)) => Right(math.min(a, b))
         case (Left(e), _)         => Left(e)

@@ -276,13 +276,26 @@ object DocQueries {
     */
   def qEmbedNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // FIXED-SIZE bound (not fixed-fraction): the exact verifier is
+    // quadratic in its input, so a %-of-corpus subset grows 100× per
+    // data decade (measured 13× wall-clock at the sf1 scale replica).
+    // The cap exceeds every driver SF's subset (≤400 rows at sf0.1) so
+    // gated results are unchanged; the corpus-scale near-dup path is
+    // nearDupPairsLsh/planesFor (spec'd), not this audit.
+    // repartition after the cap: limit() collapses to ONE partition,
+    // which would serialize the quadratic verify across the cluster.
+    // EXPLICIT width — a column-only repartition gets size-coalesced
+    // by AQE (a few KB of vectors), blind to the quadratic work per row
     val sub = Tables.embeddings(s, d).filter($"vec_id" % 5 === 0)
+      .orderBy($"vec_id")
+      .limit(1000).repartition(s.sparkContext.defaultParallelism, $"vec_id")
     Similarity.nearDupPairs(sub, "vec_id", "embedding", threshold = 0.35)
       .orderBy($"id_a", $"id_b")
   }
 
   val qEmbedNearDupOracle: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 5 = 0)
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 5 = 0
+      |           ORDER BY vec_id LIMIT 1000)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       | round(list_dot_product(a.e,b.e)/(sqrt(list_dot_product(a.e,a.e))*sqrt(list_dot_product(b.e,b.e))),4) + 0 AS cos
       |FROM v a JOIN v b ON a.vec_id < b.vec_id
@@ -292,14 +305,19 @@ object DocQueries {
   def qCosineTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val all = Tables.embeddings(s, d)
-    val queries = all.filter($"vec_id" % 100 === 0)
+    // fixed-size query set (cap ≥ every driver SF's %100 subset, so
+    // gated results are unchanged): brute-force is (queries × corpus);
+    // a fraction-sized query set made the product quadratic (6.5×
+    // wall-clock per data decade at the sf1 replica) — capped, the
+    // scan side scales linearly and the broadcast side is constant
+    val queries = all.filter($"vec_id" % 100 === 0).orderBy($"vec_id").limit(20)
     Similarity.topK(all, queries, "vec_id", "embedding", 5)
       .orderBy($"query_id", $"rank")
   }
 
   val qCosineTopKOracle: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      |q AS (SELECT * FROM v WHERE vec_id % 100 = 0),
+      |q AS (SELECT * FROM v WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 20),
       |s AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
       |  round(list_dot_product(q.e,v.e)/(sqrt(list_dot_product(q.e,q.e))*sqrt(list_dot_product(v.e,v.e))),4) + 0 AS cos
       | FROM q JOIN v ON q.vec_id <> v.vec_id)
@@ -398,8 +416,14 @@ object DocQueries {
     import s.implicits._
     // the sub-corpus feeds the LSH index build AND both sides of the
     // self-grading exact top-k — checkpoint the bounded subset so the
-    // parquet scan + float→double array conversion runs once
-    val sub = Tables.embeddings(s, d).filter($"vec_id" % 5 === 0).localCheckpoint()
+    // parquet scan + float→double array conversion runs once. The
+    // bound is FIXED-SIZE (cap ≥ every driver SF's %5 subset): the
+    // exact grading is quadratic in the subset, so a fixed fraction
+    // grew 5.7× per data decade at the sf1 replica
+    val sub = Tables.embeddings(s, d).filter($"vec_id" % 5 === 0)
+      .orderBy($"vec_id")
+      .limit(1000).repartition(s.sparkContext.defaultParallelism, $"vec_id")
+      .localCheckpoint()
     val approx = Similarity.annLshMulti(sub, "vec_id", "embedding", dim = 64,
       nPlanes = 4, seeds = Seq(7L, 19L, 31L), k = 3)
     val exact = Similarity.topK(sub, sub, "vec_id", "embedding", 3)
@@ -896,11 +920,13 @@ object DocQueries {
     * would have. One scan + one k-row broadcast join; the keep filter
     * is a pure projection — the 100 TB shape.
     *
-    * Integer bounds: doc_id·2654435761 stays in Long for doc_id <
-    * ~3.5e9 (Spark wraps past that; DuckDB ERRORS on BIGINT overflow —
-    * the engines would diverge loudly, not silently), and the keep
-    * test's u·n_langs·lang_tokens < 9.2e18 holds through ~1e13 tokens
-    * per language at 10007 buckets.
+    * Integer bounds: doc_id is reduced mod 10007 BEFORE the multiply
+    * ((a·b) mod m = ((a mod m)·b) mod m — algebraically identical,
+    * and the intermediate stays ≤ 10006·2654435761 ≈ 2.7e13 for ANY
+    * doc_id; the unreduced form overflowed ANSI Long at the sf1
+    * scale replica's 1e9-offset ids, caught by SCALING.md's bench),
+    * and the keep test's u·n_langs·lang_tokens < 9.2e18 holds through
+    * ~1e13 tokens per language at 10007 buckets.
     */
   def qMixtureApply(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -909,8 +935,8 @@ object DocQueries {
     val perLang = docs.groupBy($"lang").agg(sum($"tc").as("ltok"))
     val tot = perLang.agg(sum($"ltok").as("tot"), count(lit(1)).as("n_langs"))
     val kept = docs.join(broadcast(perLang), "lang").crossJoin(broadcast(tot))
-      .filter(pmod($"doc_id" * lit(2654435761L), lit(10007L)) * $"n_langs" * $"ltok" <
-        lit(10007L) * $"tot")
+      .filter(pmod(pmod($"doc_id", lit(10007L)) * lit(2654435761L), lit(10007L)) *
+        $"n_langs" * $"ltok" < lit(10007L) * $"tot")
     val agg = kept.groupBy($"lang")
       .agg(count(lit(1)).as("n_docs_kept"), sum($"tc").as("n_tokens_kept"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy() // k-row frame
@@ -927,7 +953,7 @@ object DocQueries {
       |g AS (SELECT lang, CAST(sum(tc) AS BIGINT) AS ltok FROM d GROUP BY 1),
       |t AS (SELECT CAST(sum(ltok) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS n_langs FROM g),
       |k AS (SELECT d.lang, d.tc FROM d JOIN g USING (lang) CROSS JOIN t
-      |      WHERE ((d.doc_id * 2654435761) % 10007) * t.n_langs * g.ltok < 10007 * t.tot),
+      |      WHERE (((d.doc_id % 10007) * 2654435761) % 10007) * t.n_langs * g.ltok < 10007 * t.tot),
       |a AS (SELECT lang, count(*) AS n_docs_kept,
       |      CAST(sum(tc) AS BIGINT) AS n_tokens_kept FROM k GROUP BY 1),
       |s AS (SELECT sum(n_tokens_kept) * 1.0 AS kt FROM a)
@@ -1605,7 +1631,17 @@ object DocQueries {
     */
   def qSemdedupAudit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val v = Tables.embeddings(s, d)
+    // FIXED-SIZE audit sample: with 8 fixed centroids, within-cluster
+    // pair work is quadratic in corpus size (measured 102× wall-clock
+    // for 10× data at the sf1 replica — the worst slope in SCALING.md).
+    // The cap equals sf0.1's full corpus, so every gated result is
+    // unchanged; the corpus-scale SemDedup path is Similarity.semDedup
+    // with nClusters ∝ √n (spec'd), where cluster size — and so the
+    // pair work per cluster — stays bounded as n grows.
+    // repartition after the cap — limit() collapses to one partition,
+    // which would serialize the within-cluster pair work
+    val v = Tables.embeddings(s, d).orderBy($"vec_id").limit(2000)
+      .repartition(s.sparkContext.defaultParallelism, $"vec_id")
     val cents = v.orderBy($"vec_id").limit(8)
       .select($"vec_id".as("cid"), $"embedding".as("ce"))
     Similarity.semDedupWithCentroids(v, "vec_id", "embedding", cents, "cid", "ce", 0.35)
@@ -1617,7 +1653,8 @@ object DocQueries {
   }
 
   val qSemdedupAuditOracle: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |           ORDER BY vec_id LIMIT 2000),
       |c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
       |s AS (SELECT v.vec_id, c.cid,
       |  round(list_dot_product(v.e,c.ce)/(sqrt(list_dot_product(v.e,v.e))*sqrt(list_dot_product(c.ce,c.ce))),4) + 0 AS cos

@@ -1,0 +1,113 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bench-only scale-up: replicate an SF directory N× with per-replica
+  * key offsets and content BIJECTIONS, so Bench can measure the
+  * wall-clock slope one decade above the driver-provided data
+  * (SCALING.md). Not for correctness runs — no oracle exists here.
+  *
+  * Naive row copying would be the WRONG test corpus: every doc would
+  * gain N−1 exact cross-replica copies, so near-dup candidate pairs
+  * (inverted-index buckets, LSH bands, embedding cosine) would grow
+  * quadratically in N as a replication ARTIFACT — a real 10× corpus
+  * has 10× diverse content. Instead each replica applies a bijection
+  * that preserves all WITHIN-replica structure and decorrelates
+  * ACROSS replicas:
+  *
+  *  - text: per-replica Caesar substitution over letters+digits (via
+  *    `translate`, codegen'd). A bijection on strings preserves exact-
+  *    dup groups, shingle-set overlaps, token counts, Zipf profile and
+  *    doc lengths EXACTLY per replica, while replica i and j share
+  *    only punctuation/whitespace shingles — no cross-replica
+  *    candidates.
+  *  - embeddings: per-replica seeded ±1 sign pattern, elementwise.
+  *    (s⊙x)·(s⊙y) = x·y, so every within-replica cosine — near-dup
+  *    pairs, centroid geometry — is preserved exactly; cross-replica
+  *    cosines decorrelate to background.
+  *  - keys: += replica · 10^9 (consistently on FK pairs, so joins and
+  *    the `id % k` subset filters used by queries behave identically
+  *    per replica — 10^9 is divisible by every modulus in use).
+  *  - dims (region, nation) copy once; timestamps are unchanged (10×
+  *    users/orders per window, per-key history unchanged — how a real
+  *    10× tenant corpus scales).
+  */
+object ScaleReplicate {
+
+  private val OFF = 1000000000L
+
+  private def caesar(c: org.apache.spark.sql.Column, shift: Int): org.apache.spark.sql.Column = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val digit = "0123456789"
+    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    if (shift % 26 == 0 && shift % 10 == 0) c
+    else translate(c, lower + upper + digit,
+      rot(lower, shift) + rot(upper, shift) + rot(digit, shift))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (src, dst, factor) = args.toList match {
+      case s :: d :: f :: Nil => (s, d, f.toInt)
+      case _ => sys.error("usage: ScaleReplicate <srcDir> <dstDir> <factor>")
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(name: String, keyCols: Seq[String])(
+        perReplica: (DataFrame, Int) => DataFrame): Unit = {
+      // through the Tables loaders so ts encodings normalize
+      val base = name match {
+        case "customer"   => graft.Tables.customer(spark, src)
+        case "supplier"   => graft.Tables.supplier(spark, src)
+        case "part"       => graft.Tables.part(spark, src)
+        case "orders"     => graft.Tables.orders(spark, src)
+        case "lineitem"   => graft.Tables.lineitem(spark, src)
+        case "events"     => graft.Tables.events(spark, src)
+        case "documents"  => graft.Tables.documents(spark, src)
+        case "embeddings" => graft.Tables.embeddings(spark, src)
+      }
+      val out = (0 until factor).map { i =>
+        val keyed = keyCols.foldLeft(base)((d, k) =>
+          d.withColumn(k, col(k) + lit(i * OFF)))
+        perReplica(keyed, i)
+      }.reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scale] $name x$factor -> $dst")
+    }
+
+    // dims copy once
+    Seq("region", "nation").foreach { n =>
+      spark.read.parquet(s"$src/$n.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$n.parquet")
+    }
+    replicate("customer", Seq("c_custkey"))((d, _) => d)
+    replicate("supplier", Seq("s_suppkey"))((d, _) => d)
+    replicate("part", Seq("p_partkey"))((d, _) => d)
+    replicate("orders", Seq("o_orderkey", "o_custkey"))((d, _) => d)
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))((d, _) => d)
+    replicate("events", Seq("event_id", "user_id"))((d, _) => d)
+    replicate("documents", Seq("doc_id")) { (d, i) =>
+      d.withColumn("text", caesar(col("text"), i))
+    }
+    val dim = graft.Tables.embeddings(spark, src)
+      .select(size(col("embedding"))).head().getInt(0)
+    replicate("embeddings", Seq("vec_id")) { (d, i) =>
+      val rnd = new scala.util.Random(i)
+      val signs = Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+      if (i == 0) d
+      else d.withColumn("embedding",
+        zip_with(col("embedding"), lit(signs), (x, s) => x * s).cast("array<float>"))
+    }
+    spark.stop()
+  }
+}

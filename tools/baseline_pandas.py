@@ -110,9 +110,45 @@ def q_dedup_incremental(d):
         "n_kept": len(new) - len(exact | near)}])
 
 
+def q_gopher_rules(d):
+    import re
+    docs = pd.read_parquet(f"{d}/documents.parquet", columns=["source", "text"])
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    alpha_re = re.compile("[A-Za-z]")
+    # the single-process reference shape: one python pass per document
+    # (pandas has no vectorized tokenizer; .str methods still walk
+    # python objects for list results)
+    def per_doc(t):
+        tk = t.strip().split()
+        wc = len(tk)
+        mwl = sum(len(x) for x in tk) / wc
+        sym = (t.count("#") + t.count("...")) / wc
+        alpha = sum(1 for x in tk if alpha_re.search(x)) / wc
+        st = set(tk)
+        stop_hits = sum(1 for w in stops if w in st)
+        return (50 <= wc <= 100000, 3.0 <= mwl <= 10.0, sym <= 0.1,
+                alpha >= 0.8, stop_hits >= 2)
+    flags = pd.DataFrame([per_doc(t) for t in docs.text],
+                         columns=["ok_wc", "ok_mwl", "ok_sym", "ok_alpha", "ok_stop"])
+    flags["ok_all"] = (flags.ok_wc & flags.ok_mwl & flags.ok_sym
+                       & flags.ok_alpha & flags.ok_stop)
+    flags["source"] = docs.source.values
+    g = flags.groupby("source")
+    return pd.DataFrame({
+        "n_docs": g.size(),
+        "fail_wordcount": g.size() - g.ok_wc.sum(),
+        "fail_meanwordlen": g.size() - g.ok_mwl.sum(),
+        "fail_symbolratio": g.size() - g.ok_sym.sum(),
+        "fail_alphawords": g.size() - g.ok_alpha.sum(),
+        "fail_stopwords": g.size() - g.ok_stop.sum(),
+        "n_pass": g.ok_all.sum(),
+    }).reset_index().sort_values("source")
+
+
 QUERIES = {"q1_pricing_summary": q1, "q2_revenue_nation": q2,
            "q_impute_median": q_impute_median, "q_roc_auc": q_roc_auc,
-           "q_dedup_incremental": q_dedup_incremental}
+           "q_dedup_incremental": q_dedup_incremental,
+           "q_gopher_rules": q_gopher_rules}
 
 if __name__ == "__main__":
     dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
