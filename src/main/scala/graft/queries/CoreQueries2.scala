@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.RangeJoin
+import graft.operators.{RangeJoin, ZOrder}
 import graft.text.PiiScrub
 
 /** Round-2 relational widening: multidimensional aggregates, window
@@ -449,7 +449,152 @@ object CoreQueries2 {
       | CAST(sum(sz) AS BIGINT) AS n_rows
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SCD2 (slowly-changing-dimension type 2) build — reconstruct each
+    * customer's order-priority history as validity intervals: collapse
+    * the per-customer order stream (ordered by date, key as
+    * tiebreak) into runs of constant priority, then open a version row
+    * per run with valid_from = run's first order date and valid_to =
+    * next run's valid_from (current rows get a far-future sentinel so
+    * the column stays a non-null BIGINT — cross-engine NULL
+    * stringification is not hash-stable). This is the warehouse-side
+    * twin of the feature store's PIT retrieval (features/
+    * FeatureStore.scala): an as-of join against this output at time t
+    * returns exactly the version whose [valid_from, valid_to) contains
+    * t. Two shuffles total — one hash partition on o_custkey feeds
+    * both windows and the groupBy (co-partitioned, no re-exchange),
+    * then the output sort. At 100 TB the window state per customer is
+    * one row — no skew risk beyond the per-key order cardinality.
+    */
+  def qScd2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val runs = Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .withColumn("chg",
+        when(lag($"o_orderpriority", 1).over(w).isNull ||
+          lag($"o_orderpriority", 1).over(w) =!= $"o_orderpriority", 1L).otherwise(0L))
+      .withColumn("version", sum($"chg").over(w))
+    val vw = Window.partitionBy($"o_custkey").orderBy($"version")
+    runs.groupBy($"o_custkey", $"version", $"o_orderpriority")
+      .agg(min(unix_timestamp($"o_orderdate")).as("valid_from_s"), count(lit(1)).as("n_orders"))
+      .withColumn("valid_to_s",
+        coalesce(lead($"valid_from_s", 1).over(vw), lit(253402300800L)))
+      .select($"o_custkey", $"version", $"o_orderpriority".as("priority"),
+        $"valid_from_s", $"valid_to_s", $"n_orders")
+      .orderBy($"o_custkey", $"version")
+  }
+
+  val qScd2Oracle: String =
+    """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+      |  CASE WHEN lag(o_orderpriority) OVER w IS NULL
+      |         OR lag(o_orderpriority) OVER w <> o_orderpriority THEN 1 ELSE 0 END AS chg
+      | FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |r AS (SELECT o_custkey, o_orderpriority,  o_orderdate,
+      |  CAST(sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version
+      | FROM o),
+      |g AS (SELECT o_custkey, version, o_orderpriority AS priority,
+      |  CAST(floor(epoch(min(o_orderdate))) AS BIGINT) AS valid_from_s,
+      |  count(*) AS n_orders
+      | FROM r GROUP BY 1, 2, 3)
+      |SELECT o_custkey, version, priority, valid_from_s,
+      | coalesce(lead(valid_from_s) OVER (PARTITION BY o_custkey ORDER BY version),
+      |          253402300800) AS valid_to_s,
+      | n_orders
+      |FROM g ORDER BY o_custkey, version""".stripMargin
+
+  /** Gaps-and-islands interval merge — each event opens a half-hour
+    * activity interval [ts, ts+1800); overlapping/touching intervals
+    * per user are merged into islands and the per-user coverage
+    * summarized. The island boundary is the classic running-max test
+    * (an interval starts a new island iff its start exceeds the max
+    * end of ALL preceding intervals — lag alone is wrong when an early
+    * long interval swallows later short ones). Equal-start ties are
+    * ordered by event_id; the flag is tie-order-invariant (an
+    * equal-start event can never open an island) so both engines
+    * agree. Same two-shuffle shape as [[qScd2]]: one partition by
+    * user_id serves the window and both aggregations.
+    */
+  def qIntervalsMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_id", unix_timestamp($"ts").as("st"))
+      .withColumn("en", $"st" + lit(1800L))
+    val w = Window.partitionBy($"user_id").orderBy($"st", $"event_id")
+    val islands = ev
+      .withColumn("prev_max_en", max($"en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when($"prev_max_en".isNull || $"st" > $"prev_max_en", 1L).otherwise(0L))
+      .withColumn("island", sum($"new_island").over(w))
+      .groupBy($"user_id", $"island")
+      .agg(min($"st").as("ist"), max($"en").as("ien"), count(lit(1)).as("n_ev"))
+    islands.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum($"ien" - $"ist").as("covered_s"),
+        max($"n_ev").as("max_events_island"))
+      .orderBy($"user_id")
+  }
+
+  val qIntervalsMergeOracle: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS st,
+      |  CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS en
+      | FROM events),
+      |f AS (SELECT user_id, event_id, st, en,
+      |  max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_en
+      | FROM e),
+      |m AS (SELECT user_id, event_id, st, en,
+      |  CASE WHEN prev_max_en IS NULL OR st > prev_max_en THEN 1 ELSE 0 END AS new_island
+      | FROM f),
+      |i AS (SELECT user_id, st, en,
+      |  CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+      | FROM m),
+      |g AS (SELECT user_id, island, min(st) AS ist, max(en) AS ien, count(*) AS n_ev
+      | FROM i GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_islands,
+      | CAST(sum(ien - ist) AS BIGINT) AS covered_s,
+      | max(n_ev) AS max_events_island
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Morton (Z-order) code algebra pinned by oracle — the interleave
+    * step of operators/ZOrder.zorderBy on engine-exact fixed buckets
+    * (floor arithmetic, not fitted quantiles, so DuckDB reproduces the
+    * bits exactly): 6 bits of quantity x 6 bits of price-band
+    * interleaved to a 12-bit code, grouped to the code histogram with
+    * the decoded buckets (the code<->bucket bijection makes min ==
+    * max == the decode, so the oracle certifies both directions).
+    * One projection + one hash agg.
+    */
+  def qZvalue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b = Tables.lineitem(s, d).select(
+      (floor($"l_quantity").cast("long") % 64).as("bq"),
+      (floor($"l_extendedprice" / 1000.0).cast("long") % 64).as("bp"))
+    b.withColumn("z", ZOrder.zvalue(Seq($"bq", $"bp"), 6))
+      .groupBy($"z")
+      .agg(min($"bq").as("bq"), min($"bp").as("bp"), count(lit(1)).as("n"))
+      .orderBy($"z")
+  }
+
+  val qZvalueOracle: String =
+    """WITH b AS (SELECT CAST(floor(l_quantity) AS BIGINT) % 64 AS bq,
+      |  CAST(floor(l_extendedprice / 1000.0) AS BIGINT) % 64 AS bp FROM lineitem),
+      |z AS (SELECT bq, bp,
+      |  (((bq >> 0) & 1) << 0) | (((bp >> 0) & 1) << 1) |
+      |  (((bq >> 1) & 1) << 2) | (((bp >> 1) & 1) << 3) |
+      |  (((bq >> 2) & 1) << 4) | (((bp >> 2) & 1) << 5) |
+      |  (((bq >> 3) & 1) << 6) | (((bp >> 3) & 1) << 7) |
+      |  (((bq >> 4) & 1) << 8) | (((bp >> 4) & 1) << 9) |
+      |  (((bq >> 5) & 1) << 10) | (((bp >> 5) & 1) << 11) AS z
+      | FROM b)
+      |SELECT z, min(bq) AS bq, min(bp) AS bp, count(*) AS n
+      |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_zvalue" -> qZvalue,
+    "q_scd2" -> qScd2,
+    "q_intervals_merge" -> qIntervalsMerge,
     "q_kanon" -> qKanon,
     "q_pseudonymize" -> qPseudonymize,
     "q_rank_funcs" -> qRankFuncs,
@@ -466,6 +611,9 @@ object CoreQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zvalue" -> qZvalueOracle,
+    "q_scd2" -> qScd2Oracle,
+    "q_intervals_merge" -> qIntervalsMergeOracle,
     "q_kanon" -> qKanonOracle,
     "q_pseudonymize" -> qPseudonymizeOracle,
     "q_rank_funcs" -> qRankFuncsOracle,

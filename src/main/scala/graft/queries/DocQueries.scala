@@ -1711,7 +1711,50 @@ object DocQueries {
       | round(covar_pop(y, x) / var_pop(x), 4) + 0 AS zipf_slope
       |FROM r WHERE rk <= 100 GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Deterministic weighted sampling without replacement (the
+    * Efraimidis–Spirakis one-pass shape): each doc draws a pseudo-
+    * uniform integer h from the same Knuth multiplicative hash the
+    * mixture-sampler uses (mod BEFORE multiply — the sf1 ANSI-overflow
+    * lesson, see qMixtureApply), and its priority key is h / weight
+    * with weight = token count, so heavier docs sink toward the front
+    * of the ascending order. The 10 smallest keys per language are the
+    * sample. Everything is engine-exact: h is integer algebra, the
+    * single IEEE division of two exact integers is correctly rounded
+    * identically in both engines, and ties break on doc_id. At 100 TB
+    * this is one projection + one top-k-per-group window over a
+    * lang-partitioned shuffle — for the skewed-lang case the library
+    * twin is TopKAggregator (no full per-partition sort); this query
+    * is the oracle seat pinning the key algebra.
+    */
+  def qWeightedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"lang", TextFunctions.tokenCount($"text").as("tc"))
+      .filter($"tc" > 0)
+    val keyed = docs
+      .withColumn("h",
+        pmod(pmod($"doc_id", lit(10007L)) * lit(2654435761L), lit(10007L)) + lit(1L))
+      .withColumn("k", $"h".cast("double") / $"tc".cast("double"))
+    val w = Window.partitionBy($"lang").orderBy($"k", $"doc_id")
+    keyed.withColumn("rk", row_number().over(w)).filter($"rk" <= 10)
+      .select($"lang", $"rk", $"doc_id", $"tc", r4($"k").as("priority_key"))
+      .orderBy($"lang", $"rk")
+  }
+
+  val qWeightedSampleOracle: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tc
+      | FROM documents),
+      |k AS (SELECT doc_id, lang, tc,
+      |  ((((doc_id % 10007) * 2654435761) % 10007) + 1) / (tc * 1.0) AS k
+      | FROM d WHERE tc > 0),
+      |r AS (SELECT lang, doc_id, tc, k,
+      |  row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rk FROM k)
+      |SELECT lang, rk, doc_id, tc, round(k, 4) + 0 AS priority_key
+      |FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_weighted_sample" -> qWeightedSample,
     "q_cluster_assign" -> qClusterAssign,
     "q_pq_assign" -> qPqAssign,
     "q_semdedup_audit" -> qSemdedupAudit,
@@ -1761,6 +1804,7 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_weighted_sample" -> qWeightedSampleOracle,
     "q_cluster_assign" -> qClusterAssignOracle,
     "q_pq_assign" -> qPqAssignOracle,
     "q_semdedup_audit" -> qSemdedupAuditOracle,

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ZOrder
+
+/** Z-order clustering: Morton-code algebra, rank-space bucketing, and
+  * the property the operator exists for — per-file min/max compactness
+  * in EVERY clustered dimension (what parquet stat pruning consumes).
+  */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zvalue interleaves bits bijectively (matches a reference Morton code)") {
+    def morton(bq: Long, bp: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, b) =>
+        acc | (((bq >> b) & 1L) << (2 * b)) | (((bp >> b) & 1L) << (2 * b + 1))
+      }
+    val pts = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", ZOrder.zvalue(Seq($"x", $"y"), 4).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pts.foreach { case (x, y) => assert(got((x, y)) === morton(x, y, 4)) }
+    // bijective on the 4-bit grid: 256 distinct codes covering [0, 256)
+    assert(got.values.toSet === (0L until 256L).toSet)
+  }
+
+  test("bucketOf is equi-depth rank bucketing (skewed data still spreads)") {
+    // 90% of mass at tiny values + a heavy tail: equi-WIDTH buckets
+    // would dump 90% of rows in bucket 0; rank-space edges spread them.
+    val skewed = (1 to 900).map(_ => 1.0 + util.Random.nextDouble() * 0.001) ++
+      (1 to 100).map(i => 1000.0 + i)
+    val df = skewed.toDF("v")
+    val probs = (1 until 16).map(_ / 16.0).toArray
+    val edges = df.stat.approxQuantile("v", probs, 0.001)
+    val counts = df.select(ZOrder.bucketOf($"v", edges).as("b"))
+      .groupBy($"b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.size >= 12, s"skew collapsed buckets: $counts")
+    assert(counts.values.max <= 200, s"one bucket holds too much: $counts")
+  }
+
+  test("zorderBy writes files compact in BOTH dimensions (stat-pruning evidence)") {
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_quantity", $"l_extendedprice", $"l_orderkey")
+    val dir = Files.createTempDirectory("zorder").toFile.getAbsolutePath
+
+    ZOrder.zorderBy(li, Seq("l_quantity", "l_extendedprice"), bits = 5, numFiles = 8)
+      .write.mode("overwrite").parquet(s"$dir/z")
+    li.repartition(8).write.mode("overwrite").parquet(s"$dir/base")
+
+    // per-file normalized spread of each dimension = the fraction of the
+    // global range a filter must assume the file MIGHT contain — exactly
+    // what row-group/file min-max pruning is limited by.
+    def meanSpread(path: String, c: String): Double = {
+      val withF = spark.read.parquet(path).withColumn("f", input_file_name())
+      val g = withF.groupBy($"f").agg((max(col(c)) - min(col(c))).as("spread"))
+      val lohi = withF.agg(min(col(c)).as("lo"), max(col(c)).as("hi")).head()
+      val range = lohi.getDouble(1) - lohi.getDouble(0)
+      g.agg(avg($"spread")).head().getDouble(0) / range
+    }
+    val (zq, zp) = (meanSpread(s"$dir/z", "l_quantity"), meanSpread(s"$dir/z", "l_extendedprice"))
+    val (bq, bp) = (meanSpread(s"$dir/base", "l_quantity"), meanSpread(s"$dir/base", "l_extendedprice"))
+    // natural layout: every file spans ~the full range of both columns
+    assert(bq > 0.8 && bp > 0.8, s"baseline unexpectedly clustered: $bq / $bp")
+    // z-order: both dimensions compact simultaneously (a single-column
+    // sort would win one dimension and lose the other entirely)
+    assert(zq < 0.6 * bq, s"quantity spread not cut: $zq vs $bq")
+    assert(zp < 0.6 * bp, s"price spread not cut: $zp vs $bp")
+
+    // pruning consequence: a 2-D box predicate overlaps few z files
+    def filesOverlapping(path: String, qLo: Double, qHi: Double, pLo: Double, pHi: Double): Long =
+      spark.read.parquet(path).withColumn("f", input_file_name())
+        .groupBy($"f")
+        .agg(min($"l_quantity").as("q0"), max($"l_quantity").as("q1"),
+          min($"l_extendedprice").as("p0"), max($"l_extendedprice").as("p1"))
+        .filter($"q1" >= qLo && $"q0" <= qHi && $"p1" >= pLo && $"p0" <= pHi)
+        .count()
+    val zFiles = filesOverlapping(s"$dir/z", 10, 15, 5000, 15000)
+    val bFiles = filesOverlapping(s"$dir/base", 10, 15, 5000, 15000)
+    assert(bFiles === 8L, s"baseline should overlap every file, got $bFiles")
+    assert(zFiles <= 4L, s"z-order should prune most files, got $zFiles")
+  }
+}
