@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators over the events stream (SURVEY.md
   * §2.8). The batch/stream duality is deliberate: `windowedAgg` is the
@@ -116,6 +117,77 @@ object Streams {
   /** Streaming dedup by key within the watermark window. */
   def streamDedup(stream: DataFrame, watermark: String, keys: Seq[String]): DataFrame =
     stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  // ----- transformWithState (the Spark 4.x arbitrary-state API) -----
+
+  final case class KeyStats(n: Long, total: Double, vMax: Double)
+  final case class StatsUpdate(userId: Long, n: Long, total: Double, vMax: Double)
+
+  /** Per-key running statistics on the Spark 4 `transformWithState`
+    * API — the successor to [[statefulSessions]]'s
+    * flatMapGroupsWithState, with typed named state, native TTL, and
+    * timers. State per key is a single [[KeyStats]] row (O(1) — no
+    * per-event retention); each microbatch emits the UPDATED cumulative
+    * row for every key that received input, so after N batches the
+    * latest row per key equals the batch groupBy over all input.
+    * Requires the RocksDB state-store provider (`spark.sql.streaming.
+    * stateStore.providerClass` — the 100 TB-scale store: state lives
+    * off-heap/on-disk per executor, checkpointed incrementally via
+    * changelog, never bounded by JVM heap the way the default HDFS-
+    * backed in-memory map is).
+    */
+  class RunningStatsProcessor extends StatefulProcessor[Long, (Long, Double), StatsUpdate] {
+    @transient private var st: ValueState[KeyStats] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[KeyStats]("stats", Encoders.product[KeyStats], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timers: TimerValues): Iterator[StatsUpdate] = {
+      var s = if (st.exists()) st.get() else KeyStats(0L, 0.0, Double.NegativeInfinity)
+      rows.foreach { case (_, v) => s = KeyStats(s.n + 1, s.total + v, math.max(s.vMax, v)) }
+      st.update(s)
+      Iterator.single(StatsUpdate(key, s.n, s.total, s.vMax))
+    }
+  }
+
+  def runningStatsTws(events: Dataset[(Long, Double)]): Dataset[StatsUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningStatsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** TTL'd first-seen dedup via transformWithState: a key passes iff no
+    * live state marker exists, and the marker EXPIRES after `ttl` — the
+    * "suppress repeats for an hour, then let one through" contract that
+    * neither dropDuplicatesWithinWatermark (event-time, watermark-
+    * coupled) nor mapGroupsWithState (manual timeout bookkeeping per
+    * key) expresses directly; TTL state does it declaratively. State is
+    * one boolean per live key and RocksDB evicts expired rows in the
+    * background — at 100 TB the live-key working set, not the history,
+    * bounds the store.
+    */
+  class TtlDedupProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, (Long, Double), (Long, Double)] {
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean, TTLConfig(ttl))
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timers: TimerValues): Iterator[(Long, Double)] = {
+      // marker is written only on EMISSION — suppressed repeats do not
+      // refresh the TTL, so the contract is "at most one emission per
+      // key per ttl window", not "one per quiet period".
+      if (!seen.exists() && rows.hasNext) {
+        seen.update(true)
+        Iterator.single(rows.next())
+      } else Iterator.empty
+    }
+  }
+
+  def ttlDedupTws(events: Dataset[(Long, Double)], ttl: java.time.Duration): Dataset[(Long, Double)] = {
+    import events.sparkSession.implicits._
+    // TTL state demands ProcessingTime mode (expiry is wall-clock)
+    events.groupByKey(_._1)
+      .transformWithState(new TtlDedupProcessor(ttl), TimeMode.ProcessingTime(), OutputMode.Append())
+  }
 
   /** Streaming INGEST dedup against an already-kept corpus — the
     * streaming twin of [[graft.dedup.Dedup]]'s incremental batch path
