@@ -27,6 +27,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // decouple shuffle width from data size (see GraftSession):
+      // fixed-width shuffles spill-cascade one decade up (sf10)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (64L * 1024 * 1024).toString)
       // Tables.t's TIMESTAMP_NTZ→TIMESTAMP cast is digit-preserving
       // only under UTC; without this a non-UTC JVM default shifts
       // instants and changes filter row counts vs Verify.

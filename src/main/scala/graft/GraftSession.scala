@@ -24,6 +24,18 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // A FIXED shuffle width is itself a scale bug: per-partition
+      // bytes grow linearly with data until sorts/joins tip into spill
+      // cascades (measured: q_minhash_pairs at the sf10 decade, all 32
+      // executors thrashing in UnsafeExternalSorter spills). Start
+      // every shuffle wide and let AQE coalesce DOWN from runtime
+      // sizes — small SFs still collapse to a handful of partitions,
+      // big SFs keep enough width that a partition's sort fits in
+      // memory. This is the decoupling of parallelism from data size
+      // that a 1000-executor cluster needs.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (64L * 1024 * 1024).toString)
       // 128 MB scan splits: big enough to amortize task overhead,
       // small enough that a task's columnar batches fit in executor
       // memory alongside shuffle buffers.

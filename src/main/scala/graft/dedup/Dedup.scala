@@ -274,6 +274,48 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH candidates with b bands of r rows — the S-curve knob r=1
+    * lacks. A pair collides in one band iff ALL r signature values in
+    * it match, so P(candidate | J) = 1 − (1 − J^r)^b: background pairs
+    * (small J) are suppressed ~J^r while pairs above the threshold
+    * keep near-1 recall with enough bands. r=1 over-generates on ANY
+    * corpus with nonzero background similarity — the sf10 decade
+    * measured it: 3-gram shingle types live in a ~26³ space, so even
+    * content-disjoint replicas share background shingles, P(some
+    * minhash of 32 matches) approaches 1, and candidates go quadratic.
+    * At r=2, the same background J≈0.05 collides a band with prob
+    * J²=0.0025 — a 30× candidate cut for a recall cost bounded by
+    * (1−t^r)^b (pick b accordingly; planted-pair recall spec'd in the
+    * dedup suite). The band key is xxhash64(band values) — an 8-byte
+    * shuffle key regardless of r.
+    */
+  def lshCandidatesBanded(sig: DataFrame, b: Int, r: Int): DataFrame = {
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(b - 1)),
+        i => xxhash64(lit(42L), slice(col("sig"), i * lit(r) + lit(1), lit(r))))).as(Seq("band", "v")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  /** [[minhashNearDup]] with (b, r) banding: candidates via
+    * [[lshCandidatesBanded]] (background-pruned), then exact Jaccard
+    * verification — the corpus-scale configuration. Requires
+    * numPerm == b*r.
+    */
+  def minhashNearDupBanded(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, b: Int, r: Int, seed: Long, threshold: Double): DataFrame = {
+    val sh = shingled(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = sh.withColumn("hs", shingleHashes(col("sh")))
+      .select(col("id"), minhashSignature(col("hs"), permCoeffs(b * r, seed)).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidatesBanded(sig, b, r)
+    releaseAfter(verifyJaccard(cands, sh, threshold), sig, sh)
+  }
+
   /** MinHash+LSH near-dup pipeline: signatures → banded candidates →
     * exact Jaccard verification (join back to shingle sets) → threshold.
     * With numPerm bands of r=1, a pair at J≥t is missed with prob

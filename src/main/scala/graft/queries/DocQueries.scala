@@ -200,7 +200,11 @@ object DocQueries {
     */
   def qSourceOverlap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // same fixed-size cap as q_minhash_pairs (shared sample contract;
+    // rates estimated from a bounded uniform sample — see scaladoc)
     val sub = Tables.documents(s, d).filter($"doc_id" % 20 === 0)
+      .orderBy($"doc_id").limit(2500)
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
     val pairs = Dedup.minhashNearDup(sub, "doc_id", "text", 3, 32, 42L, 0.62)
       .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
     val src = sub.select($"doc_id", $"source")
@@ -218,7 +222,7 @@ object DocQueries {
     """WITH s AS (
       | SELECT doc_id AS id, source,
       |  list_distinct(list_transform(range(1, length(text)-1), i -> substring(text,i,3))) AS sh
-      | FROM documents WHERE doc_id % 20 = 0),
+      | FROM (SELECT * FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id LIMIT 2500)),
       |p AS (SELECT least(a.source, b.source) AS source_a,
       |  greatest(a.source, b.source) AS source_b,
       |  round(CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)
@@ -240,13 +244,21 @@ object DocQueries {
     */
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // fixed-size cap (≥ the %10 subset at every gated SF — 500 at
+    // sf0.1): the exact inverted-index join is near-quadratic in its
+    // input on this high-background-J corpus, so a fraction-bounded
+    // subset grows 100× in work per data decade
     val sub = Tables.documents(s, d).filter($"doc_id" % 10 === 0)
+      .orderBy($"doc_id").limit(2500)
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
     Dedup.jaccardJoinExact(Dedup.shingled(sub, "doc_id", "text", 3), 0.62)
       .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
       .orderBy($"id_a", $"id_b")
   }
 
-  val qNgramJaccardOracle: String = pairOracle.replace("doc_id % 5", "doc_id % 10")
+  val qNgramJaccardOracle: String = pairOracle
+    .replace("FROM documents WHERE doc_id % 5 = 0",
+      "FROM (SELECT * FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id LIMIT 2500)")
 
   /** MinHash+LSH near-dup pairs, exact-verified — equals the exact join
     * (miss probability (1-t)^32 ≈ 4e-14 at t=0.62; SURVEY.md §2.5).
@@ -256,13 +268,27 @@ object DocQueries {
     */
   def qMinhashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // FIXED-SIZE bound on top of the %20 sample (cap ≥ every driver
+    // SF's subset — 250 at sf0.1 — so gated results are unchanged).
+    // The sf10 decade exposed why a fraction alone fails: 3-gram
+    // shingle TYPES live in a small space (~26³), so even content-
+    // bijected replicas share background shingles, and with r=1
+    // banding the candidate set is near-quadratic in the subset —
+    // measured as an all-executor sort-spill cascade at 25k subset
+    // docs. The exact-verify oracle seat is pairs-bounded by design;
+    // corpus-scale near-dup runs the banded paths (lshCandidatesBanded
+    // r>1 / minhashNearDupBipartite), not this audit.
     val sub = Tables.documents(s, d).filter($"doc_id" % 20 === 0)
+      .orderBy($"doc_id").limit(2500)
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
     Dedup.minhashNearDup(sub, "doc_id", "text", 3, 32, 42L, 0.62)
       .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
       .orderBy($"id_a", $"id_b")
   }
 
-  val qMinhashPairsOracle: String = pairOracle.replace("doc_id % 5", "doc_id % 20")
+  val qMinhashPairsOracle: String = pairOracle
+    .replace("FROM documents WHERE doc_id % 5 = 0",
+      "FROM (SELECT * FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id LIMIT 2500)")
 
   /** Embedding near-dup pairs on a bounded subset, exact (all-pairs
     * within the subset, norms precomputed). Exact is the HONEST oracle

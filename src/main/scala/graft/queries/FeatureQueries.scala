@@ -530,7 +530,44 @@ object FeatureQueries {
       |FROM lineitem JOIN b ON l_returnflag = b.g
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Weight-of-evidence encoding + information value — the credit-
+    * scoring categorical transform (per category c: WOE_c =
+    * ln((pos_c/pos)/(neg_c/neg)), IV = Σ (pos-share − neg-share)·WOE)
+    * with the standard +0.5 Laplace smoothing so empty cells stay
+    * finite. The fitted table is O(categories) and broadcasts back for
+    * encoding at 100 TB — one hash agg over the data, one O(k) rollup,
+    * exactly the target-encode shape (this file's qTargetEncode) with
+    * a log-odds statistic. Label: order status 'F', feature: priority.
+    */
+  def qWoeEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select($"o_orderpriority".as("cat"),
+      when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
+    val per = o.groupBy($"cat").agg(count(lit(1)).as("n"), sum($"y").as("npos"))
+    val tot = per.agg(sum($"npos").as("tpos"), sum($"n" - $"npos").as("tneg"))
+    val posShare = ($"npos" + lit(0.5)) / ($"tpos" + lit(0.5))
+    val negShare = ($"n" - $"npos" + lit(0.5)) / ($"tneg" + lit(0.5))
+    per.crossJoin(broadcast(tot))
+      .select($"cat", $"n",
+        r4(log(posShare / negShare)).as("woe"),
+        r4((posShare - negShare) * log(posShare / negShare)).as("iv_term"))
+      .orderBy($"cat")
+  }
+
+  val qWoeEncodeOracle: String =
+    """WITH o AS (SELECT o_orderpriority AS cat,
+      |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+      |p AS (SELECT cat, count(*) AS n, CAST(sum(y) AS BIGINT) AS npos FROM o GROUP BY 1),
+      |t AS (SELECT CAST(sum(npos) AS BIGINT) AS tpos,
+      |  CAST(sum(n - npos) AS BIGINT) AS tneg FROM p)
+      |SELECT cat, n,
+      | round(ln(((npos + 0.5) / (tpos + 0.5)) / ((n - npos + 0.5) / (tneg + 0.5))), 4) + 0 AS woe,
+      | round((((npos + 0.5) / (tpos + 0.5)) - ((n - npos + 0.5) / (tneg + 0.5)))
+      |   * ln(((npos + 0.5) / (tpos + 0.5)) / ((n - npos + 0.5) / (tneg + 0.5))), 4) + 0 AS iv_term
+      |FROM p CROSS JOIN t ORDER BY cat""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_woe_encode" -> qWoeEncode,
     "q_winsorize" -> qWinsorize,
     "q_feature_online" -> qFeatureOnline,
     "q_schema_validate" -> qSchemaValidate,
@@ -553,6 +590,7 @@ object FeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_woe_encode" -> qWoeEncodeOracle,
     "q_winsorize" -> qWinsorizeOracle,
     "q_feature_online" -> qFeatureOnlineOracle,
     "q_schema_validate" -> qSchemaValidateOracle,

@@ -37,14 +37,24 @@ object ScaleReplicate {
 
   private val OFF = 1000000000L
 
-  private def caesar(c: org.apache.spark.sql.Column, shift: Int): org.apache.spark.sql.Column = {
+  /** Per-replica substitution over letters+digits (via `translate`,
+    * codegen'd). A seeded SHUFFLE, not a rotation: Caesar shifts repeat
+    * mod 26, so at factor > 26 replicas i and i+26 would share the
+    * letter mapping and digit-free docs would become EXACT cross-
+    * replica dups — a replication artifact. Independent seeded
+    * permutations keep every pair of replicas' alphabets decorrelated
+    * at any factor; replica 0 stays the identity.
+    */
+  private def substitute(c: org.apache.spark.sql.Column, replica: Int): org.apache.spark.sql.Column = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
     val digit = "0123456789"
-    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
-    if (shift % 26 == 0 && shift % 10 == 0) c
-    else translate(c, lower + upper + digit,
-      rot(lower, shift) + rot(upper, shift) + rot(digit, shift))
+    if (replica == 0) c
+    else {
+      val rnd = new scala.util.Random(0xC0FFEE ^ replica)
+      def perm(s: String) = rnd.shuffle(s.toList).mkString
+      translate(c, lower + upper + digit, perm(lower) + perm(upper) + perm(digit))
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -97,7 +107,7 @@ object ScaleReplicate {
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))((d, _) => d)
     replicate("events", Seq("event_id", "user_id"))((d, _) => d)
     replicate("documents", Seq("doc_id")) { (d, i) =>
-      d.withColumn("text", caesar(col("text"), i))
+      d.withColumn("text", substitute(col("text"), i))
     }
     val dim = graft.Tables.embeddings(spark, src)
       .select(size(col("embedding"))).head().getInt(0)

@@ -108,6 +108,43 @@ class TextDedupSimSpec extends SparkSpec {
     assert(math.abs(mh(0).getDouble(2) - exact(0).getDouble(2)) < 1e-12)
   }
 
+  test("(b,r)-banded LSH prunes background candidates that r=1 floods on; recall intact") {
+    // corpus with REAL background similarity: docs share the 3-gram
+    // type space (the sf10 lesson — any same-alphabet corpus does),
+    // plus two planted near-dup pairs well above the 0.6 threshold.
+    val rnd = new scala.util.Random(7)
+    // large random vocabulary → small but NONZERO background J (shared
+    // char-3-gram types), the regime where r=1 floods and r=2 prunes
+    val words = Vector.fill(300)((1 to 5).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val background = (10L until 70L).map { i =>
+      (i, Seq.fill(12)(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val planted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "pack my box with five dozen liquor jugs right now please"),
+      (4L, "pack my box with five dozen liquor jugs right now please ok"))
+    val docs = (planted ++ background).toDF("doc_id", "text")
+    val sh = Dedup.shingled(docs, "doc_id", "text", 3)
+    val sig = sh.withColumn("hs", Dedup.shingleHashes($"sh"))
+      .select($"id", Dedup.minhashSignature($"hs", Dedup.permCoeffs(32, 42L)).as("sig"))
+    val flat = Dedup.lshCandidates(sig).count()
+    val banded = Dedup.lshCandidatesBanded(sig, b = 16, r = 2)
+    val bandedN = banded.count()
+    // r=1 floods: background-J collisions make most pairs candidates
+    assert(flat > 3 * bandedN, s"expected r=1 ($flat) >> r=2 ($bandedN)")
+    // recall: both planted pairs survive the r=2 S-curve
+    val pairs = banded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((3L, 4L)))
+    // end-to-end: banded pipeline output equals the exact join
+    val exact = Dedup.jaccardJoinExact(sh, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashNearDupBanded(docs, "doc_id", "text", 3, b = 16, r = 2,
+      seed = 42L, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh === exact)
+  }
+
   test("bipartite jaccard join flags only cross-side pairs (incremental dedup)") {
     // new 10 ≈ old 1 (near-dup, one word changed); new 11 == old 2
     // (exact copy, J = 1); new 12 ≈ new 10 (within-batch near-dup —
