@@ -391,7 +391,16 @@ object DocQueries {
     */
   def qSimhashNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // fixed-size cap (≥ the %5 subset at every gated SF — 1000 at
+    // sf0.1). 60-bit simhash banding has a RESOLUTION CEILING the sf10
+    // decade measured (19.7× slope): pigeonhole completeness at
+    // maxDist=4 needs ≥5 bands, so bands are ≤12 bits and candidate
+    // depth per bucket grows ∝ n/4096 — quadratic tail for n ≫ 4096
+    // however cheap the popcount verify. The larger-corpus path is a
+    // wider signature (128-bit), not a wider subset.
     val sub = Tables.documents(s, d).filter($"doc_id" % 5 === 0)
+      .orderBy($"doc_id").limit(2500)
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
     Dedup.simhashNearDup(sub, "doc_id", "text", 4, 5)
       .orderBy($"id_a", $"id_b")
   }
@@ -399,7 +408,7 @@ object DocQueries {
   val qSimhashNearDupOracle: String =
     """WITH t AS (
       | SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-      | FROM documents WHERE doc_id % 5 = 0),
+      | FROM (SELECT * FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id LIMIT 2500)),
       |h AS (
       | SELECT doc_id, list_transform(tk, s ->
       |   list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -473,7 +482,11 @@ object DocQueries {
     */
   def qDupClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // fixed-size cap, same rationale as q_minhash_pairs (exact verify
+    // is pairs-bounded; clusters at corpus scale run on banded pairs)
     val sub = Tables.documents(s, d).filter($"doc_id" % 20 === 0)
+      .orderBy($"doc_id").limit(2500)
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
     val pairs = Dedup.jaccardJoinExact(Dedup.shingled(sub, "doc_id", "text", 3), 0.62)
     Dedup.dupClusters(sub.select($"doc_id"), "doc_id", pairs)
       .groupBy($"cluster").agg(count(lit(1)).as("n_docs"))
@@ -485,7 +498,7 @@ object DocQueries {
   val qDupClustersOracle: String =
     """WITH RECURSIVE
       |s AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, length(text)-1), i -> substring(text,i,3))) AS sh
-      |      FROM documents WHERE doc_id % 20 = 0),
+      |      FROM (SELECT * FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id LIMIT 2500)),
       |p AS (SELECT a.id AS id_a, b.id AS id_b
       |      FROM s a JOIN s b ON a.id < b.id
       |      WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)
@@ -728,7 +741,13 @@ object DocQueries {
     */
   def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // fixed-size cap (≥ the %10 subset at every gated SF — 500 at
+    // sf0.1): the bipartite inverted-index verify is near-quadratic on
+    // this high-background-J corpus (the sf10 decade measured it);
+    // corpus-scale incremental dedup is minhashNearDupBipartite/banded
     val sub = Tables.documents(s, d).filter($"doc_id" % 10 === 0)
+      .orderBy($"doc_id").limit(2500)
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
     val oldB = sub.filter($"doc_id" % 20 === 0)
     val newB = sub.filter($"doc_id" % 20 =!= 0)
     // both id frames feed their own count AND the union — checkpoint
@@ -752,7 +771,7 @@ object DocQueries {
   }
 
   val qDedupIncrementalOracle: String =
-    """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id LIMIT 2500),
       |o AS (SELECT * FROM sub WHERE doc_id % 20 = 0),
       |nn AS (SELECT * FROM sub WHERE doc_id % 20 <> 0),
       |ex AS (SELECT DISTINCT nn.doc_id FROM nn JOIN o ON md5(nn.text) = md5(o.text)),
