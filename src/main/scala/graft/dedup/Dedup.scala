@@ -391,6 +391,66 @@ object Dedup {
       .distinct() // a pair can collide in several bands
   }
 
+  /** 120-bit SimHash near-dup — the wider-signature answer to the
+    * 60-bit resolution ceiling the sf10 scaling decade measured
+    * (SCALING.md): pigeonhole completeness at maxDist=4 caps 60-bit
+    * bands at 12 bits, so bucket depth grows ∝ n/4096 and the
+    * candidate join goes quadratic once the corpus passes a few
+    * thousand docs. Doubling the signature doubles the band width:
+    * 5 bands × 24 bits spread candidates over 2^24 buckets — depth
+    * ∝ n/16.7M, flat into the 10^8-doc regime.
+    *
+    * The second 60-bit half reuses the SAME codegen'd [[simhash60]]
+    * expression over salt-prefixed tokens: prefixing is a bijection on
+    * the token set, so the salted polynomial hash is an independent
+    * hash family and the two halves are independent fingerprints of
+    * the same token multiset. Hamming distance on the 120-bit
+    * signature is the sum of the two popcounts. Near-dup thresholds do
+    * NOT transfer 1:1 from the 60-bit relation: a pair flipping d bits
+    * in 60 flips ~2d in 120, so pass ~double the maxDist for the same
+    * selectivity.
+    */
+  def simhashNearDup120(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, bands: Int = 5): DataFrame = {
+    require(bands > maxDist,
+      s"pigeonhole completeness needs bands > maxDist (got $bands <= $maxDist)")
+    require(120 % bands == 0 && 120 / bands <= 60,
+      s"bands must divide 120 with width <= 60 (got $bands)")
+    val w = 120 / bands
+    val toks = TextFunctions.tokens(col(textCol))
+    val sig = df.select(col(idCol).cast("long").as("id"),
+        graft.functions.SimHash60.simhash60(toks).as("sa"),
+        graft.functions.SimHash60.simhash60(
+          transform(toks, t => concat(lit("\u0001"), t))).as("sb"))
+      .localCheckpoint()
+    // bits [i*w, i*w+w) of the 120-bit concatenation sa | sb<<60,
+    // extracted with pure shift/and/or algebra (bands may straddle
+    // the word boundary)
+    def bandVal(i: Int): Column = {
+      val lo = i * w; val hi = lo + w
+      if (hi <= 60) shiftright(col("sa"), lo).bitwiseAND(lit((1L << w) - 1))
+      else if (lo >= 60) shiftright(col("sb"), lo - 60).bitwiseAND(lit((1L << w) - 1))
+      else {
+        val fromA = 60 - lo
+        shiftright(col("sa"), lo).bitwiseAND(lit((1L << fromA) - 1))
+          .bitwiseOR(shiftleft(
+            col("sb").bitwiseAND(lit((1L << (w - fromA)) - 1)), fromA))
+      }
+    }
+    val banded = sig.select(col("id"), col("sa"), col("sb"), explode(array(
+        (0 until bands).map(i => struct(lit(i).as("b"), bandVal(i).as("v"))): _*)).as("bd"))
+      .select(col("id"), col("sa"), col("sb"), col("bd.b").as("b"), col("bd.v").as("v"))
+    // shuffle_hash pinned for the same reason as [[simhashNearDup]]
+    banded.as("x").hint("shuffle_hash").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        (hammingDist(col("x.sa"), col("y.sa")) +
+          hammingDist(col("x.sb"), col("y.sb"))).cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** Near-dup CLUSTER formation: connected components over candidate
     * pairs, labeling every id with the minimum id of its component —
     * the step that turns pairwise near-dup hits into "keep one doc per

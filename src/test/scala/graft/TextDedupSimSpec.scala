@@ -437,6 +437,48 @@ class TextDedupSimSpec extends SparkSpec {
     assert(ham(m(1L), m(2L)) <= 12)
   }
 
+  test("120-bit simhash near-dup: lossless vs brute force, 24-bit buckets beat the 12-bit ceiling") {
+    val docs = Tables.documents(spark, sf).filter($"doc_id" % 2 === 0)
+    val maxDist = 12 // ~2x the 60-bit threshold (bits flip in both halves)
+    val banded = Dedup.simhashNearDup120(docs, "doc_id", "text", maxDist, bands = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val toks = graft.text.TextFunctions.tokens($"text")
+    val sigs = docs.select($"doc_id",
+        graft.functions.SimHash60.simhash60(toks).as("sa"),
+        graft.functions.SimHash60.simhash60(
+          transform(toks, t => concat(lit("\u0001"), t))).as("sb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (ia, sa1, sb1) <- sigs; (ib, sa2, sb2) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(sa1 ^ sa2) + java.lang.Long.bitCount(sb1 ^ sb2)
+      if d <= maxDist
+    } yield (ia, ib, d)).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty, "corpus sample should contain close 120-bit pairs")
+    // the two halves are independent fingerprints, not copies
+    assert(sigs.count { case (_, a, b) => a == b } == 0)
+    // resolution: candidate volume is Σ_buckets C(depth,2). Compute
+    // both band layouts from the same collected sigs — 5×12-bit bands
+    // of sa (the 60-bit ceiling) vs 5×24-bit bands of sa|sb<<60.
+    def pairs(bands: Seq[(Int, Long)]): Long =
+      bands.groupBy(identity).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val b60 = for ((_, sa, _) <- sigs; i <- 0 until 5)
+      yield (i, (sa >> (i * 12)) & 0xFFFL)
+    val b120 = for ((_, sa, sb) <- sigs; i <- 0 until 5) yield (i, i match {
+      case 0 => sa & 0xFFFFFFL
+      case 1 => (sa >> 24) & 0xFFFFFFL
+      case 2 => ((sa >> 48) & 0xFFFL) | ((sb & 0xFFFL) << 12)
+      case 3 => (sb >> 12) & 0xFFFFFFL
+      case 4 => (sb >> 36) & 0xFFFFFFL
+    })
+    assert(pairs(b120) < pairs(b60),
+      s"24-bit buckets should cut candidates: ${pairs(b120)} vs ${pairs(b60)}")
+    // geometry guard
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup120(docs, "doc_id", "text", maxDist = 5, bands = 5)
+    }
+  }
+
   test("banded simhash near-dup equals brute-force popcount on real docs") {
     val docs = Tables.documents(spark, sf).filter($"doc_id" % 2 === 0)
     val maxDist = 6
