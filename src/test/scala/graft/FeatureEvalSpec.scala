@@ -454,6 +454,18 @@ class FeatureEvalSpec extends SparkSpec {
       Seq(("g", 1L, 9.0, 1.0), ("g", 2L, 8.0, 3.0)).toDF("grp", "id", "score", "rel"),
       "grp", "score", "rel", "id", 1).head()
     assert(math.abs(truncated.getAs[Double]("ndcg") - 1.0 / 7.0) < 1e-12)
+    // plan shape: the rank≤k filters must compile to map-side partial
+    // top-k (WindowGroupLimit) — without it every row shuffles into
+    // #groups partitions and the per-group sort is single-threaded
+    // (measured 31.5 s at the sf10 decade before this form). Must be
+    // asserted on a scan-backed frame: the optimizer rightly skips the
+    // rewrite when the child's known maxRows is already <= k.
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", $"event_id", $"value".as("score"),
+        ($"user_id" % 4).cast("double").as("rel"))
+    val plan = Evaluator.ndcgAt(ev, "event_type", "score", "rel", "event_id", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
   test("binned AUC approximates the exact rank AUC") {
