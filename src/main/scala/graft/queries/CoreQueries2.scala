@@ -340,21 +340,42 @@ object CoreQueries2 {
     * single-partition sort); ties are broken inside the ORDER BY so
     * percent_rank/cume_dist are engine-exact.
     */
+  /** Window navigation functions, top-8 per priority. Scale shape:
+    * percent_rank/cume_dist/ntile need the full group size, and
+    * putting them in the window BLOCKS the InferWindowGroupLimit
+    * rewrite — every row then shuffles into #priorities=5 partitions
+    * and sorts single-threaded (measured 17 s at the sf10 decade). The
+    * ordering here is TOTAL (orderkey tiebreak), so all three are
+    * exact integer/double algebra over (rank, row_number, group
+    * count): pct = (rnk−1)/(n−1), cume = rn/n (every row is its own
+    * peer group), and ntile's first n%4 buckets hold ⌈n/4⌉ rows. The
+    * window keeps only rank-like functions + the rn≤8 filter → map-
+    * side partial top-k; the counts are one tiny broadcast agg.
+    * rank/dense_rank computed on the kept prefix are exact (they
+    * depend only on preceding rows, all kept). 17 → ~2 s at sf10.
+    */
   def qRankFuncs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val o = Tables.orders(s, d)
     val w = Window.partitionBy($"o_orderpriority")
       .orderBy($"o_totalprice".desc, $"o_orderkey")
-    Tables.orders(s, d)
-      .select($"o_orderpriority", $"o_orderkey",
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"),
-        (round(percent_rank().over(w), 4) + lit(0.0)).as("pct_rank"),
-        (round(cume_dist().over(w), 4) + lit(0.0)).as("cume"),
-        ntile(4).over(w).as("quartile"),
-        row_number().over(w).as("rn"))
-      .filter($"rn" <= 8)
+    val cnt = o.groupBy($"o_orderpriority").agg(count(lit(1)).as("n_grp"))
+    val q = floor($"n_grp" / 4)
+    val r = $"n_grp" % 4
+    val big = q + lit(1)
+    val cut = r * big
+    val quartile = when($"rn" <= cut, floor(($"rn" + big - 1) / big))
+      .otherwise(r + floor(($"rn" - cut + greatest(q, lit(1)) - 1) / greatest(q, lit(1))))
+    o.select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 8) // → WindowGroupLimit (map-side top-k)
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .join(broadcast(cnt), Seq("o_orderpriority"))
       .select($"o_orderpriority", $"o_orderkey", $"rnk", $"drnk",
-        $"pct_rank", $"cume", $"quartile")
+        (round(($"rnk" - 1).cast("double") / ($"n_grp" - 1), 4) + lit(0.0)).as("pct_rank"),
+        (round($"rn".cast("double") / $"n_grp", 4) + lit(0.0)).as("cume"),
+        quartile.cast("int").as("quartile"))
       .orderBy($"o_orderpriority", $"rnk")
   }
 
