@@ -145,7 +145,24 @@ def q_gopher_rules(d):
     }).reset_index().sort_values("source")
 
 
+def q_scd2(d):
+    o = pd.read_parquet(f"{d}/orders.parquet",
+                        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"])
+    o = o.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    prev = o.groupby("o_custkey")["o_orderpriority"].shift()
+    o["chg"] = (prev.isna() | (prev != o.o_orderpriority)).astype("int64")
+    o["version"] = o.groupby("o_custkey")["chg"].cumsum()
+    g = (o.groupby(["o_custkey", "version", "o_orderpriority"], sort=False)
+           .agg(valid_from=("o_orderdate", "min"), n_orders=("o_orderkey", "size"))
+           .reset_index())
+    g = g.sort_values(["o_custkey", "version"])
+    nxt = g.groupby("o_custkey")["valid_from"].shift(-1)
+    g["valid_to"] = nxt.fillna(pd.Timestamp("9999-12-31"))
+    return g
+
+
 QUERIES = {"q1_pricing_summary": q1, "q2_revenue_nation": q2,
+           "q_scd2": q_scd2,
            "q_impute_median": q_impute_median, "q_roc_auc": q_roc_auc,
            "q_dedup_incremental": q_dedup_incremental,
            "q_gopher_rules": q_gopher_rules}
