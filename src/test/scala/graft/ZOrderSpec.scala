@@ -30,7 +30,8 @@ class ZOrderSpec extends SparkSpec {
   test("bucketOf is equi-depth rank bucketing (skewed data still spreads)") {
     // 90% of mass at tiny values + a heavy tail: equi-WIDTH buckets
     // would dump 90% of rows in bucket 0; rank-space edges spread them.
-    val skewed = (1 to 900).map(_ => 1.0 + util.Random.nextDouble() * 0.001) ++
+    val rnd = new scala.util.Random(11)
+    val skewed = (1 to 900).map(_ => 1.0 + rnd.nextDouble() * 0.001) ++
       (1 to 100).map(i => 1000.0 + i)
     val df = skewed.toDF("v")
     val probs = (1 until 16).map(_ / 16.0).toArray
