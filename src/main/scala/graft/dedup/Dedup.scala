@@ -290,9 +290,21 @@ object Dedup {
     * shuffle key regardless of r.
     */
   def lshCandidatesBanded(sig: DataFrame, b: Int, r: Int): DataFrame = {
+    require(b >= 1 && r >= 1, s"need b, r >= 1, got b=$b r=$r")
+    // a signature shorter than b*r would make the trailing slice()
+    // calls return empty/truncated arrays that hash IDENTICALLY for
+    // every row — that band then marks ALL pairs candidates, the exact
+    // quadratic flood this function exists to prevent. Fail loudly
+    // per-row instead (assert_true evaluates to null on success, so the
+    // when() passes the signature through unchanged).
+    val checkedSig = when(
+      assert_true(size(col("sig")) >= b * r,
+        concat(lit(s"lshCandidatesBanded: size(sig) < b*r = ${b * r}, got "),
+          size(col("sig")).cast("string"))).isNull,
+      col("sig"))
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(b - 1)),
-        i => xxhash64(lit(42L), slice(col("sig"), i * lit(r) + lit(1), lit(r))))).as(Seq("band", "v")))
+        i => xxhash64(lit(42L), slice(checkedSig, i * lit(r) + lit(1), lit(r))))).as(Seq("band", "v")))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
           col("x.id") < col("y.id"))

@@ -650,7 +650,14 @@ object Evaluator {
       .filter(col("ideal_pos") <= k)
       .groupBy(col(groupCol))
       .agg(sum(gain / log2(col("ideal_pos") + 1)).as("idcg"))
-    dcg.join(idcg, Seq(groupCol), "full_outer")
+    // null-safe join condition: Seq(groupCol) equi-join drops NULL
+    // group keys on both sides, so a null group would yield two
+    // half-rows (dcg-only + idcg-only) instead of one joined row —
+    // the usingColumns overload can't express <=>, so join on the
+    // predicate and coalesce the two key columns back into one.
+    dcg.as("d").join(idcg.as("i"), col(s"d.$groupCol") <=> col(s"i.$groupCol"), "full_outer")
+      .select(coalesce(col(s"d.$groupCol"), col(s"i.$groupCol")).as(groupCol),
+        col("d.dcg").as("dcg"), col("i.idcg").as("idcg"))
       .select(col(groupCol),
         coalesce(col("dcg"), lit(0.0)).as("dcg"),
         coalesce(col("idcg"), lit(0.0)).as("idcg"))

@@ -45,6 +45,44 @@ object GlobalRank {
   private val MidShift = 33
   private val MidMask = (1L << MidShift) - 1L
 
+  /** Explicit width for this file's range exchanges, sized from the
+    * INPUT instead of inherited from the session's AQE start width.
+    *
+    * Why not just `repartitionByRange(cols…)` (= AQE's
+    * `initialPartitionNum`)? That start width is tuned for ONE-SHOT
+    * hash shuffles: start wide (1024), let AQE coalesce from runtime
+    * sizes. A range exchange is different in two ways that made that
+    * inheritance a measured 2× regression on the whole quantile/rank
+    * family at sf0.1 (r10 driver bench; experiment-confirmed by
+    * re-running six of the family at width 32 → 17.1 s → 10.0 s):
+    * (1) range partitioning SAMPLES the child per exchange, paying a
+    * job whose task count is the start width, and (2) every operator
+    * here runs SEVERAL jobs over the same exchange (counts job, fetch
+    * job), so a 1024-task barrier is paid per job on what is often a
+    * few MB. AQE cannot help: it only coalesces the reducer side, not
+    * the sampling pass, and the multi-job reuse means the cost repeats.
+    *
+    * So: size the exchange once, from Catalyst's size estimate of the
+    * exact frame being exchanged —
+    * `max(defaultParallelism, 4 × estBytes / advisoryPartitionSize)`,
+    * capped at the AQE start width. The ×4 covers parquet-compressed
+    * scan estimates expanding into uncompressed sort rows. Small
+    * inputs get cluster-parallelism width (no 1024-task barriers);
+    * big inputs grow linearly up to the same width a hash shuffle
+    * would start at (this is what keeps the sf10 spill-cascade fix:
+    * per-partition sort volume stays ≈ advisory/4 regardless of SF).
+    */
+  private[graft] def rangeWidth(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")).max(1L)
+    val cap = spark.conf
+      .get("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024").toInt
+    val floor = spark.sparkContext.defaultParallelism
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    (est * 4 / advisory).max(BigInt(floor)).min(BigInt(cap.max(floor))).toInt
+  }
+
   /** Append `outCol` = 1-based global row number under the total order
     * `orderCols` (must be a total order — include a unique tiebreak).
     *
@@ -58,7 +96,7 @@ object GlobalRank {
     */
   def withGlobalRowNumber(df: DataFrame, orderCols: Seq[Column], outCol: String): Ranked = {
     val spark = df.sparkSession
-    val ranged = df.repartitionByRange(orderCols: _*)
+    val ranged = df.repartitionByRange(rangeWidth(df), orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -215,7 +253,7 @@ object GlobalRank {
     val vals = df.filter(col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("__g"), valueCol.cast("double").as("__v"))
       .filter(col("__v").isNotNull && !isnan(col("__v")))
-    val ranged = vals.repartitionByRange(col("__g"), col("__v"))
+    val ranged = vals.repartitionByRange(rangeWidth(vals), col("__g"), col("__v"))
       .sortWithinPartitions(col("__g"), col("__v"))
       .withColumn("__mid", monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -277,7 +315,14 @@ object GlobalRank {
       val schema = StructType(
         StructField(groupCol, org.apache.spark.sql.types.StringType, nullable = false) +:
           probs.map { case (name, _) => StructField(name, DoubleType, nullable = false) })
-      spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+      // a LocalRelation (not parallelize→LogicalRDD): an RDD-backed frame
+      // carries defaultSizeInBytes = Long.MaxValue, and the bytes-PRODUCT
+      // join estimator then inflates any join against this ≤64-row frame
+      // to ~1e24 bytes — which pushed downstream [[rangeWidth]] calls to
+      // the 1024 cap (measured: q_outlier_mad's MAD fit re-widened to
+      // 1024 after the join with its median frame). Local data should
+      // carry its real, tiny size.
+      spark.createDataFrame(rows.toList.asJava, schema)
     } finally { ranged.unpersist(); () }
   }
 
@@ -370,8 +415,9 @@ object GlobalRank {
       sums: Seq[(String, Column)]): Ranked = {
     val spark = df.sparkSession
     val valCols = sums.map { case (name, e) => coalesce(e.cast("double"), lit(0.0)).as(s"__v_$name") }
-    val ranged = df.select((df.columns.map(col).toIndexedSeq ++ valCols): _*)
-      .repartitionByRange(orderCols: _*)
+    val selected = df.select((df.columns.map(col).toIndexedSeq ++ valCols): _*)
+    val ranged = selected
+      .repartitionByRange(rangeWidth(selected), orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -211,9 +211,10 @@ object CoreQueries2 {
     // column-pruned re-scans of the parquet; blocks are reclaimed by
     // the ContextCleaner when the result is unreferenced
     val ev = Tables.events(s, d).select($"event_type", $"value").localCheckpoint()
+    // (no checkpoint on med: exactQuantilesByGroup returns a DRIVER-built
+    // 1-partition local relation — recompute is free, a checkpoint job isn't)
     val med = graft.operators.GlobalRank
       .quantilesByGroup(ev, "event_type", $"value", Seq("med" -> 0.5))
-      .localCheckpoint() // consumed by both the MAD fit and the final pass
     val withMed = ev.join(broadcast(med), "event_type")
     // the MAD fit's group set == the median fit's (join on event_type
     // adds no keys): the first router call already proved it under the
@@ -373,7 +374,12 @@ object CoreQueries2 {
       .withColumn("drnk", dense_rank().over(w))
       .join(broadcast(cnt), Seq("o_orderpriority"))
       .select($"o_orderpriority", $"o_orderkey", $"rnk", $"drnk",
-        (round(($"rnk" - 1).cast("double") / ($"n_grp" - 1), 4) + lit(0.0)).as("pct_rank"),
+        // singleton-group guard: (rnk-1)/(n-1) is 0.0/0 → NaN for a
+        // 1-row group (double division bypasses ANSI divide-by-zero),
+        // where SQL percent_rank() defines 0.0 — same class of guard
+        // as ntile's greatest(q, 1)
+        (round(when($"n_grp" > 1, ($"rnk" - 1).cast("double") / ($"n_grp" - 1))
+          .otherwise(lit(0.0)), 4) + lit(0.0)).as("pct_rank"),
         (round($"rn".cast("double") / $"n_grp", 4) + lit(0.0)).as("cume"),
         quartile.cast("int").as("quartile"))
       .orderBy($"o_orderpriority", $"rnk")

@@ -297,6 +297,37 @@ class FeatureEvalSpec extends SparkSpec {
     }
   }
 
+  test("rangeWidth: input-sized, floored at parallelism, capped at AQE start width") {
+    import graft.operators.GlobalRank
+    val floor = spark.sparkContext.defaultParallelism
+    val tiny = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    // a few-KB frame must NOT inherit a wide AQE start width: this is
+    // the r10 regression (11 quantile/rank queries doubled at sf0.1
+    // because every range exchange paid 1024-task sampling + barriers)
+    withSQLConf("spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "1024") {
+      assert(GlobalRank.rangeWidth(tiny) == floor)
+      // the width GROWS with the input estimate once it clears the
+      // floor: shrink the advisory size so the same frame looks "big"
+      withSQLConf("spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64") {
+        val w = GlobalRank.rangeWidth(tiny)
+        assert(w > floor, s"width $w should exceed floor $floor at a 64-byte advisory")
+        assert(w <= 1024)
+      }
+      // cap: an absurd estimate (advisory of 1 byte) clamps to the AQE
+      // start width — never wider than a hash shuffle would start
+      withSQLConf("spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1") {
+        assert(GlobalRank.rangeWidth(tiny) == 1024)
+      }
+      // stats survive a join against a driver-built quantile frame: the
+      // LocalRelation result of exactQuantilesByGroup must not poison
+      // the bytes-product join estimate back up to the cap (measured
+      // defect: q_outlier_mad's MAD fit re-widened to 1024)
+      val med = GlobalRank.exactQuantilesByGroup(tiny, "g", $"v", Seq("med" -> 0.5))
+      val joined = tiny.join(broadcast(med), "g")
+      assert(GlobalRank.rangeWidth(joined) == floor)
+    }
+  }
+
   test("FeatureSchema.validate: clean rows cast, malformed rows quarantined with reasons") {
     import graft.features.FeatureSchema
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType}

@@ -156,9 +156,15 @@ def q_scd2(d):
            .agg(valid_from=("o_orderdate", "min"), n_orders=("o_orderkey", "size"))
            .reset_index())
     g = g.sort_values(["o_custkey", "version"])
-    nxt = g.groupby("o_custkey")["valid_from"].shift(-1)
-    g["valid_to"] = nxt.fillna(pd.Timestamp("9999-12-31"))
-    return g
+    # epoch SECONDS with the same far-future sentinel as the Spark query
+    # and the DuckDB oracle (253402300800 = 10000-01-01T00:00:00Z): a
+    # pd.Timestamp("9999-12-31") sentinel is a different epoch value
+    # (253402214400) AND a different dtype, so the value-check against
+    # the oracle could never be string-identical for current rows.
+    g["valid_from_s"] = g.valid_from.astype("datetime64[s]").astype("int64")
+    nxt = g.groupby("o_custkey")["valid_from_s"].shift(-1)
+    g["valid_to_s"] = nxt.fillna(253402300800).astype("int64")
+    return g.drop(columns=["valid_from"])
 
 
 QUERIES = {"q1_pricing_summary": q1, "q2_revenue_nation": q2,
