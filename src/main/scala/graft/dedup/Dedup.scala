@@ -136,21 +136,61 @@ object Dedup {
     */
   def minhashNearDupBipartite(
       newDf: DataFrame, oldDf: DataFrame, idCol: String, textCol: String,
-      n: Int, numPerm: Int, seed: Long, threshold: Double): DataFrame = {
-    val coeffs = permCoeffs(numPerm, seed)
+      n: Int, numPerm: Int, seed: Long, threshold: Double): DataFrame =
+    minhashNearDupBipartiteBanded(newDf, oldDf, idCol, textCol, n,
+      b = numPerm, r = 1, seed = seed, threshold = threshold)
+
+  /** [[minhashNearDupBipartite]] with the b×r S-curve the r=1 geometry
+    * lacks — the production shape for incremental ingest against a big
+    * kept corpus. The sf10 decade measured why r=1 floods: 3-gram
+    * shingle types live in a ~26³ space, so background Jaccard is
+    * nonzero between ANY same-alphabet documents, P(some single
+    * signature slot of numPerm matches) → 1, and the candidate join
+    * goes quadratic in batch×corpus. With r consecutive slots hashed
+    * into each band key, a background pair at J≈0.05 collides a band
+    * with prob J^r — at r=2 that is a ~30× candidate cut — while a true
+    * pair at J ≥ t is missed with prob (1−t^r)^b (pick b for the
+    * recall floor; planted-pair equality to the exact bipartite join is
+    * spec'd in the dedup suite). Exact Jaccard verification of the
+    * candidates makes precision 1 regardless of geometry.
+    */
+  def minhashNearDupBipartiteBanded(
+      newDf: DataFrame, oldDf: DataFrame, idCol: String, textCol: String,
+      n: Int, b: Int, r: Int, seed: Long, threshold: Double): DataFrame = {
+    val coeffs = permCoeffs(b * r, seed)
     def prep(df: DataFrame): (DataFrame, DataFrame) = {
       val sh = shingled(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
       val sig = sh.withColumn("hs", shingleHashes(col("sh")))
         .select(col("id"), minhashSignature(col("hs"), coeffs).as("sig"))
-      (sh, sig.select(col("id"), posexplode(col("sig")).as(Seq("band", "v"))))
+      (sh, sig)
     }
-    val (shNew, bandsNew) = prep(newDf)
-    val (shOld, bandsOld) = prep(oldDf)
-    val cands = bandsNew.select(col("id").as("id_new"), col("band"), col("v"))
-      .join(bandsOld.select(col("id").as("id_old"), col("band"), col("v"))
-        .hint("shuffle_hash"), Seq("band", "v"))
+    val (shNew, sigNew) = prep(newDf)
+    val (shOld, sigOld) = prep(oldDf)
+    val cands = lshCandidatesBipartiteBanded(sigNew, sigOld, b, r)
+    releaseAfter(verifyJaccardBipartite(cands, shNew, shOld, threshold), shNew, shOld)
+  }
+
+  /** Banded bipartite candidate pairs: every (new, old) pair agreeing
+    * on at least one of the b band keys (xxhash64 of r consecutive
+    * signature slots — 8-byte shuffle key regardless of r). Both band
+    * fan-outs are keyed, balanced and potentially huge → hash shuffle,
+    * never a broadcast (same hint rationale as [[jaccardJoinBipartite]]).
+    */
+  def lshCandidatesBipartiteBanded(sigNew: DataFrame, sigOld: DataFrame,
+      b: Int, r: Int): DataFrame = {
+    val bn = bandedSigRows(sigNew, b, r).select(col("id").as("id_new"), col("band"), col("v"))
+    val bo = bandedSigRows(sigOld, b, r).select(col("id").as("id_old"), col("band"), col("v"))
+    bn.join(bo.hint("shuffle_hash"), Seq("band", "v"))
       .select(col("id_new"), col("id_old")).distinct()
-    val verified = cands
+  }
+
+  /** Exact-Jaccard verification of bipartite candidate (id_new, id_old)
+    * pairs against the two sides' shingle frames — the two-sided twin
+    * of [[verifyJaccard]].
+    */
+  def verifyJaccardBipartite(cands: DataFrame, shNew: DataFrame, shOld: DataFrame,
+      threshold: Double): DataFrame =
+    cands
       .join(shNew.select(col("id").as("id_new"), col("sh").as("sh_a"), col("sh_n").as("n_new")), Seq("id_new"))
       .join(shOld.select(col("id").as("id_old"), col("sh").as("sh_b"), col("sh_n").as("n_old")), Seq("id_old"))
       .withColumn("inter",
@@ -159,7 +199,23 @@ object Dedup {
         (col("n_new") + col("n_old") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_new"), col("id_old"), col("jaccard"))
-    releaseAfter(verified, shNew, shOld)
+
+  /** [[incrementalDedup]] with the banded-MinHash candidate step — the
+    * corpus-scale configuration: same `dup_of` output contract, but
+    * candidates come from [[minhashNearDupBipartiteBanded]] (O(rows ×
+    * b) band index + background-suppressed join) instead of the exact
+    * inverted shingle index. Miss bound (1−t^r)^b per true pair;
+    * exact-copy pairs sit at J = 1 and are missed with prob (1−1)^b = 0.
+    */
+  def incrementalDedupBanded(newDf: DataFrame, oldDf: DataFrame, idCol: String,
+      textCol: String, n: Int, b: Int, r: Int, seed: Long,
+      threshold: Double): DataFrame = {
+    val pairs = minhashNearDupBipartiteBanded(
+      newDf, oldDf, idCol, textCol, n, b, r, seed, threshold)
+    val best = pairs
+      .groupBy(col("id_new"))
+      .agg(max_by(col("id_old"), struct(col("jaccard"), -col("id_old"))).as("dup_of"))
+    newDf.join(best, newDf(idCol) === best("id_new"), "left").drop("id_new")
   }
 
   /** INCREMENTAL dedup — the library seat behind q_dedup_incremental:
@@ -289,22 +345,29 @@ object Dedup {
     * dedup suite). The band key is xxhash64(band values) — an 8-byte
     * shuffle key regardless of r.
     */
-  def lshCandidatesBanded(sig: DataFrame, b: Int, r: Int): DataFrame = {
+  /** (id, band, v) fan-out of an (id, sig) frame into b bands of r
+    * consecutive signature slots, band key = xxhash64 of the slice.
+    * Guards the band geometry per row: a signature shorter than b*r
+    * would make the trailing slice() calls return empty/truncated
+    * arrays that hash IDENTICALLY for every row — that band then marks
+    * ALL pairs candidates, the exact quadratic flood banding exists to
+    * prevent. Fail loudly instead (assert_true evaluates to null on
+    * success, so the when() passes the signature through unchanged).
+    */
+  private[graft] def bandedSigRows(sig: DataFrame, b: Int, r: Int): DataFrame = {
     require(b >= 1 && r >= 1, s"need b, r >= 1, got b=$b r=$r")
-    // a signature shorter than b*r would make the trailing slice()
-    // calls return empty/truncated arrays that hash IDENTICALLY for
-    // every row — that band then marks ALL pairs candidates, the exact
-    // quadratic flood this function exists to prevent. Fail loudly
-    // per-row instead (assert_true evaluates to null on success, so the
-    // when() passes the signature through unchanged).
     val checkedSig = when(
       assert_true(size(col("sig")) >= b * r,
-        concat(lit(s"lshCandidatesBanded: size(sig) < b*r = ${b * r}, got "),
+        concat(lit(s"bandedSigRows: size(sig) < b*r = ${b * r}, got "),
           size(col("sig")).cast("string"))).isNull,
       col("sig"))
-    val banded = sig.select(col("id"),
+    sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(b - 1)),
         i => xxhash64(lit(42L), slice(checkedSig, i * lit(r) + lit(1), lit(r))))).as(Seq("band", "v")))
+  }
+
+  def lshCandidatesBanded(sig: DataFrame, b: Int, r: Int): DataFrame = {
+    val banded = bandedSigRows(sig, b, r)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
           col("x.id") < col("y.id"))

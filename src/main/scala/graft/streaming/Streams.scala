@@ -335,38 +335,72 @@ object Streams {
   }
 
   /** One microbatch of [[minhashDedupSink]] — exposed for replay specs
-    * (same contract as [[simhashDedupBatch]]). The kept side is the
-    * corpus ∪ the OUTPUT table's survivors (own batch excluded), so
-    * the index grows with survivors without any extra state table:
-    * survivors carry their text, and MinHash verification needs the
-    * shingle sets anyway.
+    * (same contract as [[simhashDedupBatch]]). The kept-side INDEX is
+    * signatures only: `corpusSig` (precomputed once at sink
+    * construction) ∪ the accumulated survivor signatures at
+    * `outPath.__sig` (own batch excluded for replay idempotence) —
+    * 8·b·r bytes per kept doc, never the kept corpus's text. Per-batch
+    * work is therefore O(batch shingling + batch×index band probe +
+    * candidates): survivor TEXT is re-read and re-shingled ONLY for
+    * the old ids that actually band-collide with this batch (a
+    * semi-join on the candidate ids pushes into the parquet scan),
+    * where the previous revision re-shingled the ENTIRE kept corpus
+    * every microbatch. Survivors land twice, idempotently per batch
+    * id: rows at `outPath`, signatures at `outPath.__sig`.
     */
-  private[graft] def minhashDedupBatch(corpus: DataFrame, batch: DataFrame,
-      batchId: Long, idCol: String, textCol: String, n: Int, numPerm: Int,
-      seed: Long, threshold: Double, outPath: String): Unit = {
+  private[graft] def minhashDedupBatch(corpusText: DataFrame, corpusSig: DataFrame,
+      batch: DataFrame, batchId: Long, idCol: String, textCol: String, n: Int,
+      b: Int, r: Int, seed: Long, threshold: Double, outPath: String): Unit = {
+    import graft.dedup.Dedup
     val spark = batch.sparkSession
-    val keptDocs: DataFrame =
-      try spark.read.parquet(outPath)
+    val sigPath = s"$outPath.__sig"
+    val coeffs = Dedup.permCoeffs(b * r, seed)
+    val shNew = Dedup.shingled(batch, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigNew = shNew.withColumn("hs", Dedup.shingleHashes(col("sh")))
+      .select(col("id"), Dedup.minhashSignature(col("hs"), coeffs).as("sig"))
+    val survSig: DataFrame =
+      try spark.read.parquet(sigPath)
         .filter(col("__batch_part") =!= batchId) // replay: pre-own-batch state
+        .select(col("id"), col("sig"))
+      catch { case _: org.apache.spark.sql.AnalysisException => corpusSig.limit(0) }
+    val cands = Dedup.lshCandidatesBipartiteBanded(
+      sigNew, corpusSig.unionByName(survSig), b, r)
+    // verify side: text of ONLY the band-colliding old ids
+    val keptText: DataFrame =
+      try spark.read.parquet(outPath)
+        .filter(col("__batch_part") =!= batchId)
         .select(col(idCol), col(textCol))
       catch { case _: org.apache.spark.sql.AnalysisException =>
-        corpus.select(col(idCol), col(textCol)).limit(0) }
-    val old = corpus.select(col(idCol), col(textCol)).unionByName(keptDocs)
-    val crossHits = graft.dedup.Dedup
-      .minhashNearDupBipartite(batch, old, idCol, textCol, n, numPerm, seed, threshold)
+        corpusText.select(col(idCol), col(textCol)).limit(0) }
+    val hitText = corpusText.select(col(idCol), col(textCol)).unionByName(keptText)
+      .join(cands.select(col("id_old").as(idCol)), Seq(idCol), "left_semi")
+    val crossHits = Dedup
+      .verifyJaccardBipartite(cands, shNew, Dedup.shingled(hitText, idCol, textCol, n), threshold)
       .select(col("id_new").as(idCol))
-    // in-batch pairs: id_a < id_b from lshCandidates, so dropping id_b
-    // is the same keep-min rule as the simhash sink
-    val inBatch = graft.dedup.Dedup
-      .minhashNearDup(batch, idCol, textCol, n, numPerm, seed, threshold)
+    // in-batch pairs: id_a < id_b from the band self-join, so dropping
+    // id_b is the same keep-min rule as the simhash sink
+    val inBatch = Dedup
+      .verifyJaccard(Dedup.lshCandidatesBanded(sigNew, b, r), shNew, threshold)
       .select(col("id_b").as(idCol))
-    batch.join(crossHits.unionByName(inBatch).distinct(), Seq(idCol), "left_anti")
+    val kept = batch.join(crossHits.unionByName(inBatch).distinct(), Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    kept
       .withColumn("batch_id", lit(batchId))
       .withColumn("__batch_part", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch_part")
       .parquet(outPath)
+    sigNew.join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .withColumn("__batch_part", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_part")
+      .parquet(sigPath)
+    kept.unpersist()
+    shNew.unpersist()
+    ()
   }
 
   /** Streaming near-dup filter in JACCARD space — the MinHash twin of
@@ -379,25 +413,36 @@ object Streams {
     * accumulated survivors (read back from the output table — growing
     * index for free), plus an in-batch [[graft.dedup.Dedup.minhashNearDup]]
     * pass keeping the min id, landing idempotently per batch id.
-    * Probabilistic recall ((1−t)^numPerm miss bound) where the simhash
+    * Probabilistic recall ((1−t^r)^b miss bound — b×r banding, the
+    * S-curve geometry the r10 sweep proved r=1 needs) where the simhash
     * twin is deterministic — run both sinks in sequence for the full
-    * production shape (Hamming then Jaccard). The kept side is
-    * re-shingled per batch: it lives in parquet (it must be re-read
-    * anyway since it grows), and shingling is a scan-local map —
-    * at 100 TB you'd cache the shingled corpus; the per-batch delta is
-    * the survivors, which ARE the cheap part.
+    * production shape (Hamming then Jaccard). All growing state is
+    * SIGNATURES (8·b·r bytes/doc at `outPath.__sig`) plus the survivor
+    * rows themselves; the kept corpus's text is touched per batch only
+    * for ids that band-collide with the batch (see
+    * [[minhashDedupBatch]]). The corpus signature index is computed
+    * once at construction, persisted, and released on termination.
     */
   def minhashDedupSink(stream: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String, n: Int, numPerm: Int, seed: Long,
+      idCol: String, textCol: String, n: Int, b: Int, r: Int, seed: Long,
       threshold: Double, outPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.dedup.Dedup
+    val corpusText = corpus.select(col(idCol), col(textCol))
+    val corpusSig = Dedup.shingled(corpus, idCol, textCol, n)
+      .withColumn("hs", Dedup.shingleHashes(col("sh")))
+      .select(col("id"), Dedup.minhashSignature(col("hs"), Dedup.permCoeffs(b * r, seed)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qry = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        minhashDedupBatch(corpus, batch.toDF(), batchId, idCol, textCol,
-          n, numPerm, seed, threshold, outPath)
+        minhashDedupBatch(corpusText, corpusSig, batch.toDF(), batchId, idCol, textCol,
+          n, b, r, seed, threshold, outPath)
       }
       .start()
+    releaseOnTermination(qry, corpusSig)
+    qry
+  }
 
   /** Streaming model-scoring sink — the Spark-native seat of the
     * reference's online scoring API (reference: inference/api_server.py

@@ -318,8 +318,11 @@ class StreamsSpec extends SparkSpec {
 
     val corpus = Seq((100L, base)).toDF("doc_id", "text")
     val ms = MemoryStream[DocIn]
+    // b=32 bands x r=2 rows: miss prob for a true pair at J=0.62 is
+    // (1-0.62^2)^32 ~ 2e-7 — spec-deterministic — while background
+    // pairs collide a band at J^2 instead of J (the S-curve geometry)
     val q = Streams.minhashDedupSink(ms.toDF(), corpus, "doc_id", "text",
-      n = 3, numPerm = 64, seed = 7L, threshold = 0.62, s"$dir/out", s"$dir/ckpt")
+      n = 3, b = 32, r = 2, seed = 7L, threshold = 0.62, s"$dir/out", s"$dir/ckpt")
     ms.addData(
       DocIn(t("2024-01-01 00:00:00"), 1, edited), // J ≥ 0.62 vs corpus, Hamming > 4
       DocIn(t("2024-01-01 00:00:01"), 2, "entirely unrelated sentence about spark physical " +
@@ -332,6 +335,13 @@ class StreamsSpec extends SparkSpec {
     q.stop()
     val out = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().sorted.toSeq
     assert(out == Seq(2L), s"survivors: $out")
+    // the growing index is SIGNATURES, not text: exactly the survivors'
+    // (id, sig) rows land at out.__sig, partitioned by batch
+    val sig = spark.read.parquet(s"$dir/out.__sig")
+    assert(sig.select("id").as[Long].collect().sorted.toSeq == Seq(2L),
+      "signature index should hold exactly the survivors")
+    assert(sig.schema.fieldNames.contains("sig") && !sig.schema.fieldNames.contains("text"),
+      s"signature index must not carry text: ${sig.schema.fieldNames.toSeq}")
   }
 
   test("foreachBatch sink lands stream microbatches as parquet") {

@@ -202,6 +202,60 @@ class TextDedupSimSpec extends SparkSpec {
     assert(lsh == exact) // miss prob (1-0.6)^64 ~ 1e-26 per pair
   }
 
+  test("banded bipartite path equals the exact join AND cuts candidates vs r=1") {
+    val sub = Tables.documents(spark, sf).filter($"doc_id" % 4 === 0)
+    val oldB = sub.filter($"doc_id" % 8 === 0)
+    val newB = sub.filter($"doc_id" % 8 =!= 0)
+    def toSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toSet
+    // output parity with the exact bipartite join at J >= 0.62: miss
+    // prob per true pair is (1-0.62^2)^32 ~ 2e-7
+    val exact = toSet(Dedup.jaccardJoinBipartite(
+      Dedup.shingled(newB, "doc_id", "text", 3),
+      Dedup.shingled(oldB, "doc_id", "text", 3), 0.62))
+    val banded = toSet(Dedup.minhashNearDupBipartiteBanded(
+      newB, oldB, "doc_id", "text", 3, b = 32, r = 2, seed = 42L, threshold = 0.62))
+    assert(exact.nonEmpty, "corpus should contain cross-side near-dups at J >= 0.62")
+    assert(banded == exact)
+    // candidate-count cut, measured on the flood regime (small-but-
+    // nonzero background J — same fixture family as the self-join
+    // spec; the template-generated testdata docs sit at background J
+    // high enough that BOTH geometries collide, which is a threshold
+    // problem, not a banding one): 32 permutations as r=1 (32 bands)
+    // vs r=2 (16 bands) — the r10 sweep's flood mechanism is
+    // background-J single-slot collisions, suppressed ~Jx per band
+    val rnd = new scala.util.Random(7)
+    val words = Vector.fill(300)((1 to 5).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    def randDoc() = Seq.fill(12)(words(rnd.nextInt(words.size))).mkString(" ")
+    val oldBg = (100L until 160L).map(i => (i, randDoc())).toDF("doc_id", "text")
+    val newBg = ((1L, "the quick brown fox jumps over the lazy dog tonight") +:
+      (200L until 260L).map(i => (i, randDoc()))).toDF("doc_id", "text")
+    val oldPl = oldBg.unionByName(Seq(
+      (101L, "the quick brown fox jumps over the lazy dog tonight again")).toDF("doc_id", "text"))
+    def sigs(d: org.apache.spark.sql.DataFrame) =
+      Dedup.shingled(d, "doc_id", "text", 3)
+        .withColumn("hs", Dedup.shingleHashes($"sh"))
+        .select($"id", Dedup.minhashSignature($"hs", Dedup.permCoeffs(32, 42L)).as("sig"))
+    val (sn, so) = (sigs(newBg), sigs(oldPl))
+    val flatN = Dedup.lshCandidatesBipartiteBanded(sn, so, b = 32, r = 1).count()
+    val bandedCands = Dedup.lshCandidatesBipartiteBanded(sn, so, b = 16, r = 2)
+    val bandedN = bandedCands.count()
+    assert(flatN > 3 * bandedN, s"expected r=1 ($flatN) >> r=2 ($bandedN) candidates")
+    // recall: the planted cross-side pair survives the r=2 S-curve
+    assert(bandedCands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((1L, 101L)))
+    // library seat: banded incremental dedup flags the same dup_of map
+    // as the exact-index incrementalDedup
+    def flagMap(d: org.apache.spark.sql.DataFrame) =
+      d.select($"doc_id", $"dup_of")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val exactFlags = flagMap(Dedup.incrementalDedup(newB, oldB, "doc_id", "text", 3, 0.62))
+    val bandedFlags = flagMap(Dedup.incrementalDedupBanded(
+      newB, oldB, "doc_id", "text", 3, b = 32, r = 2, seed = 42L, threshold = 0.62))
+    assert(bandedFlags == exactFlags)
+  }
+
   test("MinHashSig codegen expression equals the lambda form (incl. interpreted path)") {
     val docs = Tables.documents(spark, sf).limit(200)
     val coeffs = Dedup.permCoeffs(64, 42L)
