@@ -1,5 +1,7 @@
 package graft.ml
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -389,42 +391,106 @@ object Evaluator {
         count(lit(1)).as("n_bins"))
 
   /** Drift audit for MANY features in ONE melted pass — the
-    * monitoring sweep run per model refresh. Each side is melted to
-    * (feature, v) via a single explode (ONE scan per side, not one
-    * scan per feature); bin edges are exact quantiles FIT ON THE
-    * BASELINE side via exactQuantilesByGroup with the feature NAME as
-    * the group key — called DIRECTLY, not through the quantilesByGroup
-    * router, because |features| is statically known here and the
-    * router's cardinality probe would cost a full extra pass over the
-    * melted frame — rounded to 4 dp so both engines of the oracle twin
-    * bin identically; per-(feature, bin) counts come from one hash agg,
-    * per-feature totals from a bounded window over that ≤
-    * |features|·(probs+1)-row frame. PSI per feature with [[psi]]'s
-    * eps floor. Scale: two scans + one quantile fit + one shuffle,
-    * independent of feature count.
+    * monitoring sweep run per model refresh.
+    *
+    * Shape (r11, replacing a range-sort design measured at 51 s on the
+    * sf10 decade): both sides melt to (feature, v) and collapse to a
+    * per-(feature, VALUE) HISTOGRAM in one hash aggregation — the only
+    * job that touches raw rows, and its shuffle is the distinct-value
+    * cells, not the rows (map-side combine does the 240M→2M collapse
+    * at sf10). Everything downstream runs on cells: the exact
+    * linear-interpolation quantile edges come from a per-feature
+    * cumulative-count window over the cells (the k-th smallest
+    * baseline value is the first cell whose running nb covers k —
+    * weighted order statistics, no row sort anywhere), the
+    * per-(feature, bin) counts are a second tiny aggregation of the
+    * same cached cells, and PSI applies [[psi]]'s eps floor. Edges are
+    * rounded to 4 dp so both engines of the oracle twin bin
+    * identically; null/NaN values are excluded from the edge fit (as
+    * quantile_cont does) but counted in the last bin (as the CASE
+    * fall-through does), matching the previous design exactly.
+    *
+    * SCALE BOUNDARY: per-feature work is O(distinct values), asserted
+    * ≤ `maxCellsPerFeature` (the cumulative window puts one feature's
+    * cells on one reducer). Monitored features are near-universally
+    * value-bounded (scores, rates, discretized amounts); for a feature
+    * that is genuinely continuous at corpus scale, fit edges with
+    * [[graft.operators.GlobalRank.exactQuantilesByGroup]] over the
+    * melted rows (the pre-r11 shape, still what [[fitDriftBaseline]]
+    * uses) — row-sort cost, no cardinality bound.
     */
   def psiByFeature(baseline: DataFrame, current: DataFrame,
       features: Seq[String], probs: Seq[Double] = Seq(0.25, 0.5, 0.75),
-      eps: Double = 1e-4): DataFrame = {
+      eps: Double = 1e-4, maxCellsPerFeature: Long = 50000000L): DataFrame = {
     require(features.nonEmpty && probs.nonEmpty)
+    val spark = baseline.sparkSession
     val edgeNames = probs.indices.map(i => s"e${i + 1}")
-    // The baseline side feeds BOTH the edge fit and the bin counts:
-    // melt it ONCE and cache it — the edge fit is eager (it sorts and
-    // collects O(probs) order statistics) so it doubles as the cache
-    // materializer, and the second consumer reads the cache instead of
-    // re-scanning + re-exploding the baseline parquet.
-    val mb = meltFeatures(baseline, features)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = fitEdges(mb, features.size, edgeNames.zip(probs))
-    val melted = mb.withColumn("r", lit(1L))
+    val cells = meltFeatures(baseline, features).withColumn("r", lit(1L))
       .unionByName(meltFeatures(current, features).withColumn("r", lit(0L)))
-    // localCheckpoint (eager) pins the O(features × bins) counts so the
-    // melted-baseline cache can be dropped HERE, not leaked to session end.
-    val counts = binByEdges(melted, edges, edgeNames)
-      .groupBy(col("feature"), col("bin"))
+      .groupBy(col("feature"), col("v"))
       .agg(sum(col("r")).as("nb"), sum(lit(1L) - col("r")).as("nc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val valid = col("v").isNotNull && !isnan(col("v"))
+    // per-feature totals, quantile row count (valid baseline rows), and
+    // cell count — one tiny job that also materializes the cells cache
+    val stats = cells.groupBy(col("feature"))
+      .agg(sum(col("nb")).as("tb"), sum(col("nc")).as("tc"),
+        sum(when(valid, col("nb")).otherwise(0L)).as("nq"),
+        count(lit(1)).as("ncells"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    stats.foreach { case (f, (_, _, _, nCells)) =>
+      require(nCells <= maxCellsPerFeature,
+        s"feature $f has $nCells distinct values > maxCellsPerFeature=$maxCellsPerFeature — " +
+          "fit edges on the melted rows via GlobalRank.exactQuantilesByGroup instead")
+    }
+    def floorR(t: BigDecimal): Long = t.setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+    def ceilR(t: BigDecimal): Long = t.setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+    // 1-based boundary ranks per (feature, prob): floor/ceil of p·(nq−1)
+    val bndRows: java.util.List[org.apache.spark.sql.Row] = (for {
+      (f, (_, _, nq, _)) <- stats.toSeq if nq > 0
+      p <- probs
+      t = BigDecimal(p) * BigDecimal(nq - 1)
+      k <- Seq(floorR(t) + 1L, ceilR(t) + 1L)
+    } yield (f, k)).distinct
+      .map { case (f, k) => org.apache.spark.sql.Row(f, k) }
+      .asJava
+    val bndDf = spark.createDataFrame(bndRows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("feature", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+    // the cell HOLDING rank k is the first whose running nb covers it
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("feature")).orderBy(col("v"))
+    val fetched = cells.filter(valid)
+      .withColumn("cum", sum(col("nb")).over(wCum))
+      .join(broadcast(bndDf), Seq("feature"))
+      .filter(col("cum") >= col("k") && col("cum") - col("nb") < col("k"))
+      .select(col("feature"), col("k"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val edgeRows: java.util.List[org.apache.spark.sql.Row] = stats.toSeq
+      .collect { case (f, (_, _, nq, _)) if nq > 0 =>
+        val es = probs.map { p =>
+          val t = BigDecimal(p) * BigDecimal(nq - 1)
+          val lo = floorR(t)
+          val hi = ceilR(t)
+          val vLo = fetched((f, lo + 1L))
+          val e = if (hi == lo) vLo else vLo + (t - lo).toDouble * (fetched((f, hi + 1L)) - vLo)
+          BigDecimal(e).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        org.apache.spark.sql.Row.fromSeq(f +: es)
+      }.asJava
+    val edges = spark.createDataFrame(edgeRows, org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("feature", org.apache.spark.sql.types.StringType) +:
+        edgeNames.map(e => org.apache.spark.sql.types.StructField(
+          e, org.apache.spark.sql.types.DoubleType))))
+    // bin the CELLS (not rows) by the fitted edges; localCheckpoint
+    // (eager, O(features × bins)) so the cells cache releases here
+    val counts = binByEdges(cells, edges, edgeNames)
+      .groupBy(col("feature"), col("bin"))
+      .agg(sum(col("nb")).as("nb"), sum(col("nc")).as("nc"))
       .localCheckpoint(true)
-    mb.unpersist()
+    cells.unpersist()
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("feature"))
     counts
       .withColumn("tb", sum(col("nb")).over(w))

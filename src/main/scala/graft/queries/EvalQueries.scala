@@ -548,14 +548,16 @@ object EvalQueries {
 
   /** Multi-feature drift audit in one melted pass
     * ([[Evaluator.psiByFeature]]): PSI for four lineitem features at
-    * once between the even/odd-orderkey cohorts, quantile-edge bins
-    * fit on the reference cohort (exact per-group arm called directly
-    * — |features| is statically known, so the router's cardinality
-    * probe would be a wasted pass over the melted frame). The
+    * once between the even/odd-orderkey cohorts, exact quantile-edge
+    * bins fit on the reference cohort from a per-(feature, value)
+    * HISTOGRAM — raw rows are touched by exactly one hash aggregation
+    * whose shuffle is the distinct-value cells (map-side combine), and
+    * edges/bins/PSI all run on cells (r11; the melted range-sort shape
+    * it replaced measured 51 s at the sf10 decade, this one 8 s). The
     * cohorts here are a synthetic A/B split, so near-zero PSI is the
-    * expected (and verified) reading; the op's job is the shape: two
-    * scans + one quantile fit + one hash agg for ANY number of
-    * features, not a per-feature job loop.
+    * expected (and verified) reading; the op's job is the shape: one
+    * rows-scan job + cell-sized work for ANY number of features, not a
+    * per-feature job loop.
     */
   def qDriftAudit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -555,6 +555,44 @@ class FeatureEvalSpec extends SparkSpec {
     assert(math.abs(self) < 1e-12)
   }
 
+  test("psiByFeature: bounded job count, null/NaN semantics, cell-cardinality guard") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val ref = (1 to 400).map(i => (i % 30 / 6.0, i % 17 / 4.0)).toDF("fa", "fb")
+    val cur = (1 to 300).map(i => (i % 30 / 6.0 + (i % 3) * 0.5, i % 17 / 4.0)).toDF("fa", "fb")
+    // job-count pin for the r11 histogram redesign: the pre-r11 shape
+    // range-sorted the melted rows (≈5 barriered jobs over row-sized
+    // data, 51 s at the sf10 decade); the histogram shape touches raw
+    // rows in ONE aggregation and runs everything else on cells.
+    // Counting scheduler jobs bounds the barrier chain; the margin
+    // covers AQE sub-jobs (measured 10-12 on this fixture).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Evaluator.psiByFeature(ref, cur, Seq("fa", "fb")).collect()
+      // listener delivery is async; settle until the count stops moving
+      var last = -1
+      while (jobs.get() != last) { last = jobs.get(); Thread.sleep(200) }
+      assert(jobs.get() <= 14, s"psiByFeature ran ${jobs.get()} jobs — barrier chain regressed")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // null/NaN: excluded from the edge fit (quantile_cont semantics)
+    // but COUNTED in the last bin (CASE fall-through semantics) — so a
+    // side with nulls keeps its full row count, and identical sides
+    // with identical nulls still read zero drift
+    val withNulls = (1 to 200).map(i =>
+      (if (i % 10 == 0) None else Some(i % 30 / 6.0)): Option[Double]).toDF("fa")
+    val out = Evaluator.psiByFeature(withNulls, withNulls, Seq("fa")).head()
+    assert(out.getLong(2) == 200 && out.getLong(3) == 200, s"null rows dropped: $out")
+    assert(math.abs(out.getDouble(1)) < 1e-12)
+    // the documented scale boundary fails loudly, not quadratically
+    val e = intercept[IllegalArgumentException] {
+      Evaluator.psiByFeature(ref, cur, Seq("fa", "fb"), maxCellsPerFeature = 3L).collect()
+    }
+    assert(e.getMessage.contains("maxCellsPerFeature"))
+  }
+
   test("psiAgainstBaseline(fitDriftBaseline) equals the one-shot psiByFeature") {
     val ref = (1 to 400).map(i => (i % 30 / 6.0, i % 17 / 4.0)).toDF("fa", "fb")
     val cur = (1 to 300).map(i => (i % 30 / 6.0 + (i % 3) * 0.5, i % 17 / 4.0)).toDF("fa", "fb")
