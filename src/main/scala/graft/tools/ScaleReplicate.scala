@@ -58,9 +58,10 @@ object ScaleReplicate {
   }
 
   def main(args: Array[String]): Unit = {
-    val (src, dst, factor) = args.toList match {
-      case s :: d :: f :: Nil => (s, d, f.toInt)
-      case _ => sys.error("usage: ScaleReplicate <srcDir> <dstDir> <factor>")
+    val (src, dst, factor, skew) = args.toList match {
+      case s :: d :: f :: Nil           => (s, d, f.toInt, false)
+      case s :: d :: f :: "skew" :: Nil => (s, d, f.toInt, true)
+      case _ => sys.error("usage: ScaleReplicate <srcDir> <dstDir> <factor> [skew]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -103,9 +104,25 @@ object ScaleReplicate {
     replicate("customer", Seq("c_custkey"))((d, _) => d)
     replicate("supplier", Seq("s_suppkey"))((d, _) => d)
     replicate("part", Seq("p_partkey"))((d, _) => d)
-    replicate("orders", Seq("o_orderkey", "o_custkey"))((d, _) => d)
+    // zipf-head skew mode: TPC-H keys are UNIFORM, which a real corpus's
+    // fact keys are not — production key distributions carry a head
+    // (one tenant/user/customer owning a double-digit share). `skew`
+    // reassigns a deterministic 20% of orders to custkey 1 and 20% of
+    // events to user 1 ACROSS replicas, so the hot key's share survives
+    // any factor: joins on the key get one oversized shuffle partition
+    // (the AQE skew-split / SaltedJoin regime) and per-key windows get
+    // one giant partition (not splittable by AQE — the honest window
+    // boundary SCALING.md's skew table measures). Hash-of-PK selection
+    // keeps it deterministic and spread evenly over order/event time.
+    def hot(d: DataFrame, pk: String, fk: String): DataFrame =
+      if (!skew) d
+      else d.withColumn(fk, when(pmod(xxhash64(col(pk)), lit(5)) === 0, lit(1L))
+        .otherwise(col(fk)))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))((d, _) =>
+      hot(d, "o_orderkey", "o_custkey"))
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))((d, _) => d)
-    replicate("events", Seq("event_id", "user_id"))((d, _) => d)
+    replicate("events", Seq("event_id", "user_id"))((d, _) =>
+      hot(d, "event_id", "user_id"))
     replicate("documents", Seq("doc_id")) { (d, i) =>
       d.withColumn("text", substitute(col("text"), i))
     }
