@@ -167,11 +167,31 @@ def q_scd2(d):
     return g.drop(columns=["valid_from"])
 
 
+
+def q_cluster_assign(d):
+    # numpy twin of the similarity family's representative: assign every
+    # embedding to its max-cosine centroid (centroids = 8 smallest
+    # vec_id embeddings), cosines rounded HALF-AWAY-FROM-ZERO to 4 dp
+    # BEFORE the argmax (both engines do), ties -> smaller centroid id.
+    import numpy as np
+    e = pd.read_parquet(f"{d}/embeddings.parquet", columns=["vec_id", "embedding"])
+    e = e.sort_values("vec_id").reset_index(drop=True)
+    X = np.vstack(e.embedding.to_numpy()).astype("float64")
+    C = X[:8]  # rows are vec_id-sorted, so these are the 8 smallest ids
+    cids = e.vec_id.to_numpy()[:8]
+    sims = (X @ C.T) / (np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :])
+    sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
+    best = sims.argmax(axis=1)  # first max = smallest cid (columns cid-ordered)
+    return pd.DataFrame({"vec_id": e.vec_id,
+                         "cluster_id": cids[best],
+                         "cos": sims[np.arange(len(e)), best]})
+
 QUERIES = {"q1_pricing_summary": q1, "q2_revenue_nation": q2,
            "q_scd2": q_scd2,
            "q_impute_median": q_impute_median, "q_roc_auc": q_roc_auc,
            "q_dedup_incremental": q_dedup_incremental,
-           "q_gopher_rules": q_gopher_rules}
+           "q_gopher_rules": q_gopher_rules,
+           "q_cluster_assign": q_cluster_assign}
 
 if __name__ == "__main__":
     dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
