@@ -410,18 +410,21 @@ object Evaluator {
     * quantile_cont does) but counted in the last bin (as the CASE
     * fall-through does), matching the previous design exactly.
     *
-    * SCALE BOUNDARY: per-feature work is O(distinct values), asserted
-    * ≤ `maxCellsPerFeature` (the cumulative window puts one feature's
-    * cells on one reducer). Monitored features are near-universally
-    * value-bounded (scores, rates, discretized amounts); for a feature
-    * that is genuinely continuous at corpus scale, fit edges with
-    * [[graft.operators.GlobalRank.exactQuantilesByGroup]] over the
-    * melted rows (the pre-r11 shape, still what [[fitDriftBaseline]]
-    * uses) — row-sort cost, no cardinality bound.
+    * SCALE BOUNDARY + per-feature routing: the cumulative window puts
+    * one feature's CELLS on one reducer, so a feature whose value
+    * space turns out near-unique (> `maxCellsPerFeature` distinct
+    * values — measured in the same stats job, no extra pass) routes
+    * its EDGE FIT to [[graft.operators.GlobalRank.exactQuantilesByGroup]]
+    * over its freshly-melted baseline rows instead: the composite-key
+    * sort arm, any cardinality, same linear-interpolation semantics.
+    * Routing is perf-only — both fits are exact and the bin counting
+    * always runs on cells (one scan regardless of collapse). Monitored
+    * features are near-universally value-bounded (scores, rates,
+    * discretized amounts), so the common case never sorts a row.
     */
   def psiByFeature(baseline: DataFrame, current: DataFrame,
       features: Seq[String], probs: Seq[Double] = Seq(0.25, 0.5, 0.75),
-      eps: Double = 1e-4, maxCellsPerFeature: Long = 50000000L): DataFrame = {
+      eps: Double = 1e-4, maxCellsPerFeature: Long = 2000000L): DataFrame = {
     require(features.nonEmpty && probs.nonEmpty)
     val spark = baseline.sparkSession
     val edgeNames = probs.indices.map(i => s"e${i + 1}")
@@ -440,16 +443,25 @@ object Evaluator {
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
-    stats.foreach { case (f, (_, _, _, nCells)) =>
-      require(nCells <= maxCellsPerFeature,
-        s"feature $f has $nCells distinct values > maxCellsPerFeature=$maxCellsPerFeature — " +
-          "fit edges on the melted rows via GlobalRank.exactQuantilesByGroup instead")
-    }
+    // per-feature arm choice: histogram for value-bounded features,
+    // composite-key sort for the near-unique remainder
+    val histFeats = stats.collect {
+      case (f, (_, _, _, nCells)) if nCells <= maxCellsPerFeature => f
+    }.toSet
+    val sortFeats = features.filter(f => stats.contains(f) && !histFeats(f))
+    val sortedEdges: Map[String, Seq[Double]] =
+      if (sortFeats.isEmpty) Map.empty
+      else graft.operators.GlobalRank.exactQuantilesByGroup(
+          meltFeatures(baseline, sortFeats), "feature", col("v"),
+          edgeNames.zip(probs), maxGroups = math.max(64, sortFeats.size))
+        .collect()
+        .map(r => r.getString(0) -> edgeNames.indices.map(i => r.getDouble(i + 1)).toSeq)
+        .toMap
     def floorR(t: BigDecimal): Long = t.setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
     def ceilR(t: BigDecimal): Long = t.setScale(0, BigDecimal.RoundingMode.CEILING).toLong
-    // 1-based boundary ranks per (feature, prob): floor/ceil of p·(nq−1)
+    // 1-based boundary ranks per (histogram feature, prob): floor/ceil of p·(nq−1)
     val bndRows: java.util.List[org.apache.spark.sql.Row] = (for {
-      (f, (_, _, nq, _)) <- stats.toSeq if nq > 0
+      (f, (_, _, nq, _)) <- stats.toSeq if nq > 0 && histFeats(f)
       p <- probs
       t = BigDecimal(p) * BigDecimal(nq - 1)
       k <- Seq(floorR(t) + 1L, ceilR(t) + 1L)
@@ -470,12 +482,15 @@ object Evaluator {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val edgeRows: java.util.List[org.apache.spark.sql.Row] = stats.toSeq
       .collect { case (f, (_, _, nq, _)) if nq > 0 =>
-        val es = probs.map { p =>
-          val t = BigDecimal(p) * BigDecimal(nq - 1)
-          val lo = floorR(t)
-          val hi = ceilR(t)
-          val vLo = fetched((f, lo + 1L))
-          val e = if (hi == lo) vLo else vLo + (t - lo).toDouble * (fetched((f, hi + 1L)) - vLo)
+        val es = probs.zipWithIndex.map { case (p, i) =>
+          val e =
+            if (histFeats(f)) {
+              val t = BigDecimal(p) * BigDecimal(nq - 1)
+              val lo = floorR(t)
+              val hi = ceilR(t)
+              val vLo = fetched((f, lo + 1L))
+              if (hi == lo) vLo else vLo + (t - lo).toDouble * (fetched((f, hi + 1L)) - vLo)
+            } else sortedEdges(f)(i)
           BigDecimal(e).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
         }
         org.apache.spark.sql.Row.fromSeq(f +: es)

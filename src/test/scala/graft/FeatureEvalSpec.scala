@@ -586,11 +586,20 @@ class FeatureEvalSpec extends SparkSpec {
     val out = Evaluator.psiByFeature(withNulls, withNulls, Seq("fa")).head()
     assert(out.getLong(2) == 200 && out.getLong(3) == 200, s"null rows dropped: $out")
     assert(math.abs(out.getDouble(1)) < 1e-12)
-    // the documented scale boundary fails loudly, not quadratically
-    val e = intercept[IllegalArgumentException] {
-      Evaluator.psiByFeature(ref, cur, Seq("fa", "fb"), maxCellsPerFeature = 3L).collect()
+    // the scale boundary ROUTES, never crashes: a tiny cell cap forces
+    // every feature onto the composite-key sort arm for its edge fit,
+    // and the output is identical to the histogram arm's
+    def byFeature(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    val hist = byFeature(Evaluator.psiByFeature(ref, cur, Seq("fa", "fb")))
+    val viaSort = byFeature(Evaluator.psiByFeature(ref, cur, Seq("fa", "fb"),
+      maxCellsPerFeature = 3L))
+    assert(viaSort.keySet == hist.keySet)
+    hist.keySet.foreach { f =>
+      assert(math.abs(viaSort(f)._1 - hist(f)._1) < 1e-12, s"$f: $viaSort vs $hist")
+      assert(viaSort(f)._2 == hist(f)._2 && viaSort(f)._3 == hist(f)._3)
     }
-    assert(e.getMessage.contains("maxCellsPerFeature"))
   }
 
   test("psiAgainstBaseline(fitDriftBaseline) equals the one-shot psiByFeature") {
