@@ -1287,6 +1287,55 @@ object DocQueries {
       | CAST(sum(CASE WHEN n_dup * 2 > n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
       |FROM p GROUP BY source ORDER BY source""".stripMargin
 
+  /** C4-style duplicate-span SCRUB — the ACTION the q_span_dedup audit
+    * points at ([[Dedup.removeDuplicateSpans]]): every word-3-gram span
+    * occurring more than once in the corpus keeps only its
+    * globally-first occurrence (smallest (doc_id, position)); all other
+    * occurrences' tokens are dropped, overlapping removals unioned.
+    * Rolled up per source: docs touched and the token count
+    * before/after — the "how much text does span dedup actually cost"
+    * audit a C4-style cleaning run reports. Scale shape is the library
+    * seat's: one explode → per-span count aggregate (8-byte xxhash64
+    * identity), per-doc position lists, per-row reconstruction algebra;
+    * the rollup re-joins the (doc-level, token-count) output to its
+    * source tag — one bounded doc-level shuffle. The DuckDB twin
+    * recomputes keeper choice and covered-token counts from STRING
+    * spans, so the oracle row doubles as the per-run hash-collision
+    * proof.
+    */
+  def qSpanScrub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"source", $"text")
+    Dedup.removeDuplicateSpans(docs, "doc_id", "text", 3)
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_tokens_after" < $"n_tokens_before", 1L).otherwise(0L)).as("n_scrubbed"),
+        sum($"n_tokens_before").as("toks_before"),
+        sum($"n_tokens_after").as("toks_after"))
+      .orderBy($"source")
+  }
+
+  val qSpanScrubOracle: String =
+    """WITH tok AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |sp AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+      |  i -> struct_pack(pos := i, g := tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s FROM tok),
+      |sp2 AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM sp),
+      |r AS (SELECT doc_id, pos,
+      |  count(*) OVER (PARTITION BY g) AS c,
+      |  row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rk FROM sp2),
+      |cov AS (SELECT DISTINCT doc_id, pos + j AS ti
+      | FROM r, unnest([0, 1, 2]) AS t(j) WHERE c > 1 AND rk > 1),
+      |cnt AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY 1),
+      |p AS (SELECT t.doc_id, t.source, len(t.tk) AS nb,
+      |  len(t.tk) - coalesce(c.n_cov, 0) AS na
+      | FROM tok t LEFT JOIN cnt c USING (doc_id))
+      |SELECT source, count(*) AS n_docs,
+      | CAST(sum(CASE WHEN na < nb THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed,
+      | CAST(sum(nb) AS BIGINT) AS toks_before,
+      | CAST(sum(na) AS BIGINT) AS toks_after
+      |FROM p GROUP BY source ORDER BY source""".stripMargin
+
   /** Span-length duplication profile — the diagnostic that picks the
     * span length for q_span_dedup (exact-substring dedup work à la Lee
     * et al. tunes exactly this knob): for each n in {1,2,3,5,8}, the
@@ -1811,6 +1860,7 @@ object DocQueries {
     "q_length_buckets" -> qLengthBuckets,
     "q_zipf_slope" -> qZipfSlope,
     "q_span_dedup" -> qSpanDedup,
+    "q_span_scrub" -> qSpanScrub,
     "q_bpe_pairs" -> qBpePairs,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_gopher_rules" -> qGopherRules,
@@ -1861,6 +1911,7 @@ object DocQueries {
     "q_length_buckets" -> qLengthBucketsOracle,
     "q_zipf_slope" -> qZipfSlopeOracle,
     "q_span_dedup" -> qSpanDedupOracle,
+    "q_span_scrub" -> qSpanScrubOracle,
     "q_bpe_pairs" -> qBpePairsOracle,
     "q_embed_quantize" -> qEmbedQuantizeOracle,
     "q_gopher_rules" -> qGopherRulesOracle,

@@ -145,6 +145,39 @@ class TextDedupSimSpec extends SparkSpec {
     assert(mh === exact)
   }
 
+  test("removeDuplicateSpans: keeps the first occurrence, unions overlaps, passes clean docs") {
+    // doc 1 owns the first occurrence of "the quick brown"; docs 2 and
+    // 3 repeat it; doc 3 also repeats a span WITHIN itself; doc 4 clean
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "today the quick brown dog sleeps"),
+      (3L, "red green blue red green blue red"),
+      (4L, "entirely unique words here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: global keeper of "the quick brown" — byte-identical
+    assert(out(1L) == (("the quick brown fox jumps", 5L, 5L)))
+    // doc 2: its occurrence (tokens 1-3) removed
+    assert(out(2L) == (("today dog sleeps", 6L, 3L)))
+    // doc 3: spans at pos 0..4; "red green blue" repeats at pos 0 and 3
+    // (keeper pos 0) and the overlapping spans containing both copies
+    // ("green blue red" at 1 and 4, "blue red green" at 2) each repeat
+    // too — keepers cover tokens 0..4, duplicates cover tokens 3..6 ∪
+    // 4..6... the union of all non-keeper occurrences is tokens 3-6,
+    // leaving the first three tokens
+    assert(out(3L) == (("red green blue", 7L, 3L)))
+    // doc 4: untouched
+    assert(out(4L) == (("entirely unique words here", 4L, 4L)))
+    // idempotence on the survivors: scrubbing the cleaned corpus again
+    // removes nothing (all duplicate occurrences are gone)
+    val again = Dedup.removeDuplicateSpans(
+      Seq((1L, out(1L)._1), (2L, out(2L)._1), (3L, out(3L)._1), (4L, out(4L)._1))
+        .toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again == Map(1L -> 5L, 2L -> 3L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("bipartite jaccard join flags only cross-side pairs (incremental dedup)") {
     // new 10 ≈ old 1 (near-dup, one word changed); new 11 == old 2
     // (exact copy, J = 1); new 12 ≈ new 10 (within-batch near-dup —
