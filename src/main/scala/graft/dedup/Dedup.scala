@@ -273,9 +273,14 @@ object Dedup {
     * occurrence's tokens are dropped from their documents, overlapping
     * removals unioned at token level.
     *
-    * Scale shape: one explode into (id, pos, xxhash64(span)) — 8-byte
-    * gram identity through the one count shuffle (q_contamination
-    * discipline); the grouped span frame carries min(struct(id, pos))
+    * Scale shape: one explode into (id, pos, span-hash) — span
+    * identity is a 128-bit key (two independently-seeded xxhash64
+    * columns): with a single 64-bit key a multi-billion-span corpus
+    * sits in birthday-collision range (~50% at 5B spans) and a
+    * collision silently deletes NON-duplicate text; at 128 bits the
+    * same corpus is at ~10⁻¹⁸. Both halves ride the one count shuffle
+    * together (16 bytes/row, q_contamination discipline); the grouped
+    * span frame carries min(struct(id, pos))
     * as the keeper — an O(distinct spans) aggregate, never a window
     * over occurrences. Per-doc removals then MERGE into disjoint
     * intervals relationally (gaps-and-islands over the dup rows: one
@@ -289,20 +294,23 @@ object Dedup {
     * doc×doc and the corpus is scanned once per side of the join.
     *
     * Returns (id, `textCol` cleaned, n_tokens_before, n_tokens_after);
-    * docs without duplicated spans pass through byte-identical.
+    * docs without duplicated spans pass through byte-identical (the
+    * ORIGINAL string, not a token re-join — only docs that lose a
+    * span are rebuilt via single-space concat).
     */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"span length must be >= 1, got $n")
-    val tk = df.select(col(idCol).as("id"),
+    val tk = df.select(col(idCol).as("id"), col(textCol).as("__orig"),
       TextFunctions.tokens(col(textCol)).as("tk"))
     val spans = tk.select(col("id"),
         posexplode(TextFunctions.wordNgramsOf(col("tk"), n)).as(Seq("pos", "g")))
-      .select(col("id"), col("pos"), xxhash64(col("g")).as("h"))
-    val dupSpans = spans.groupBy(col("h"))
+      .select(col("id"), col("pos"),
+        xxhash64(col("g")).as("h"), xxhash64(lit(0x9E3779B9L), col("g")).as("h2"))
+    val dupSpans = spans.groupBy(col("h"), col("h2"))
       .agg(count(lit(1)).as("c"), min(struct(col("id"), col("pos"))).as("keep"))
       .filter(col("c") > 1)
-    val dupRows = spans.join(dupSpans.hint("shuffle_hash"), Seq("h"))
+    val dupRows = spans.join(dupSpans.hint("shuffle_hash"), Seq("h", "h2"))
       .filter(!(col("id") === col("keep.id") && col("pos") === col("keep.pos")))
       .select(col("id"), col("pos"))
     // merge removal intervals [pos, pos+n-1] into disjoint islands:
@@ -326,7 +334,8 @@ object Dedup {
           .otherwise(filter(col("tk"), (_, i) =>
             !exists(col("ivs"), iv => i >= iv.getField("s") && i <= iv.getField("e")))))
       .select(col("id").as(idCol),
-        concat_ws(" ", col("__kept")).as(textCol),
+        when(col("ivs").isNull, col("__orig"))
+          .otherwise(concat_ws(" ", col("__kept"))).as(textCol),
         size(col("tk")).cast("long").as("n_tokens_before"),
         size(col("__kept")).cast("long").as("n_tokens_after"))
   }

@@ -212,7 +212,13 @@ object CoreQueries2 {
     // the ContextCleaner when the result is unreferenced
     val ev = Tables.events(s, d).select($"event_type", $"value").localCheckpoint()
     // (no checkpoint on med: exactQuantilesByGroup returns a DRIVER-built
-    // 1-partition local relation — recompute is free, a checkpoint job isn't)
+    // 1-partition local relation — recompute is free, a checkpoint job
+    // isn't. This RELIES on the router taking the eager exact arm,
+    // i.e. |distinct event_type| ≤ lowCardMax = 64 — true for
+    // events.event_type (single digits). If that cardinality ever
+    // grew past the cap, quantilesByGroup would return the LAZY sort
+    // arm and this frame would recompute in both the MAD fit and the
+    // final pass — re-add a conditional checkpoint then.)
     val med = graft.operators.GlobalRank
       .quantilesByGroup(ev, "event_type", $"value", Seq("med" -> 0.5))
     val withMed = ev.join(broadcast(med), "event_type")

@@ -364,8 +364,13 @@ object Streams {
         .filter(col("__batch_part") =!= batchId) // replay: pre-own-batch state
         .select(col("id"), col("sig"))
       catch { case _: org.apache.spark.sql.AnalysisException => corpusSig.limit(0) }
+    // persisted: cands feeds BOTH the hitText semi-join and the
+    // bipartite verify in one output DAG — without the pin the
+    // batch×index LSH band join runs twice per microbatch unless
+    // exchange-reuse happens to fire
     val cands = Dedup.lshCandidatesBipartiteBanded(
       sigNew, corpusSig.unionByName(survSig), b, r)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verify side: text of ONLY the band-colliding old ids
     val keptText: DataFrame =
       try spark.read.parquet(outPath)
@@ -399,6 +404,7 @@ object Streams {
       .partitionBy("__batch_part")
       .parquet(sigPath)
     kept.unpersist()
+    cands.unpersist()
     shNew.unpersist()
     ()
   }

@@ -169,6 +169,13 @@ class TextDedupSimSpec extends SparkSpec {
     assert(out(3L) == (("red green blue", 7L, 3L)))
     // doc 4: untouched
     assert(out(4L) == (("entirely unique words here", 4L, 4L)))
+    // untouched docs pass through BYTE-identical — irregular whitespace
+    // (double spaces, tabs, trailing space) survives; only docs that
+    // actually lose a span are rebuilt via single-space concat
+    val ws = Dedup.removeDuplicateSpans(
+      Seq((9L, "odd  spacing\there kept verbatim ")).toDF("doc_id", "text"),
+      "doc_id", "text", 3).collect()
+    assert(ws.head.getString(1) == "odd  spacing\there kept verbatim ")
     // idempotence on the survivors: scrubbing the cleaned corpus again
     // removes nothing (all duplicate occurrences are gone)
     val again = Dedup.removeDuplicateSpans(
