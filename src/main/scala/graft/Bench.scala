@@ -30,6 +30,8 @@ object Bench {
       // decouple shuffle width from data size (see GraftSession):
       // fixed-width shuffles spill-cascade one decade up (sf10)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
+      // cached plans coalesce like any shuffle (see GraftSession)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (64L * 1024 * 1024).toString)
       // Tables.t's TIMESTAMP_NTZ→TIMESTAMP cast is digit-preserving

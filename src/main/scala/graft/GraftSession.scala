@@ -36,6 +36,17 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (64L * 1024 * 1024).toString)
+      // Without this, AQE may not change a CACHED plan's output
+      // partitioning — so a persisted aggregate materializes at the
+      // full 1024-wide initialPartitionNum and every later read of the
+      // cache schedules 1024 tasks (measured: q_drift_audit's cell
+      // cache cost 3×0.6-1.3 s PER READ at sf0.01 in pure task
+      // scheduling; 12 of its 13 jobs' stages were 1024-task stages
+      // over <10 MB). With it, the cached frame coalesces like any
+      // other shuffle output. The trade (losing a reusable wide
+      // partitioning) doesn't apply here: cached frames in this
+      // library are small aggregates, re-exchanged downstream anyway.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // 128 MB scan splits: big enough to amortize task overhead,
       // small enough that a task's columnar batches fit in executor
       // memory alongside shuffle buffers.

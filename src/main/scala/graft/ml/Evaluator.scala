@@ -449,72 +449,117 @@ object Evaluator {
       case (f, (_, _, _, nCells)) if nCells <= maxCellsPerFeature => f
     }.toSet
     val sortFeats = features.filter(f => stats.contains(f) && !histFeats(f))
-    val sortedEdges: Map[String, Seq[Double]] =
-      if (sortFeats.isEmpty) Map.empty
-      else graft.operators.GlobalRank.exactQuantilesByGroup(
+    val sortedEdges: Option[DataFrame] =
+      if (sortFeats.isEmpty) None
+      else Some(graft.operators.GlobalRank.exactQuantilesByGroup(
           meltFeatures(baseline, sortFeats), "feature", col("v"),
           edgeNames.zip(probs), maxGroups = math.max(64, sortFeats.size))
-        .collect()
-        .map(r => r.getString(0) -> edgeNames.indices.map(i => r.getDouble(i + 1)).toSeq)
-        .toMap
+        .select(col("feature") +: edgeNames.map(e =>
+          (round(col(e), 4) + lit(0.0)).as(e)): _*))
     def floorR(t: BigDecimal): Long = t.setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
     def ceilR(t: BigDecimal): Long = t.setScale(0, BigDecimal.RoundingMode.CEILING).toLong
-    // 1-based boundary ranks per (histogram feature, prob): floor/ceil of p·(nq−1)
-    val bndRows: java.util.List[org.apache.spark.sql.Row] = (for {
-      (f, (_, _, nq, _)) <- stats.toSeq if nq > 0 && histFeats(f)
-      p <- probs
-      t = BigDecimal(p) * BigDecimal(nq - 1)
-      k <- Seq(floorR(t) + 1L, ceilR(t) + 1L)
-    } yield (f, k)).distinct
-      .map { case (f, k) => org.apache.spark.sql.Row(f, k) }
-      .asJava
-    val bndDf = spark.createDataFrame(bndRows, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("feature", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
-    // the cell HOLDING rank k is the first whose running nb covers it
-    val wCum = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("feature")).orderBy(col("v"))
-    val fetched = cells.filter(valid)
-      .withColumn("cum", sum(col("nb")).over(wCum))
-      .join(broadcast(bndDf), Seq("feature"))
-      .filter(col("cum") >= col("k") && col("cum") - col("nb") < col("k"))
-      .select(col("feature"), col("k"), col("v"))
-      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val edgeRows: java.util.List[org.apache.spark.sql.Row] = stats.toSeq
-      .collect { case (f, (_, _, nq, _)) if nq > 0 =>
-        val es = probs.zipWithIndex.map { case (p, i) =>
-          val e =
-            if (histFeats(f)) {
-              val t = BigDecimal(p) * BigDecimal(nq - 1)
-              val lo = floorR(t)
-              val hi = ceilR(t)
-              val vLo = fetched((f, lo + 1L))
-              if (hi == lo) vLo else vLo + (t - lo).toDouble * (fetched((f, hi + 1L)) - vLo)
-            } else sortedEdges(f)(i)
-          BigDecimal(e).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 1-based boundary ranks per (histogram feature, prob) — floor/ceil
+    // of p·(nq−1), BigDecimal-exact from the already-collected stats —
+    // shipped as ONE broadcast row per feature (kLo_i, kHi_i, frac_i).
+    // The edge VALUES are then read out by conditional aggregation over
+    // the rank-covering cells inside the same job as the bin counting:
+    // the r11 shape collected them in a separate boundary-fetch action
+    // (plus a driver-built edge frame plus a counts checkpoint), and at
+    // sf0.01 that barrier chain ~was~ the query (4.7 s at 1.9 MB).
+    val bndRows: java.util.List[org.apache.spark.sql.Row] = stats.toSeq
+      .collect { case (f, (_, _, nq, _)) if nq > 0 && histFeats(f) =>
+        val cs = probs.flatMap { p =>
+          val t = BigDecimal(p) * BigDecimal(nq - 1)
+          Seq[Any](floorR(t) + 1L, ceilR(t) + 1L, (t - floorR(t)).toDouble)
         }
-        org.apache.spark.sql.Row.fromSeq(f +: es)
+        org.apache.spark.sql.Row.fromSeq(f +: cs)
       }.asJava
-    val edges = spark.createDataFrame(edgeRows, org.apache.spark.sql.types.StructType(
+    val bndDf = spark.createDataFrame(bndRows, org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("feature", org.apache.spark.sql.types.StringType) +:
-        edgeNames.map(e => org.apache.spark.sql.types.StructField(
-          e, org.apache.spark.sql.types.DoubleType))))
-    // bin the CELLS (not rows) by the fitted edges; localCheckpoint
-    // (eager, O(features × bins)) so the cells cache releases here
-    val counts = binByEdges(cells, edges, edgeNames)
-      .groupBy(col("feature"), col("bin"))
-      .agg(sum(col("nb")).as("nb"), sum(col("nc")).as("nc"))
-      .localCheckpoint(true)
-    cells.unpersist()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("feature"))
-    counts
-      .withColumn("tb", sum(col("nb")).over(w))
-      .withColumn("tc", sum(col("nc")).over(w))
-      .withColumn("p", greatest(col("nb").cast("double") / col("tb"), lit(eps)))
-      .withColumn("q", greatest(col("nc").cast("double") / col("tc"), lit(eps)))
+        probs.indices.flatMap(i => Seq(
+          org.apache.spark.sql.types.StructField(s"__klo$i", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(s"__khi$i", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(s"__fr$i", org.apache.spark.sql.types.DoubleType)))))
+    // The whole hist arm is ONE chain over ONE exchange: cells join the
+    // broadcast rank frame, a running-sum window gives each VALID cell
+    // its cumulative baseline rank range, unbounded-frame conditional
+    // window maxes read out the rank-covering boundary VALUES (the cell
+    // holding rank k is the first whose running nb covers it), the
+    // interpolated+rounded edges bin every row in place, and a hash
+    // aggregation (already partitioned by feature — no second exchange)
+    // reduces straight to PSI. The r11 shape collected the boundary
+    // values in a separate action, built a driver-side edge frame,
+    // broadcast it back, and checkpointed the bin counts — at sf0.01
+    // that barrier chain ~was~ the query (4.7 s at 1.9 MB).
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("feature")).orderBy(col("v"))
+    val wCum = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    def covering(k: Column): Column =
+      valid && col("__cum") >= k && col("__cum") - col("nb") < k
+    val nBins = probs.size + 1
+    val binAggs = (0 until nBins).flatMap(b => Seq(
+      sum(when(col("bin") === b, col("nb")).otherwise(0L)).as(s"__nb$b"),
+      sum(when(col("bin") === b, col("nc")).otherwise(0L)).as(s"__nc$b")))
+    val tb = (0 until nBins).map(b => col(s"__nb$b")).reduce(_ + _)
+    val tc = (0 until nBins).map(b => col(s"__nc$b")).reduce(_ + _)
+    // static bin count (probs+1) → per-bin masses as conditional sums:
+    // no (feature, bin) exchange, no per-feature total window, no
+    // second groupBy. A bin empty on both sides contributes
+    // (eps−eps)·ln(1) = 0, identical to the row-per-bin shape.
+    val psiExpr = (0 until nBins).map { b =>
+      val p = greatest(col(s"__nb$b").cast("double") / col("__tb"), lit(eps))
+      val q = greatest(col(s"__nc$b").cast("double") / col("__tc"), lit(eps))
+      (p - q) * log(p / q)
+    }.reduce(_ + _)
+    def toPsi(binned: DataFrame): DataFrame = binned
       .groupBy(col("feature"))
-      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"),
-        max(col("tb")).as("n_ref"), max(col("tc")).as("n_cur"))
+      .agg(binAggs.head, binAggs.tail: _*)
+      .withColumn("__tb", tb).withColumn("__tc", tc)
+      .select(col("feature"), psiExpr.as("psi"),
+        col("__tb").as("n_ref"), col("__tc").as("n_cur"))
+    // invalid cells (null/NaN v) ride the window partition with zero
+    // cum contribution and a disabled covering predicate — excluded
+    // from the edge fit, counted in the last bin by the CASE
+    // fall-through, exactly as before
+    val histBinned = cells
+      .join(broadcast(bndDf), Seq("feature")) // inner: hist feats, nq>0
+      .withColumn("__cum", sum(when(valid, col("nb")).otherwise(0L)).over(wCum))
+      .select((col("feature") +: col("nb") +: col("nc") +: col("v") +:
+        probs.indices.map { i =>
+          val vLo = max(when(covering(col(s"__klo$i")), col("v"))).over(wAll)
+          val vHi = max(when(covering(col(s"__khi$i")), col("v"))).over(wAll)
+          (round(vLo + col(s"__fr$i") * (vHi - vLo), 4) + lit(0.0)).as(s"__e$i")
+        }): _*)
+      .withColumn("bin",
+        probs.indices.foldRight(lit(probs.size): Column) { case (i, tail) =>
+          when(col("v") <= col(s"__e$i"), i).otherwise(tail)
+        })
+    val histPsi = toPsi(histBinned)
+    // near-unique features (rare): bin against the sort-arm edges via
+    // the broadcast join shape; binByEdges' inner join restricts cells
+    // to exactly the sort features
+    val outFrame = sortedEdges.fold(histPsi)(se =>
+      histPsi.unionByName(toPsi(binByEdges(cells, se, edgeNames))))
+    val outRows = outFrame.collect()
+    cells.unpersist()
+    // LocalRelation, not checkpoint/parallelize: O(features) rows whose
+    // frame should carry its real tiny size (the bytes-product join
+    // estimator trap — see exactQuantilesByGroup)
+    spark.createDataFrame(java.util.Arrays.asList(outRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("feature",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("psi",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("n_ref",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_cur",
+          org.apache.spark.sql.types.LongType))))
   }
 
   private def meltFeatures(df: DataFrame, features: Seq[String]): DataFrame =

@@ -559,12 +559,13 @@ class FeatureEvalSpec extends SparkSpec {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val ref = (1 to 400).map(i => (i % 30 / 6.0, i % 17 / 4.0)).toDF("fa", "fb")
     val cur = (1 to 300).map(i => (i % 30 / 6.0 + (i % 3) * 0.5, i % 17 / 4.0)).toDF("fa", "fb")
-    // job-count pin for the r11 histogram redesign: the pre-r11 shape
-    // range-sorted the melted rows (≈5 barriered jobs over row-sized
-    // data, 51 s at the sf10 decade); the histogram shape touches raw
-    // rows in ONE aggregation and runs everything else on cells.
+    // job-count pin for the r12 two-action shape: ONE stats collect
+    // (which also materializes the cells cache) + ONE bin-count/psi
+    // action whose broadcast subtree carries the whole edge fit — the
+    // r11 shape added a separate boundary-fetch collect, a driver-built
+    // edge frame and a counts checkpoint (4.7 s of barriers at 1.9 MB).
     // Counting scheduler jobs bounds the barrier chain; the margin
-    // covers AQE sub-jobs (measured 10-12 on this fixture).
+    // covers AQE sub-jobs (measured 7 on this fixture).
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
@@ -575,7 +576,7 @@ class FeatureEvalSpec extends SparkSpec {
       // listener delivery is async; settle until the count stops moving
       var last = -1
       while (jobs.get() != last) { last = jobs.get(); Thread.sleep(200) }
-      assert(jobs.get() <= 14, s"psiByFeature ran ${jobs.get()} jobs — barrier chain regressed")
+      assert(jobs.get() <= 8, s"psiByFeature ran ${jobs.get()} jobs — barrier chain regressed")
     } finally spark.sparkContext.removeSparkListener(listener)
     // null/NaN: excluded from the edge fit (quantile_cont semantics)
     // but COUNTED in the last bin (CASE fall-through semantics) — so a
