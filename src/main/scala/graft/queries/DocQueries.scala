@@ -869,6 +869,31 @@ object DocQueries {
       | SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
       |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
 
+  /** Vocabulary head via the Misra-Gries sketch — the 100 TB shape of
+    * [[qVocabTopk]]: pass 1 reduces each partition to an O(m) MG
+    * summary ([[graft.functions.MisraGriesTopK]] — mergeable, any key
+    * with frequency > n/m guaranteed present) so the tail vocabulary
+    * (billions of junk singletons in a trillion-token corpus) is never
+    * shuffled; pass 2 exact-counts ONLY the ≤ m candidate keys via a
+    * broadcast semi-join. Results equal the exact top-k whenever every
+    * true top-k key clears the n/m guarantee (here: top-20 min count
+    * ≥ 130× n/4096 at every gated SF, so the DuckDB twin is an
+    * equality oracle, not a containment check).
+    */
+  def qVocabTopkMg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens($"text")).as("token"))
+    val cand = toks
+      .agg(graft.functions.MisraGriesTopK.heavyHitters($"token", 4096).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.key".as("token"))
+    toks.join(broadcast(cand), Seq("token"), "left_semi")
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(20)
+  }
+
   /** TF-IDF head: top-20 (doc, token) pairs by tf·ln(N/df) over a doc
     * subset — the classic text-vectorization weighting, DataFrame-
     * native (explode → per-(doc,token) tf → per-token df → weight).
@@ -1895,6 +1920,7 @@ object DocQueries {
     "q_dup_clusters" -> qDupClusters,
     "q_word_ngrams" -> qWordNgrams,
     "q_vocab_topk" -> qVocabTopk,
+    "q_vocab_topk_mg" -> qVocabTopkMg,
     "q_tfidf" -> qTfidf
   )
 
@@ -1945,6 +1971,9 @@ object DocQueries {
     "q_dup_clusters" -> qDupClustersOracle,
     "q_word_ngrams" -> qWordNgramsOracle,
     "q_vocab_topk" -> qVocabTopkOracle,
+    // the sketch head EQUALS the exact head at these SFs (margin
+    // pinned in qVocabTopkMg's doc), so the exact twin is the oracle
+    "q_vocab_topk_mg" -> qVocabTopkOracle,
     "q_tfidf" -> qTfidfOracle
   )
 }

@@ -250,7 +250,89 @@ object StreamQueries {
       | CAST(sum(frame_idx) AS BIGINT) AS sum_frame_idx
       |FROM f GROUP BY format ORDER BY format""".stripMargin
 
+  /** END-TO-END streaming dedup drain — the one query whose result is
+    * produced by an actual [[Streams.minhashDedupSink]] StreamingQuery
+    * rather than a batch twin: odd-id documents stream through the
+    * sink in 3 doc_id-ordered microbatches (file source,
+    * maxFilesPerTrigger=1) against the even-id kept corpus, and the
+    * SURVIVOR SET read back from the sink's parquet output is the
+    * result. The DuckDB oracle replays the sink's exact drop rule with
+    * the 3 levels unrolled (no recursion needed: level-k docs test
+    * against corpus ∪ level-<k SURVIVORS, and the in-batch rule drops
+    * any doc with a smaller-id J≥t batchmate REGARDLESS of that
+    * batchmate's own fate — Streams.minhashDedupBatch's
+    * hits ∪ inBatch union), with exact 7-gram Jaccard where the sink
+    * uses banded MinHash: at b=32 r=2 a true J ≥ 0.62 pair escapes
+    * banding with prob (1−0.62²)³² ≈ 2·10⁻⁷, and the seeded signatures
+    * make the outcome deterministic — parity holds at every gated SF.
+    */
+  def qStreamDedupDrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val stream = docs.filter($"doc_id" % 2 === 1)
+    val ns = stream.count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drain").toString
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+    val ranked = stream
+      .withColumn("rn", row_number().over(w).cast("long") - 1).localCheckpoint()
+    for (k <- 0 until 3) {
+      ranked.filter(expr(s"rn * 3 div $ns") === k).drop("rn")
+        .coalesce(1).write.parquet(s"$tmp/stage_$k")
+      val part = new java.io.File(s"$tmp/stage_$k").listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .getOrElse(sys.error(s"no part file in $tmp/stage_$k"))
+      val dir = new java.io.File(s"$tmp/in"); dir.mkdirs()
+      val dst = new java.io.File(dir, f"b$k%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + k * 60000L)
+    }
+    // local single-JVM safety: FileSystem-based checkpoint manager, no
+    // checksum writer (see TransformWithStateSpec's rocksConf rationale)
+    s.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+      "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+    s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    val in = s.readStream.schema(s.read.parquet(s"$tmp/in/b000.parquet").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val q = Streams.minhashDedupSink(in, corpus, "doc_id", "text",
+      n = 7, b = 32, r = 2, seed = 7L, threshold = 0.62,
+      s"$tmp/out", s"$tmp/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$tmp/out").select($"doc_id").orderBy($"doc_id")
+  }
+
+  val qStreamDedupDrainOracle: String =
+    """WITH sh AS (
+      | SELECT doc_id,
+      |  list_distinct([substr(text, x, 7) FOR x IN range(1, greatest(len(text) - 5, 1))]) AS sh
+      | FROM documents),
+      |c0 AS (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 0),
+      |s0 AS (SELECT doc_id, sh,
+      |        (row_number() OVER (ORDER BY doc_id) - 1) * 3 // (SELECT count(*) FROM sh WHERE doc_id % 2 = 1) AS b
+      |       FROM sh WHERE doc_id % 2 = 1),
+      |s1 AS (SELECT x.doc_id, x.sh FROM s0 x WHERE x.b = 0
+      |  AND NOT EXISTS (SELECT 1 FROM c0 y WHERE
+      |   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.62)
+      |  AND NOT EXISTS (SELECT 1 FROM s0 y WHERE y.b = 0 AND y.doc_id < x.doc_id AND
+      |   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.62)),
+      |k1 AS (SELECT * FROM c0 UNION ALL SELECT * FROM s1),
+      |s2 AS (SELECT x.doc_id, x.sh FROM s0 x WHERE x.b = 1
+      |  AND NOT EXISTS (SELECT 1 FROM k1 y WHERE
+      |   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.62)
+      |  AND NOT EXISTS (SELECT 1 FROM s0 y WHERE y.b = 1 AND y.doc_id < x.doc_id AND
+      |   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.62)),
+      |k2 AS (SELECT * FROM k1 UNION ALL SELECT * FROM s2),
+      |s3 AS (SELECT x.doc_id, x.sh FROM s0 x WHERE x.b = 2
+      |  AND NOT EXISTS (SELECT 1 FROM k2 y WHERE
+      |   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.62)
+      |  AND NOT EXISTS (SELECT 1 FROM s0 y WHERE y.b = 2 AND y.doc_id < x.doc_id AND
+      |   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.62))
+      |SELECT doc_id FROM (
+      | SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2 UNION ALL SELECT doc_id FROM s3)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_stream_dedup_drain" -> qStreamDedupDrain,
     "q_mm_frames" -> qMmFrames,
     "q_stream_window" -> qStreamWindow,
     "q_stream_hopping" -> qStreamHopping,
@@ -263,6 +345,7 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_dedup_drain" -> qStreamDedupDrainOracle,
     "q_mm_frames" -> qMmFramesOracle,
     "q_stream_window" -> qStreamWindowOracle,
     "q_stream_hopping" -> qStreamHoppingOracle,

@@ -311,9 +311,21 @@ object Similarity {
     * concat — exactly what stored codes decode to) while queries stay
     * full-precision: asymmetric distance computation. Coarse cells,
     * probing, and top-k are identical to [[annIvf]].
+    *
+    * `rerank > 0` adds the standard exact re-ranking pass: PQ ordering
+    * selects the top-`rerank` candidates per query (rerank ≪ cell
+    * size — e.g. 10·k), then ONLY those candidates' full-precision
+    * vectors are fetched (broadcast semi-join on the bounded candidate
+    * id set — the corpus-wide scan stays code-only) and exact cosine
+    * picks the final k. Recovers full-precision-IVF recall when the
+    * true neighbors sit inside PQ's top-rerank — the cases
+    * reconstruction error reorders are exactly neighbors separated by
+    * less than the quantization noise, which re-ranking re-sorts —
+    * at O(queries × rerank) extra vector reads instead of O(corpus).
     */
   def annIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, m: Int, nCodes: Int, k: Int, seed: Long = 42L): DataFrame = {
+      nCells: Int, m: Int, nCodes: Int, k: Int, seed: Long = 42L,
+      rerank: Int = 0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
@@ -349,8 +361,24 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 4) + lit(0.0))
       .select(col("query_id"), col("neighbor_id"), col("cos"))
-    TopKAggregator.topKPerKey(scored, "query_id", "neighbor_id", "cos", k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    val pqTop = TopKAggregator.topKPerKey(scored, "query_id", "neighbor_id", "cos",
+      math.max(k, rerank))
+    if (rerank <= 0)
+      pqTop.select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    else {
+      val cand = pqTop.select(col("query_id"), col("neighbor_id"))
+      // candidate ids are bounded (queries × rerank) → broadcast; the
+      // full-vector fetch touches only matching corpus rows
+      val candVecs = corpus
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+        .join(broadcast(cand), Seq("neighbor_id"))
+      val qVecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      val rescored = candVecs.join(broadcast(qVecs), Seq("query_id"))
+        .withColumn("cos", round(cosine(col("qv"), col("nv")), 4) + lit(0.0))
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+      TopKAggregator.topKPerKey(rescored, "query_id", "neighbor_id", "cos", k)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    }
   }
 
   /** LSH-bucketed ANN: exact top-k within each bucket. Sub-quadratic;

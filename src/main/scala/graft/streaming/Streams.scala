@@ -247,7 +247,11 @@ object Streams {
         .filter(col("__batch_part") =!= batchId) // replay: pre-own-batch state
         .select(col("c_id"), col("c_sh"), col("b"), col("v"))
       catch { case _: org.apache.spark.sql.AnalysisException => corpusIdx.limit(0) }
-    val hits = bsig.join(corpusIdx.unionByName(kept), Seq("b", "v"))
+    // batch side broadcast (bounded: microbatch × bands rows): the
+    // kept index is probed map-side — cached corpus rows and survivor
+    // parquet are scanned, never shuffled (same rationale as
+    // [[minhashDedupBatch]]'s candidate join)
+    val hits = broadcast(bsig).join(corpusIdx.unionByName(kept), Seq("b", "v"))
       .filter(bit_count(col("s_sh").bitwiseXOR(col("c_sh"))) <= maxDist)
       .select(col("s_id")).distinct()
     // in-batch near-dup pairs: band self-join, drop every id that has a
@@ -347,9 +351,21 @@ object Streams {
     * where the previous revision re-shingled the ENTIRE kept corpus
     * every microbatch. Survivors land twice, idempotently per batch
     * id: rows at `outPath`, signatures at `outPath.__sig`.
+    *
+    * `corpusBands` is the corpus index PRE-EXPLODED to (id, band, v)
+    * rows (built and persisted once at sink construction), and the
+    * candidate join BROADCASTS the batch's band rows (bounded: a
+    * microbatch × b 8-byte keys): the kept index is probed as a
+    * map-side scan of cached/parquet data, never shuffled. The
+    * previous shape (generic bipartite band join, hash-shuffled both
+    * sides) re-shuffled the entire b-fanned corpus index every
+    * microbatch — measured at kept=400k/b=21: 8.4M index rows through
+    * the exchange per batch, ~2× the per-batch cost of the broadcast
+    * shape.
     */
   private[graft] def minhashDedupBatch(corpusText: DataFrame, corpusSig: DataFrame,
-      batch: DataFrame, batchId: Long, idCol: String, textCol: String, n: Int,
+      corpusBands: DataFrame, batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, n: Int,
       b: Int, r: Int, seed: Long, threshold: Double, outPath: String): Unit = {
     import graft.dedup.Dedup
     val spark = batch.sparkSession
@@ -368,8 +384,12 @@ object Streams {
     // bipartite verify in one output DAG — without the pin the
     // batch×index LSH band join runs twice per microbatch unless
     // exchange-reuse happens to fire
-    val cands = Dedup.lshCandidatesBipartiteBanded(
-      sigNew, corpusSig.unionByName(survSig), b, r)
+    val bn = Dedup.bandedSigRows(sigNew, b, r)
+      .select(col("id").as("id_new"), col("band"), col("v"))
+    val oldBands = corpusBands.unionByName(Dedup.bandedSigRows(survSig, b, r))
+      .select(col("id").as("id_old"), col("band"), col("v"))
+    val cands = broadcast(bn).join(oldBands, Seq("band", "v"))
+      .select(col("id_new"), col("id_old")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verify side: text of ONLY the band-colliding old ids
     val keptText: DataFrame =
@@ -380,8 +400,15 @@ object Streams {
         corpusText.select(col(idCol), col(textCol)).limit(0) }
     val hitText = corpusText.select(col(idCol), col(textCol)).unionByName(keptText)
       .join(cands.select(col("id_old").as(idCol)), Seq(idCol), "left_semi")
+    // MATERIALIZED (eager, bounded by the candidate set): without the
+    // checkpoint boundary the optimizer collapses the shingle
+    // projection into the verify join's inferred/pushed predicates, and
+    // the interpreted higher-order shingling expression re-evaluates
+    // per CORPUS row inside a Filter — measured 20 s/microbatch over a
+    // 50k kept corpus vs <2 s with the boundary (MinhashBatchProbe)
+    val shOld = Dedup.shingled(hitText, idCol, textCol, n).localCheckpoint()
     val crossHits = Dedup
-      .verifyJaccardBipartite(cands, shNew, Dedup.shingled(hitText, idCol, textCol, n), threshold)
+      .verifyJaccardBipartite(cands, shNew, shOld, threshold)
       .select(col("id_new").as(idCol))
     // in-batch pairs: id_a < id_b from the band self-join, so dropping
     // id_b is the same keep-min rule as the simhash sink
@@ -438,15 +465,19 @@ object Streams {
     val corpusSig = Dedup.shingled(corpus, idCol, textCol, n)
       .withColumn("hs", Dedup.shingleHashes(col("sh")))
       .select(col("id"), Dedup.minhashSignature(col("hs"), Dedup.permCoeffs(b * r, seed)).as("sig"))
+    // cache the index BANDED: per-batch probes scan these (id, band, v)
+    // rows map-side (batch side broadcast) — caching the unexploded
+    // sigs instead would re-run the b×xxhash band fan-out per batch
+    val corpusBands = Dedup.bandedSigRows(corpusSig, b, r)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qry = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        minhashDedupBatch(corpusText, corpusSig, batch.toDF(), batchId, idCol, textCol,
-          n, b, r, seed, threshold, outPath)
+        minhashDedupBatch(corpusText, corpusSig, corpusBands, batch.toDF(), batchId,
+          idCol, textCol, n, b, r, seed, threshold, outPath)
       }
       .start()
-    releaseOnTermination(qry, corpusSig)
+    releaseOnTermination(qry, corpusBands)
     qry
   }
 

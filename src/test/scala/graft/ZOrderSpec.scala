@@ -92,4 +92,37 @@ class ZOrderSpec extends SparkSpec {
     assert(bFiles === 8L, s"baseline should overlap every file, got $bFiles")
     assert(zFiles <= 4L, s"z-order should prune most files, got $zFiles")
   }
+
+  test("z-order layout makes the parquet reader SKIP row groups end-to-end") {
+    // the spread/overlap assertions above show the stats are prunable;
+    // this drives the actual reader: the scan's numOutputRows counts
+    // rows DECODED (post row-group pruning, pre Spark Filter), so a
+    // 2-D box query over the z layout must decode a fraction of what
+    // the natural layout decodes. AQE off so metrics sit on the
+    // executed scan node; one row group per ~MB-sized file here, so
+    // row-group skipping == file skipping.
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_quantity", $"l_extendedprice", $"l_discount")
+    val dir = Files.createTempDirectory("zorder-e2e").toFile.getAbsolutePath
+    ZOrder.zorderBy(li, Seq("l_quantity", "l_extendedprice"), bits = 5, numFiles = 8)
+      .write.mode("overwrite").parquet(s"$dir/z")
+    li.repartition(8).write.mode("overwrite").parquet(s"$dir/base")
+    def decodedRows(path: String): Long = withSQLConf(
+        "spark.sql.adaptive.enabled" -> "false") {
+      val q = spark.read.parquet(path)
+        .filter($"l_quantity".between(10, 15) && $"l_extendedprice".between(5000, 15000))
+        .agg(sum($"l_discount"))
+      q.collect()
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "no FileSourceScanExec in plan")
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val (z, base) = (decodedRows(s"$dir/z"), decodedRows(s"$dir/base"))
+    // natural layout: every file overlaps the box → decodes everything
+    assert(base > 0.9 * li.count(), s"baseline decoded only $base rows?")
+    // z layout: the box predicate lands in a handful of the 8 files
+    assert(z < 0.6 * base, s"z layout decoded $z of $base baseline rows — no skipping")
+  }
 }
