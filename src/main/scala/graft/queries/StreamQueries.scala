@@ -266,7 +266,44 @@ object StreamQueries {
     * banding with prob (1−0.62²)³² ≈ 2·10⁻⁷, and the seeded signatures
     * make the outcome deterministic — parity holds at every gated SF.
     */
-  def qStreamDedupDrain(s: SparkSession, d: String): DataFrame = {
+  def qStreamDedupDrain(s: SparkSession, d: String): DataFrame =
+    drainSurvivors(s, d) { (in, corpus, tmp) =>
+      Streams.minhashDedupSink(in, corpus, "doc_id", "text",
+        n = 7, b = 32, r = 2, seed = 7L, threshold = 0.62,
+        s"$tmp/out", s"$tmp/ckpt")
+    }
+
+  /** END-TO-END streaming SIMHASH dedup drain — the
+    * [[Streams.simhashDedupSink]] twin of [[qStreamDedupDrain]]: the
+    * same 3-microbatch odd-ids-vs-even-corpus harness, but the drop
+    * rule is Hamming distance ≤ 3 on the 60-bit SimHash. At bands=4 >
+    * maxDist=3 the pigeonhole guarantee makes banding EXACT (a ≤3-bit
+    * pair always shares one 15-bit band), so the oracle replays the
+    * rule as plain `bit_count(xor(sh_x, sh_y)) <= 3` over the same
+    * unrolled 3 levels — the engine-independent polyhash SimHash
+    * (q_simhash's oracle formula) makes the two sides bit-identical.
+    */
+  def qStreamSimhashDrain(s: SparkSession, d: String): DataFrame =
+    drainSurvivors(s, d) { (in, corpus, tmp) =>
+      Streams.simhashDedupSink(in, corpus, "doc_id", "text",
+        maxDist = 3, bands = 4, s"$tmp/out", s"$tmp/ckpt")
+    }
+
+  /** Shared end-to-end drain harness: stage the odd-id documents as 3
+    * doc_id-ordered single-file parquet microbatches (file source,
+    * maxFilesPerTrigger=1), run `mkSink(in, evenCorpus, tmp)` to
+    * completion, and return the survivor ids read back from the sink's
+    * `$tmp/out` parquet. The `Window.orderBy` global window is harness
+    * code over the BOUNDED stream half (it stages a test input, it is
+    * not on any production path). Checkpoint confs are session-global:
+    * saved and RESTORED so repeated invocations in a long-lived
+    * Bench/Verify session don't silently change checkpoint behavior
+    * for other streaming queries — and the survivor ids are collected
+    * into a LocalRelation so the temp dir (staging + checkpoint + sink
+    * output) is deleted before return instead of leaking disk per run.
+    */
+  private def drainSurvivors(s: SparkSession, d: String)(
+      mkSink: (DataFrame, DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
     val corpus = docs.filter($"doc_id" % 2 === 0)
@@ -289,16 +326,38 @@ object StreamQueries {
     }
     // local single-JVM safety: FileSystem-based checkpoint manager, no
     // checksum writer (see TransformWithStateSpec's rocksConf rationale)
-    s.conf.set("spark.sql.streaming.checkpointFileManagerClass",
-      "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
-    s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-    val in = s.readStream.schema(s.read.parquet(s"$tmp/in/b000.parquet").schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
-    val q = Streams.minhashDedupSink(in, corpus, "doc_id", "text",
-      n = 7, b = 32, r = 2, seed = 7L, threshold = 0.62,
-      s"$tmp/out", s"$tmp/ckpt")
-    try q.processAllAvailable() finally q.stop()
-    s.read.parquet(s"$tmp/out").select($"doc_id").orderBy($"doc_id")
+    val ckptConfs = Seq(
+      "spark.sql.streaming.checkpointFileManagerClass" ->
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
+    val saved = ckptConfs.map { case (k, _) => k -> s.conf.getOption(k) }
+    ckptConfs.foreach { case (k, v) => s.conf.set(k, v) }
+    val survivors =
+      try {
+        val in = s.readStream.schema(s.read.parquet(s"$tmp/in/b000.parquet").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+        val q = mkSink(in, corpus, tmp)
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$tmp/out").select($"doc_id").orderBy($"doc_id")
+          .collect().toList
+      } finally {
+        saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+        deleteRecursively(new java.io.File(tmp))
+      }
+    // survivor ids only (8 bytes/doc) — bounded collect, real tiny stats
+    s.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(survivors).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
   }
 
   val qStreamDedupDrainOracle: String =
@@ -331,8 +390,52 @@ object StreamQueries {
       | SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2 UNION ALL SELECT doc_id FROM s3)
       |ORDER BY doc_id""".stripMargin
 
+  /** The polyhash SimHash formula shared with q_simhash's oracle
+    * (DocQueries.qSimhashOracle) — engine-independent integer
+    * arithmetic, bit-identical to [[graft.functions.SimHash60]].
+    */
+  private val simhashSql: String =
+    """WITH t AS (
+      | SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |h AS (
+      | SELECT doc_id, list_transform(tk, s ->
+      |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(range(1, length(s)+1), i -> CAST(ascii(substring(s,i,1)) AS BIGINT))),
+      |     (acc, x) -> (acc*31 + x) % 1000000007)
+      |   + 1073741824 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(range(1, length(s)+1), i -> CAST(ascii(substring(s,i,1)) AS BIGINT))),
+      |     (acc, x) -> (acc*37 + x) % 1000000007)) AS hs
+      | FROM t),
+      |sh AS (
+      | SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+      |   CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // CAST(pow(2,b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
+      |        THEN CAST(pow(2,b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sh
+      | FROM h)""".stripMargin
+
+  val qStreamSimhashDrainOracle: String =
+    simhashSql + """,
+      |c0 AS (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 0),
+      |s0 AS (SELECT doc_id, sh,
+      |        (row_number() OVER (ORDER BY doc_id) - 1) * 3 // (SELECT count(*) FROM sh WHERE doc_id % 2 = 1) AS b
+      |       FROM sh WHERE doc_id % 2 = 1),
+      |s1 AS (SELECT x.doc_id, x.sh FROM s0 x WHERE x.b = 0
+      |  AND NOT EXISTS (SELECT 1 FROM c0 y WHERE bit_count(xor(x.sh, y.sh)) <= 3)
+      |  AND NOT EXISTS (SELECT 1 FROM s0 y WHERE y.b = 0 AND y.doc_id < x.doc_id AND bit_count(xor(x.sh, y.sh)) <= 3)),
+      |k1 AS (SELECT * FROM c0 UNION ALL SELECT * FROM s1),
+      |s2 AS (SELECT x.doc_id, x.sh FROM s0 x WHERE x.b = 1
+      |  AND NOT EXISTS (SELECT 1 FROM k1 y WHERE bit_count(xor(x.sh, y.sh)) <= 3)
+      |  AND NOT EXISTS (SELECT 1 FROM s0 y WHERE y.b = 1 AND y.doc_id < x.doc_id AND bit_count(xor(x.sh, y.sh)) <= 3)),
+      |k2 AS (SELECT * FROM k1 UNION ALL SELECT * FROM s2),
+      |s3 AS (SELECT x.doc_id, x.sh FROM s0 x WHERE x.b = 2
+      |  AND NOT EXISTS (SELECT 1 FROM k2 y WHERE bit_count(xor(x.sh, y.sh)) <= 3)
+      |  AND NOT EXISTS (SELECT 1 FROM s0 y WHERE y.b = 2 AND y.doc_id < x.doc_id AND bit_count(xor(x.sh, y.sh)) <= 3))
+      |SELECT doc_id FROM (
+      | SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2 UNION ALL SELECT doc_id FROM s3)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q_stream_dedup_drain" -> qStreamDedupDrain,
+    "q_stream_simhash_drain" -> qStreamSimhashDrain,
     "q_mm_frames" -> qMmFrames,
     "q_stream_window" -> qStreamWindow,
     "q_stream_hopping" -> qStreamHopping,
@@ -346,6 +449,7 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "q_stream_dedup_drain" -> qStreamDedupDrainOracle,
+    "q_stream_simhash_drain" -> qStreamSimhashDrainOracle,
     "q_mm_frames" -> qMmFramesOracle,
     "q_stream_window" -> qStreamWindowOracle,
     "q_stream_hopping" -> qStreamHoppingOracle,

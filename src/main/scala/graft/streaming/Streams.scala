@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
@@ -241,7 +241,7 @@ object Streams {
     val spark = batch.sparkSession
     // microbatch-bounded; checkpointed so simhash + banding run once
     // across the index probe, the self-join, and the survivor semi-join
-    val bsig = bandedSimhash(batch, idCol, textCol, bands, "s").localCheckpoint()
+    val bsig = bandedSimhash(ensureWidth(batch), idCol, textCol, bands, "s").localCheckpoint()
     val kept: DataFrame =
       try spark.read.parquet(sigPath)
         .filter(col("__batch_part") =!= batchId) // replay: pre-own-batch state
@@ -250,8 +250,12 @@ object Streams {
     // batch side broadcast (bounded: microbatch × bands rows): the
     // kept index is probed map-side — cached corpus rows and survivor
     // parquet are scanned, never shuffled (same rationale as
-    // [[minhashDedupBatch]]'s candidate join)
-    val hits = broadcast(bsig).join(corpusIdx.unionByName(kept), Seq("b", "v"))
+    // [[minhashDedupBatch]]'s candidate join). Gated like the minhash
+    // twin: an unthrottled catch-up batch falls back to the shuffle
+    // band join instead of blowing the broadcast limit
+    val bsigSide = if (bsig.count() <= maxBroadcastBandRows) broadcast(bsig)
+                   else bsig.hint("shuffle_hash")
+    val hits = bsigSide.join(corpusIdx.unionByName(kept), Seq("b", "v"))
       .filter(bit_count(col("s_sh").bitwiseXOR(col("c_sh"))) <= maxDist)
       .select(col("s_id")).distinct()
     // in-batch near-dup pairs: band self-join, drop every id that has a
@@ -302,7 +306,7 @@ object Streams {
       outPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     require(bands > maxDist && 60 % bands == 0,
       s"pigeonhole completeness needs bands > maxDist and bands | 60 (got $bands, $maxDist)")
-    val corpusIdx = bandedSimhash(corpus, idCol, textCol, bands, "c")
+    val corpusIdx = bandedSimhash(ensureWidth(corpus), idCol, textCol, bands, "c")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qry = stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -354,9 +358,11 @@ object Streams {
     *
     * `corpusBands` is the corpus index PRE-EXPLODED to (id, band, v)
     * rows (built and persisted once at sink construction), and the
-    * candidate join BROADCASTS the batch's band rows (bounded: a
-    * microbatch × b 8-byte keys): the kept index is probed as a
-    * map-side scan of cached/parquet data, never shuffled. The
+    * candidate join BROADCASTS the batch's band rows when the batch is
+    * bounded (≤ [[maxBroadcastBandRows]] band rows; an unthrottled
+    * catch-up batch falls back to the shuffle band join): the kept
+    * index is probed as a map-side scan of cached/parquet data, never
+    * shuffled. The
     * previous shape (generic bipartite band join, hash-shuffled both
     * sides) re-shuffled the entire b-fanned corpus index every
     * microbatch — measured at kept=400k/b=21: 8.4M index rows through
@@ -371,8 +377,11 @@ object Streams {
     val spark = batch.sparkSession
     val sigPath = s"$outPath.__sig"
     val coeffs = Dedup.permCoeffs(b * r, seed)
-    val shNew = Dedup.shingled(batch, idCol, textCol, n)
+    val shNew = Dedup.shingled(ensureWidth(batch), idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one cheap job: materializes the shingle pin AND bounds the batch
+    // for the broadcast gate below
+    val batchRows = shNew.count()
     val sigNew = shNew.withColumn("hs", Dedup.shingleHashes(col("sh")))
       .select(col("id"), Dedup.minhashSignature(col("hs"), coeffs).as("sig"))
     val survSig: DataFrame =
@@ -388,8 +397,26 @@ object Streams {
       .select(col("id").as("id_new"), col("band"), col("v"))
     val oldBands = corpusBands.unionByName(Dedup.bandedSigRows(survSig, b, r))
       .select(col("id").as("id_old"), col("band"), col("v"))
-    val cands = broadcast(bn).join(oldBands, Seq("band", "v"))
+    // broadcast only a BOUNDED batch: with no source rate limit a
+    // catch-up microbatch can pull the whole backlog, and batch×b band
+    // rows must then fit the broadcast limit and executor memory — past
+    // the gate, fall back to the shuffle band join (the batch side is
+    // the build), which degrades gracefully instead of failing loudly
+    val bnSide = if (batchRows * b <= maxBroadcastBandRows) broadcast(bn)
+                 else bn.hint("shuffle_hash")
+    val candsRaw = bnSide.join(oldBands, Seq("band", "v"))
       .select(col("id_new"), col("id_old")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EXPLICIT verify width, sized from the PAIR COUNT: the persisted
+    // candidate frame is a few MB of id pairs, so AQE size-coalesces
+    // its exchange to 1-2 partitions — blind to the quadratic per-row
+    // shingle-intersection cost of the verify join that inherits the
+    // width (measured 10.8 s on 2 of 32 cores per microbatch at sf0.1).
+    // repartition-by-num is exempt from AQE coalescing, so the verify
+    // stage keeps this width. Same lesson as GlobalRank.rangeWidth:
+    // size the exchange from the work, not the bytes.
+    val nPairs = candsRaw.count()
+    val cands = candsRaw.repartition(verifyWidth(spark, nPairs), col("id_new"), col("id_old"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verify side: text of ONLY the band-colliding old ids
     val keptText: DataFrame =
@@ -406,14 +433,21 @@ object Streams {
     // the interpreted higher-order shingling expression re-evaluates
     // per CORPUS row inside a Filter — measured 20 s/microbatch over a
     // 50k kept corpus vs <2 s with the boundary (MinhashBatchProbe)
-    val shOld = Dedup.shingled(hitText, idCol, textCol, n).localCheckpoint()
+    val shOld = Dedup.shingled(ensureWidth(hitText), idCol, textCol, n).localCheckpoint()
     val crossHits = Dedup
       .verifyJaccardBipartite(cands, shNew, shOld, threshold)
       .select(col("id_new").as(idCol))
     // in-batch pairs: id_a < id_b from the band self-join, so dropping
-    // id_b is the same keep-min rule as the simhash sink
+    // id_b is the same keep-min rule as the simhash sink. Same verify
+    // width treatment as the bipartite pairs — a high-background-J
+    // batch can band-collide quadratically, and the self-join's tiny
+    // exchange would otherwise AQE-coalesce to 1 task
+    val inCandsRaw = Dedup.lshCandidatesBanded(sigNew, b, r)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inCands = inCandsRaw
+      .repartition(verifyWidth(spark, inCandsRaw.count()), col("id_a"), col("id_b"))
     val inBatch = Dedup
-      .verifyJaccard(Dedup.lshCandidatesBanded(sigNew, b, r), shNew, threshold)
+      .verifyJaccard(inCands, shNew, threshold)
       .select(col("id_b").as(idCol))
     val kept = batch.join(crossHits.unionByName(inBatch).distinct(), Seq(idCol), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -432,9 +466,45 @@ object Streams {
       .parquet(sigPath)
     kept.unpersist()
     cands.unpersist()
+    candsRaw.unpersist()
+    inCandsRaw.unpersist()
     shNew.unpersist()
     ()
   }
+
+  /** Floor a frame's partition count at cluster parallelism before a
+    * compute-heavy per-row stage: a file-source microbatch arrives as
+    * ONE staged file (1-2 splits), and a small corpus parquet is a
+    * single split — so shingling + md5 minhashing would run 2-wide on
+    * a 32-core cluster (measured: 15 s of a 40 s drain in one 2-task
+    * stage). The shuffle moves only the bounded batch/corpus text once.
+    */
+  private[graft] def ensureWidth(df: DataFrame): DataFrame = {
+    val floor = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < floor) df.repartition(floor) else df
+  }
+
+  /** Verify-stage width for a candidate-pair frame, from the PAIR
+    * COUNT: each pair costs a two-pointer merge over two shingle
+    * arrays, so ~2k pairs is a sub-second task regardless of byte
+    * size. Floored at cluster parallelism, capped at the AQE start
+    * width (the same cap [[graft.operators.GlobalRank.rangeWidth]]
+    * respects).
+    */
+  private[graft] def verifyWidth(spark: SparkSession, pairs: Long): Int = {
+    val floor = spark.sparkContext.defaultParallelism
+    val cap = spark.conf
+      .get("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024").toInt
+    val perTask = 2048L
+    ((pairs + perTask - 1) / perTask).max(floor.toLong).min(cap.max(floor).toLong).toInt
+  }
+
+  /** Broadcast gate for the per-batch band probes: batch×bands rows at
+    * ~28 bytes/row ≈ 60 MB at the gate — far under the 8 GB broadcast
+    * hard limit but bounded, so an unthrottled catch-up microbatch
+    * falls back to the shuffle band join instead of OOMing the driver.
+    */
+  private val maxBroadcastBandRows = 2L << 20
 
   /** Streaming near-dup filter in JACCARD space — the MinHash twin of
     * [[simhashDedupSink]], for the near-dups simhash misses: token
@@ -462,7 +532,9 @@ object Streams {
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.dedup.Dedup
     val corpusText = corpus.select(col(idCol), col(textCol))
-    val corpusSig = Dedup.shingled(corpus, idCol, textCol, n)
+    // width-floored: a single-split corpus parquet would otherwise
+    // shingle+minhash 1-wide at construction (see [[ensureWidth]])
+    val corpusSig = Dedup.shingled(ensureWidth(corpus), idCol, textCol, n)
       .withColumn("hs", Dedup.shingleHashes(col("sh")))
       .select(col("id"), Dedup.minhashSignature(col("hs"), Dedup.permCoeffs(b * r, seed)).as("sig"))
     // cache the index BANDED: per-batch probes scan these (id, band, v)

@@ -576,7 +576,11 @@ class FeatureEvalSpec extends SparkSpec {
       // listener delivery is async; settle until the count stops moving
       var last = -1
       while (jobs.get() != last) { last = jobs.get(); Thread.sleep(200) }
-      assert(jobs.get() <= 8, s"psiByFeature ran ${jobs.get()} jobs — barrier chain regressed")
+      // ≤10, not ≤8: AQE sub-job counts vary with core count and
+      // partition coalescing (7 measured here), and the r11 barrier
+      // chain this pins against ran ~12 — a 2-job margin still catches
+      // the regression without flaking on different parallelism
+      assert(jobs.get() <= 10, s"psiByFeature ran ${jobs.get()} jobs — barrier chain regressed")
     } finally spark.sparkContext.removeSparkListener(listener)
     // null/NaN: excluded from the edge fit (quantile_cont semantics)
     // but COUNTED in the last bin (CASE fall-through semantics) — so a

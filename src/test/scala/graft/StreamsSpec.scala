@@ -279,7 +279,7 @@ class StreamsSpec extends SparkSpec {
     // storageLevel resolves through the cache manager by PLAN equality,
     // so this probe (same plan as the sink's internal index) observes
     // the sink's cache without holding a reference to it
-    val probe = Streams.bandedSimhash(corpus, "doc_id", "text", bands = 15, "c")
+    val probe = Streams.bandedSimhash(Streams.ensureWidth(corpus), "doc_id", "text", bands = 15, "c")
     val ms = MemoryStream[DocIn]
     val q = Streams.simhashDedupSink(ms.toDF(), corpus, "doc_id", "text",
       maxDist = 4, bands = 15, s"$dir/out", s"$dir/ckpt")
@@ -580,5 +580,24 @@ class StreamsSpec extends SparkSpec {
     assert(out.keySet == Set(0L, 1L))
     assert(math.abs(out(0L)) < 1e-9, s"in-distribution psi ${out(0L)}")
     assert(out(1L) > 0.2, s"shifted psi ${out(1L)}")
+  }
+
+  test("dedup sink verify width is sized from the pair count, floored at parallelism") {
+    // pins the r12 scale-killer: AQE size-coalesced the persisted
+    // candidate frame to 2 partitions, blind to the quadratic per-pair
+    // shingle-intersection cost — verifyWidth sizes from ROWS instead
+    val floor = spark.sparkContext.defaultParallelism
+    assert(Streams.verifyWidth(spark, 0L) == floor)
+    assert(Streams.verifyWidth(spark, 2048L * floor) == floor)
+    assert(Streams.verifyWidth(spark, 2048L * (floor + 5)) == floor + 5)
+    val cap = spark.conf
+      .get("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024").toInt
+    assert(Streams.verifyWidth(spark, Long.MaxValue / 4096) == math.max(cap, floor))
+    // ensureWidth: a single-split frame (one staged microbatch file)
+    // is floored at cluster width; an already-wide frame is untouched
+    val narrow = spark.range(100).toDF("doc_id").coalesce(1)
+    assert(Streams.ensureWidth(narrow).rdd.getNumPartitions == floor)
+    val wide = spark.range(100).toDF("doc_id").repartition(floor * 2)
+    assert(Streams.ensureWidth(wide).rdd.getNumPartitions == floor * 2)
   }
 }
