@@ -115,6 +115,11 @@ object StreamBench {
 
   private def report(sink: String, kept: Long, batchRows: Int,
       rows: Seq[BatchRow]): String = {
+    // "rows" is the progress event's raw numInputRows, which counts
+    // SOURCE READS, not offsets: a foreachBatch body with k actions on
+    // the batch frame re-reads the staged file k times, so it reports
+    // k × the staged row count. Throughput therefore uses batchRows
+    // (the true staged size), never numInputRows.
     // batch 0 carries codegen/scan warmup; sustained = mean of the rest
     val warm = if (rows.size > 1) rows.tail else rows
     val mean = warm.map(_.sec).sum / math.max(1, warm.size)
