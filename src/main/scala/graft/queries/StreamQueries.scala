@@ -305,7 +305,19 @@ object StreamQueries {
   private def drainSurvivors(s: SparkSession, d: String)(
       mkSink: (DataFrame, DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
     import s.implicits._
+    // ORACLE-seat cap, 5,000 smallest doc_ids == the whole sf0.1
+    // universe, so every gated-SF result is unchanged. Same
+    // bounded-sample design as every exact-verify oracle seat
+    // (SCALING.md "fixed-size caps"): the drain's exact-Jaccard DuckDB
+    // replay is all-pairs NOT EXISTS — quadratic on BOTH engines — and
+    // at b=32/r=2 this corpus's background J makes the sink side
+    // candidate-quadratic too (uncapped sf1 drain measured 189 s;
+    // sf10 would be pair-count x100 that). The UNCAPPED sinks at
+    // 400k-doc indexes are measured by StreamBench (STREAMING.md).
+    val w0 = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      .withColumn("__r", row_number().over(w0)).filter($"__r" <= 5000).drop("__r")
+      .localCheckpoint()
     val corpus = docs.filter($"doc_id" % 2 === 0)
     val stream = docs.filter($"doc_id" % 2 === 1)
     val ns = stream.count()
@@ -361,10 +373,13 @@ object StreamQueries {
   }
 
   val qStreamDedupDrainOracle: String =
-    """WITH sh AS (
+    """WITH dcap AS (
+      | SELECT doc_id, text FROM documents
+      | QUALIFY row_number() OVER (ORDER BY doc_id) <= 5000),
+      |sh AS (
       | SELECT doc_id,
       |  list_distinct([substr(text, x, 7) FOR x IN range(1, greatest(len(text) - 5, 1))]) AS sh
-      | FROM documents),
+      | FROM dcap),
       |c0 AS (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 0),
       |s0 AS (SELECT doc_id, sh,
       |        (row_number() OVER (ORDER BY doc_id) - 1) * 3 // (SELECT count(*) FROM sh WHERE doc_id % 2 = 1) AS b
@@ -395,8 +410,11 @@ object StreamQueries {
     * arithmetic, bit-identical to [[graft.functions.SimHash60]].
     */
   private val simhashSql: String =
-    """WITH t AS (
-      | SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+    """WITH dcap AS (
+      | SELECT doc_id, text FROM documents
+      | QUALIFY row_number() OVER (ORDER BY doc_id) <= 5000),
+      |t AS (
+      | SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM dcap),
       |h AS (
       | SELECT doc_id, list_transform(tk, s ->
       |   list_reduce(list_prepend(CAST(0 AS BIGINT),

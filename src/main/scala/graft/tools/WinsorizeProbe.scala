@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Dev-only: stage-level profile of q_winsorize at a given SF (the r11
+  * sweep measured a 7.9x/decade slope into sf10 — find the term and
+  * whether the composite-key sort arm spills at 60M rows).
+  */
+object WinsorizeProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/benchdata/sf10")
+    val cpus = Runtime.getRuntime.availableProcessors()
+    val spark = graft.GraftSession.builder("winsor-probe", cpus)
+      .master(s"local[$cpus]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val stages = new scala.collection.concurrent.TrieMap[Int, String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val si = s.stageInfo
+        val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+        if (dur > 0.3) {
+          val m = si.taskMetrics
+          stages.put(si.stageId,
+            f"stage ${si.stageId}%4d ${si.numTasks}%5d tasks $dur%6.2f s  " +
+            f"spillMem=${m.memoryBytesSpilled / 1048576}%d MB spillDisk=${m.diskBytesSpilled / 1048576}%d MB " +
+            f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1048576}%d MB  " +
+            si.rddInfos.map(r => s"${r.name}${r.scope.map("/" + _.name).getOrElse("")}").mkString("|").take(160))
+        }
+        ()
+      }
+    })
+    for (run <- 0 until 2) {
+      stages.clear()
+      val t0 = System.nanoTime()
+      graft.queries.FeatureQueries.all("q_winsorize")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      println(f"== run $run: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      Thread.sleep(500)
+      stages.toSeq.sortBy(_._1).foreach { case (_, l) => println("  " + l) }
+    }
+    spark.stop()
+  }
+}
