@@ -373,30 +373,30 @@ object StreamQueries {
   }
 
   val qStreamDedupDrainOracle: String =
-    """WITH dcap AS (
+    """WITH dcap AS MATERIALIZED (
       | SELECT doc_id, text FROM documents
       | QUALIFY row_number() OVER (ORDER BY doc_id) <= 5000),
-      |sh AS (
+      |sh AS MATERIALIZED (
       | SELECT doc_id,
       |  list_distinct([substr(text, x, 7) FOR x IN range(1, greatest(len(text) - 5, 1))]) AS sh
       | FROM dcap),
-      |c0 AS (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 0),
-      |s0 AS (SELECT doc_id, sh,
+      |c0 AS MATERIALIZED (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 0),
+      |s0 AS MATERIALIZED (SELECT doc_id, sh,
       |        (row_number() OVER (ORDER BY doc_id) - 1) * 3 // (SELECT count(*) FROM sh WHERE doc_id % 2 = 1) AS b
       |       FROM sh WHERE doc_id % 2 = 1),
-      |s1 AS (SELECT x.doc_id, x.sh FROM s0 x WHERE x.b = 0
+      |s1 AS MATERIALIZED (SELECT x.doc_id, x.sh FROM s0 x WHERE x.b = 0
       |  AND NOT EXISTS (SELECT 1 FROM c0 y WHERE
       |   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.62)
       |  AND NOT EXISTS (SELECT 1 FROM s0 y WHERE y.b = 0 AND y.doc_id < x.doc_id AND
       |   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.62)),
-      |k1 AS (SELECT * FROM c0 UNION ALL SELECT * FROM s1),
-      |s2 AS (SELECT x.doc_id, x.sh FROM s0 x WHERE x.b = 1
+      |k1 AS MATERIALIZED (SELECT * FROM c0 UNION ALL SELECT * FROM s1),
+      |s2 AS MATERIALIZED (SELECT x.doc_id, x.sh FROM s0 x WHERE x.b = 1
       |  AND NOT EXISTS (SELECT 1 FROM k1 y WHERE
       |   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.62)
       |  AND NOT EXISTS (SELECT 1 FROM s0 y WHERE y.b = 1 AND y.doc_id < x.doc_id AND
       |   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.62)),
-      |k2 AS (SELECT * FROM k1 UNION ALL SELECT * FROM s2),
-      |s3 AS (SELECT x.doc_id, x.sh FROM s0 x WHERE x.b = 2
+      |k2 AS MATERIALIZED (SELECT * FROM k1 UNION ALL SELECT * FROM s2),
+      |s3 AS MATERIALIZED (SELECT x.doc_id, x.sh FROM s0 x WHERE x.b = 2
       |  AND NOT EXISTS (SELECT 1 FROM k2 y WHERE
       |   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.62)
       |  AND NOT EXISTS (SELECT 1 FROM s0 y WHERE y.b = 2 AND y.doc_id < x.doc_id AND
@@ -410,7 +410,7 @@ object StreamQueries {
     * arithmetic, bit-identical to [[graft.functions.SimHash60]].
     */
   private val simhashSql: String =
-    """WITH dcap AS (
+    """WITH dcap AS MATERIALIZED (
       | SELECT doc_id, text FROM documents
       | QUALIFY row_number() OVER (ORDER BY doc_id) <= 5000),
       |t AS (
@@ -424,7 +424,7 @@ object StreamQueries {
       |     list_transform(range(1, length(s)+1), i -> CAST(ascii(substring(s,i,1)) AS BIGINT))),
       |     (acc, x) -> (acc*37 + x) % 1000000007)) AS hs
       | FROM t),
-      |sh AS (
+      |sh AS MATERIALIZED (
       | SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
       |   CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // CAST(pow(2,b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
       |        THEN CAST(pow(2,b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sh
@@ -432,19 +432,19 @@ object StreamQueries {
 
   val qStreamSimhashDrainOracle: String =
     simhashSql + """,
-      |c0 AS (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 0),
-      |s0 AS (SELECT doc_id, sh,
+      |c0 AS MATERIALIZED (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 0),
+      |s0 AS MATERIALIZED (SELECT doc_id, sh,
       |        (row_number() OVER (ORDER BY doc_id) - 1) * 3 // (SELECT count(*) FROM sh WHERE doc_id % 2 = 1) AS b
       |       FROM sh WHERE doc_id % 2 = 1),
-      |s1 AS (SELECT x.doc_id, x.sh FROM s0 x WHERE x.b = 0
+      |s1 AS MATERIALIZED (SELECT x.doc_id, x.sh FROM s0 x WHERE x.b = 0
       |  AND NOT EXISTS (SELECT 1 FROM c0 y WHERE bit_count(xor(x.sh, y.sh)) <= 3)
       |  AND NOT EXISTS (SELECT 1 FROM s0 y WHERE y.b = 0 AND y.doc_id < x.doc_id AND bit_count(xor(x.sh, y.sh)) <= 3)),
-      |k1 AS (SELECT * FROM c0 UNION ALL SELECT * FROM s1),
-      |s2 AS (SELECT x.doc_id, x.sh FROM s0 x WHERE x.b = 1
+      |k1 AS MATERIALIZED (SELECT * FROM c0 UNION ALL SELECT * FROM s1),
+      |s2 AS MATERIALIZED (SELECT x.doc_id, x.sh FROM s0 x WHERE x.b = 1
       |  AND NOT EXISTS (SELECT 1 FROM k1 y WHERE bit_count(xor(x.sh, y.sh)) <= 3)
       |  AND NOT EXISTS (SELECT 1 FROM s0 y WHERE y.b = 1 AND y.doc_id < x.doc_id AND bit_count(xor(x.sh, y.sh)) <= 3)),
-      |k2 AS (SELECT * FROM k1 UNION ALL SELECT * FROM s2),
-      |s3 AS (SELECT x.doc_id, x.sh FROM s0 x WHERE x.b = 2
+      |k2 AS MATERIALIZED (SELECT * FROM k1 UNION ALL SELECT * FROM s2),
+      |s3 AS MATERIALIZED (SELECT x.doc_id, x.sh FROM s0 x WHERE x.b = 2
       |  AND NOT EXISTS (SELECT 1 FROM k2 y WHERE bit_count(xor(x.sh, y.sh)) <= 3)
       |  AND NOT EXISTS (SELECT 1 FROM s0 y WHERE y.b = 2 AND y.doc_id < x.doc_id AND bit_count(xor(x.sh, y.sh)) <= 3))
       |SELECT doc_id FROM (
