@@ -301,12 +301,22 @@ object Dedup {
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"span length must be >= 1, got $n")
-    val tk = df.select(col(idCol).as("id"), col(textCol).as("__orig"),
-      TextFunctions.tokens(col(textCol)).as("tk"))
-    val spans = tk.select(col("id"),
+    // The token array MUST be materialized by its own Project before the
+    // ngram generator consumes it: inlining tokens(text) into
+    // wordNgramsOf re-executes split() per slice reference inside the
+    // generator (measured 6.4 -> 22.8 s on the sf10 explode stage).
+    val spans = df.select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("id"),
         posexplode(TextFunctions.wordNgramsOf(col("tk"), n)).as(Seq("pos", "g")))
       .select(col("id"), col("pos"),
         xxhash64(col("g")).as("h"), xxhash64(lit(0x9E3779B9L), col("g")).as("h2"))
+    // Keeper identity stays min(struct(id, pos)): it costs a
+    // SortAggregate (struct buffers aren't hash-aggregable), but the
+    // measured alternative — packing (id, pos) into a DECIMAL(38,0) so
+    // the aggregate hashes — was 2x SLOWER at sf10 (precision-38
+    // decimals are BigDecimal-backed; the per-row allocation in min()
+    // dwarfs the sort it saved).
     val dupSpans = spans.groupBy(col("h"), col("h2"))
       .agg(count(lit(1)).as("c"), min(struct(col("id"), col("pos"))).as("keep"))
       .filter(col("c") > 1)
@@ -328,7 +338,22 @@ object Dedup {
       .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(n - 1)).as("e"))
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("ivs"))
-    tk.join(islands, Seq("id"), "left")
+    // Reconstruction: the exchange carries only (id, original text) —
+    // 1x corpus bytes; the token array is recomputed post-join (a
+    // deterministic split of the text) rather than shuffled alongside
+    // it, which halved the corpus-side exchange at sf10 (217 MB with
+    // both columns). The width is pinned (REPARTITION_BY_NUM is exempt
+    // from AQE coalescing): the narrower exchange would otherwise be
+    // size-coalesced below the core count while the per-row CPU
+    // (re-split + interval filter) went UP — the r10 bytes-blind-
+    // coalescing lesson. Width from [[graft.operators.GlobalRank.rangeWidth]]
+    // (bytes-estimate with a cluster-parallelism floor), NOT the raw
+    // shuffle-partition conf — that reads the 1024-wide AQE
+    // initialPartitionNum and schedules 1024 near-empty tasks.
+    val slim = df.select(col(idCol).as("id"), col(textCol).as("__orig"))
+    slim.repartition(graft.operators.GlobalRank.rangeWidth(slim), col("id"))
+      .join(islands, Seq("id"), "left")
+      .withColumn("tk", TextFunctions.tokens(col("__orig")))
       .withColumn("__kept",
         when(col("ivs").isNull, col("tk"))
           .otherwise(filter(col("tk"), (_, i) =>
