@@ -501,8 +501,14 @@ object CoreQueries2 {
   def qScd2(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
-    val runs = Tables.orders(s, d)
+    val src = Tables.orders(s, d)
       .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    // Explicit-width partition (exempt from AQE coalescing): the
+    // window stages are per-row CPU (sort + two passes), and AQE's
+    // bytes-based coalescing ran them 5-wide over 261 MB at sf10 —
+    // 10 s/stage on 2/13 of the cores.
+    val runs = src
+      .repartition(graft.operators.GlobalRank.rangeWidth(src), $"o_custkey")
       .withColumn("chg",
         when(lag($"o_orderpriority", 1).over(w).isNull ||
           lag($"o_orderpriority", 1).over(w) =!= $"o_orderpriority", 1L).otherwise(0L))
