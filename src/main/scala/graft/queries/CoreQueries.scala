@@ -117,6 +117,13 @@ object CoreQueries {
   def q4WindowTopN(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    // NO explicit-width repartition here (unlike qScd2): it would sit
+    // between the scan and the window and break the map-side
+    // WindowGroupLimit pushdown — measured 50 -> 227 MB shuffled at
+    // sf10 for a local-only width win. The pruned exchange coalescing
+    // to 1 task is a small-SF artifact; at cluster scale the pruned
+    // bytes alone keep it wide, and 4.5x fewer shuffle bytes is the
+    // 100 TB-relevant term.
     Tables.orders(s, d)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 2)

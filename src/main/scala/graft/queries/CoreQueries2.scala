@@ -559,7 +559,10 @@ object CoreQueries2 {
       .select($"user_id", $"event_id", unix_timestamp($"ts").as("st"))
       .withColumn("en", $"st" + lit(1800L))
     val w = Window.partitionBy($"user_id").orderBy($"st", $"event_id")
+    // explicit window width — same AQE bytes-blind-coalescing fix as
+    // [[qScd2]] (4 tasks over 190 MB at sf10 otherwise)
     val islands = ev
+      .repartition(graft.operators.GlobalRank.rangeWidth(ev), $"user_id")
       .withColumn("prev_max_en", max($"en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("new_island",
         when($"prev_max_en".isNull || $"st" > $"prev_max_en", 1L).otherwise(0L))
