@@ -1283,8 +1283,15 @@ object DocQueries {
         explode(TextFunctions.wordNgramsOf($"tk", 3)).as("g"))
       .select($"doc_id", $"source", xxhash64($"g").as("h"))
     // one row per (gram, doc) with its occurrence count; df = rows in
-    // the gram's window (each row IS a distinct containing doc)
-    val perDocGram = grams.groupBy($"h", $"doc_id", $"source")
+    // the gram's window (each row IS a distinct containing doc).
+    // ONE pinned hash(h) exchange serves both the aggregate (hash(h)
+    // clusters (h, doc_id, source)) and the df window's partitionBy(h):
+    // the unpinned plan ran TWO AQE-coalesced exchanges (473 + 436 MB,
+    // 8 tasks each at sf10 — the qScd2 bytes-blind lesson) where this
+    // runs one, wide.
+    val perDocGram = grams
+      .repartition(graft.operators.GlobalRank.rangeWidth(grams), $"h")
+      .groupBy($"h", $"doc_id", $"source")
       .agg(count(lit(1)).as("c"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
     val perDoc = perDocGram.groupBy($"doc_id", $"source")
