@@ -45,12 +45,17 @@ object AsofJoin {
         .foldLeft(base)((d, c) => d.withColumn(c, lit(null)))
     }
     val cols = (leftCols.map(col) :+ col("__side")) ++ carryCols.map(v => col(s"__v_$v"))
+    // explicit window width (exempt from AQE coalescing): the carry
+    // windows are per-row CPU, which AQE's bytes-based coalescing
+    // can't see — unpinned, they ran 2-wide over 64 MB at sf10
     val unioned = taggedLeft.select(cols: _*).unionByName(taggedRight.select(cols: _*))
+    val parted = unioned.repartition(
+      graft.operators.GlobalRank.rangeWidth(unioned), col(keyCol))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(if (forward) col(tsCol).desc else col(tsCol).asc,
         col("__side"), col(tieBreakCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carryCols.foldLeft(unioned) { (d, v) =>
+    val carried = carryCols.foldLeft(parted) { (d, v) =>
       d.withColumn(s"asof_$v", last(col(s"__v_$v"), ignoreNulls = true).over(w))
     }
     carried.filter(col("__side") === 1)

@@ -403,7 +403,10 @@ object CoreQueries {
     val w = Window.partitionBy($"user_id")
       .orderBy(unix_timestamp($"ts"), $"event_id")
       .rowsBetween(-3, Window.currentRow)
-    Tables.events(s, d)
+    val src = Tables.events(s, d)
+    // explicit window width — the qScd2 AQE bytes-blind lesson
+    // (3 tasks over 168 MB at sf10 otherwise)
+    src.repartition(graft.operators.GlobalRank.rangeWidth(src), $"user_id")
       .withColumn("mavg", avg($"value").over(w))
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n"),

@@ -60,7 +60,11 @@ object Streams {
     */
   def sessionize(df: DataFrame, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    df.withColumn("__ts_s", unix_timestamp(col("ts")))
+    // explicit window width — AQE bytes-based coalescing ran the
+    // session windows 3-wide over 177 MB at sf10 (per-row window CPU
+    // is invisible to it; the qScd2 lesson)
+    df.repartition(graft.operators.GlobalRank.rangeWidth(df), col("user_id"))
+      .withColumn("__ts_s", unix_timestamp(col("ts")))
       .withColumn("__prev", lag(col("__ts_s"), 1).over(w))
       .withColumn("__new_session",
         when(col("__prev").isNull || col("__ts_s") - col("__prev") > gapSeconds, 1).otherwise(0))
