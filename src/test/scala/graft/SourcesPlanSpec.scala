@@ -290,6 +290,30 @@ class SourcesPlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString(", "))
   }
 
+  test("window-width pins survive planning (r13 AQE bytes-blind-coalescing fixes)") {
+    // The r13 sf10 campaign pinned an explicit-width repartition under
+    // every window/agg whose exchange AQE size-coalesced below the core
+    // count while per-row CPU was high (q_scd2 23->6.5 s etc.). The pin
+    // is a REPARTITION_BY_NUM shuffle origin in the executed plan —
+    // exempt from AQE coalescing. q4_window_topn is the deliberate
+    // EXCEPTION (a pin there breaks the map-side WindowGroupLimit
+    // pushdown, 50 -> 227 MB shuffled), so it is pinned the other way:
+    // its plan must keep WindowGroupLimit and must NOT carry the pin.
+    val pinned = Seq("q_scd2", "q_intervals_merge", "q_moving_avg",
+      "q_sessionize", "q_span_dedup", "q_dup_span_profile", "q_asof_attribution")
+    val missing = pinned.filterNot { name =>
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+        .contains("REPARTITION_BY_NUM")
+    }
+    assert(missing.isEmpty, s"width pin lost in: ${missing.mkString(", ")}")
+    val q4 = SparkEntry.queries("q4_window_topn")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q4.contains("WindowGroupLimit"),
+      "q4_window_topn lost the map-side WindowGroupLimit pushdown")
+    assert(!q4.contains("REPARTITION_BY_NUM"),
+      "q4_window_topn must not pin width (it would break the group-limit pushdown)")
+  }
+
   test("textCorpus ingests line-per-doc files with content-addressed ids") {
     val dir = tmp()
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.txt"),
