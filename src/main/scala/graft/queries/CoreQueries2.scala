@@ -266,9 +266,12 @@ object CoreQueries2 {
     import s.implicits._
     val w = Window.partitionBy($"user_id")
       .orderBy($"ts_s", $"event_id").rowsBetween(-20, -1)
-    Tables.events(s, d)
+    val src = Tables.events(s, d)
       .select($"user_id", $"event_id", $"event_type", $"value",
         unix_timestamp($"ts").as("ts_s"))
+    // explicit window width — the qScd2 AQE bytes-blind lesson
+    // (4 tasks over 223 MB at sf10 otherwise)
+    src.repartition(graft.operators.GlobalRank.rangeWidth(src), $"user_id")
       .withColumn("mu", avg($"value").over(w))
       .withColumn("sd", stddev_samp($"value").over(w))
       .withColumn("z", when($"sd" > 1e-9, ($"value" - $"mu") / $"sd"))

@@ -300,7 +300,8 @@ class SourcesPlanSpec extends SparkSpec {
     // pushdown, 50 -> 227 MB shuffled), so it is pinned the other way:
     // its plan must keep WindowGroupLimit and must NOT carry the pin.
     val pinned = Seq("q_scd2", "q_intervals_merge", "q_moving_avg",
-      "q_sessionize", "q_span_dedup", "q_dup_span_profile", "q_asof_attribution")
+      "q_sessionize", "q_span_dedup", "q_dup_span_profile",
+      "q_asof_attribution", "q_anomaly_zscore")
     val missing = pinned.filterNot { name =>
       SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
         .contains("REPARTITION_BY_NUM")
