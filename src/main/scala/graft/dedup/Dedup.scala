@@ -115,6 +115,25 @@ object Dedup {
     // (measured 4.5 → 2.5 s at sf0.1, and a guaranteed OOM at corpus
     // scale). Both exploded sides are shingle-keyed and huge; the
     // correct plan at any scale is a hash shuffle on the shingle.
+    // The new side's shuffle is explicitly width-pinned: the exploded
+    // shingle exchanges are few MB on a capped batch, so AQE
+    // size-coalesces the join to ONE task while the per-shingle
+    // pair-counting work is the quadratic term (9.5 s of
+    // q_dedup_incremental's 13 s warm at sf10 in that single task);
+    // REPARTITION_BY_NUM is exempt, and EnsureRequirements brings the
+    // old side to the same width.
+    // Deliberately NOT width-pinned (unlike the r13 window fixes):
+    // AQE coalescing this join to few tasks on a capped batch looks
+    // like the width-collapse defect but is actually the better trade
+    // HERE — the per-pair count below combines fully map-side at low
+    // width, while a pinned-wide join scatters each pair's shingles
+    // across partitions and ships the uncombined partials (measured:
+    // 64-wide moved q_dedup_incremental 2.1 → 3.4 s at sf0.1 for a
+    // 116 MB partial-count exchange that one task kept at 26 MB).
+    // This operator is the SMALL-BATCH exact path by contract
+    // (callers cap it; minhashNearDupBipartiteBanded is the
+    // corpus-scale path where band keys, not raw shingles, bound the
+    // fan-out).
     a.join(b.hint("shuffle_hash"), Seq("shingle"))
       .groupBy(col("id_new"), col("id_old"), col("n_new"), col("n_old"))
       .agg(count(lit(1)).as("inter"))
