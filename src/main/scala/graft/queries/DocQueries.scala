@@ -1386,13 +1386,16 @@ object DocQueries {
       val grams = (if (n == 1) sub.select($"doc_id", explode($"tk").as("g"))
         else sub.select($"doc_id", explode(TextFunctions.wordNgramsOf($"tk", n)).as("g")))
         .select($"doc_id", xxhash64($"g").as("h"))
-        // explicit-width partition on h: hash(h) clusters BOTH levels
-        // of the countDistinct expansion ((h, doc_id) then (h)), so one
-        // pinned exchange replaces two AQE-coalescible ones — the five
-        // per-gram agg chains otherwise ran 1-2 tasks wide over
-        // 60-68 MB each at sf10 (the qScd2 bytes-blind lesson)
-        .repartition(graft.operators.GlobalRank.rangeWidth(sub), $"h")
-      grams.groupBy($"h")
+      // explicit-width partition on h: hash(h) clusters BOTH levels
+      // of the countDistinct expansion ((h, doc_id) then (h)), so one
+      // pinned exchange replaces two AQE-coalescible ones — the five
+      // per-gram agg chains otherwise ran 1-2 tasks wide over
+      // 60-68 MB each at sf10 (the qScd2 bytes-blind lesson). Width is
+      // sized from the exploded gram frame itself (the frame being
+      // exchanged — the qSpanDedup:1293 shape), not the pre-explode
+      // subset, which undercounts by the n-gram fan-out factor.
+      grams.repartition(graft.operators.GlobalRank.rangeWidth(grams), $"h")
+        .groupBy($"h")
         .agg(count(lit(1)).as("occ"), countDistinct($"doc_id").as("nd"))
         .agg(lit(n).as("n"),
           sum($"occ").as("n_grams"),

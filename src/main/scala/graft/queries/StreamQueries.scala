@@ -321,6 +321,9 @@ object StreamQueries {
     val corpus = docs.filter($"doc_id" % 2 === 0)
     val stream = docs.filter($"doc_id" % 2 === 1)
     val ns = stream.count()
+    // a mis-pointed data dir would otherwise surface as `rn * 3 div 0`
+    // null-staging and a missing-part-file sys.error three lines down
+    require(ns > 0, s"drainSurvivors: no odd-id documents under $d — wrong data dir?")
     val tmp = java.nio.file.Files.createTempDirectory("graft-drain").toString
     val w = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
     val ranked = stream

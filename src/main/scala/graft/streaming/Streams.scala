@@ -419,8 +419,15 @@ object Streams {
     // repartition-by-num is exempt from AQE coalescing, so the verify
     // stage keeps this width. Same lesson as GlobalRank.rangeWidth:
     // size the exchange from the work, not the bytes.
+    // pinned by id_new ALONE: verifyJaccardBipartite's first join is on
+    // id_new, so hash(id_new) satisfies that join's required
+    // distribution and the pin survives even in the shuffle fallback
+    // (large catch-up batch, shingle sides too big to broadcast) — a
+    // (id_new, id_old) pin satisfied neither join key and was lost via
+    // re-exchange exactly when the quadratic verify cost was largest.
+    // In the common broadcast path only the WIDTH matters, unchanged.
     val nPairs = candsRaw.count()
-    val cands = candsRaw.repartition(verifyWidth(spark, nPairs), col("id_new"), col("id_old"))
+    val cands = candsRaw.repartition(verifyWidth(spark, nPairs), col("id_new"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verify side: text of ONLY the band-colliding old ids
     val keptText: DataFrame =
@@ -448,8 +455,10 @@ object Streams {
     // exchange would otherwise AQE-coalesce to 1 task
     val inCandsRaw = Dedup.lshCandidatesBanded(sigNew, b, r)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // id_a alone for the same reason as `cands`: verifyJaccard joins on
+    // id_a first, so the pin's distribution survives a shuffle fallback
     val inCands = inCandsRaw
-      .repartition(verifyWidth(spark, inCandsRaw.count()), col("id_a"), col("id_b"))
+      .repartition(verifyWidth(spark, inCandsRaw.count()), col("id_a"))
     val inBatch = Dedup
       .verifyJaccard(inCands, shNew, threshold)
       .select(col("id_b").as(idCol))
@@ -485,7 +494,17 @@ object Streams {
     */
   private[graft] def ensureWidth(df: DataFrame): DataFrame = {
     val floor = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < floor) df.repartition(floor) else df
+    // `df.rdd` compiles a SECOND QueryExecution (the deserialize-to-Row
+    // one) per call — measurable per-batch planning overhead on the hot
+    // streaming path (2-3 calls per microbatch). Read the partitioning
+    // off the existing executed plan when it is known (localCheckpoint'd
+    // batch frames), and fall back to the SAME QueryExecution's RDD
+    // (toRdd — no second compile) for file scans, whose
+    // outputPartitioning is UnknownPartitioning(0) until split
+    // enumeration.
+    val known = df.queryExecution.executedPlan.outputPartitioning.numPartitions
+    val parts = if (known > 0) known else df.queryExecution.toRdd.getNumPartitions
+    if (parts < floor) df.repartition(floor) else df
   }
 
   /** Verify-stage width for a candidate-pair frame, from the PAIR
