@@ -349,24 +349,26 @@ object Streams {
   /** One microbatch of [[minhashDedupSink]] — exposed for replay specs
     * (same contract as [[simhashDedupBatch]]). The kept-side INDEX is
     * signatures only: `corpusSig` (precomputed once at sink
-    * construction) ∪ the accumulated survivor signatures at
-    * `outPath.__sig` (own batch excluded for replay idempotence) —
-    * 8·b·r bytes per kept doc, never the kept corpus's text. Per-batch
-    * work is therefore O(batch shingling + batch×index band probe +
+    * construction) ∪ the accumulated survivors' `__sig` column read
+    * back from `outPath` (own batch excluded for replay idempotence) —
+    * 8·b·r bytes per kept doc; parquet is columnar, so the index probe
+    * never reads the kept corpus's text bytes. Per-batch work is
+    * therefore O(batch shingling + batch×index band probe +
     * candidates): survivor TEXT is re-read and re-shingled ONLY for
     * the old ids that actually band-collide with this batch (a
     * semi-join on the candidate ids pushes into the parquet scan),
     * where the previous revision re-shingled the ENTIRE kept corpus
-    * every microbatch. Survivors land twice, idempotently per batch
-    * id: rows at `outPath`, signatures at `outPath.__sig`.
+    * every microbatch. Survivors land ONCE, idempotently per batch id:
+    * rows + their banded signature (`__sig`) at `outPath` (the batch
+    * frame must not already carry a `__sig`/`batch_id` column).
     *
     * `corpusBands` is the corpus index PRE-EXPLODED to (id, band, v)
     * rows (built and persisted once at sink construction), and the
     * candidate join BROADCASTS the batch's band rows when the batch is
-    * bounded (≤ [[maxBroadcastBandRows]] band rows; an unthrottled
-    * catch-up batch falls back to the shuffle band join): the kept
-    * index is probed as a map-side scan of cached/parquet data, never
-    * shuffled. The
+    * bounded — via AQE's runtime size check on the band exchange, so an
+    * unthrottled catch-up batch degrades to the shuffle band join
+    * instead of blowing the broadcast limit: the kept index is probed
+    * as a map-side scan of cached/parquet data, never shuffled. The
     * previous shape (generic bipartite band join, hash-shuffled both
     * sides) re-shuffled the entire b-fanned corpus index every
     * microbatch — measured at kept=400k/b=21: 8.4M index rows through
@@ -379,109 +381,138 @@ object Streams {
       b: Int, r: Int, seed: Long, threshold: Double, outPath: String): Unit = {
     import graft.dedup.Dedup
     val spark = batch.sparkSession
-    val sigPath = s"$outPath.__sig"
     val coeffs = Dedup.permCoeffs(b * r, seed)
+    val sc = spark.sparkContext
+    // THREE actions per microbatch, by design. r13 ran FIVE (gate
+    // count, two candidate counts, checkpoint, two writes) plus their
+    // AQE sub-stages — ~30 jobs/batch, and MinhashBatchProbe showed the
+    // per-batch floor is job count and inter-job planning gaps, not
+    // data. The cuts: (1) self-pairs are canonicalized into the same
+    // (id_new=dropped, id_old=keeper) shape as the bipartite pairs, so
+    // ONE band join + ONE verify join + ONE count replace two of each;
+    // (2) survivors carry their OWN signature column (__sig), so one
+    // write and one read-back replace two of each; (3) the band-join
+    // broadcast gate is AQE's runtime size check, not a count: the
+    // batch's band rows arrive through an exchange whose ACTUAL bytes
+    // AQE reads before picking broadcast vs shuffled join, so a bounded
+    // batch broadcasts and an unthrottled catch-up batch degrades to
+    // the shuffle join — the same contract the explicit
+    // `batchRows * b <= maxBroadcastBandRows` gate enforced, without
+    // paying a dedicated gate job for it.
     val shNew = Dedup.shingled(ensureWidth(batch), idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one cheap job: materializes the shingle pin AND bounds the batch
-    // for the broadcast gate below
-    val batchRows = shNew.count()
     val sigNew = shNew.withColumn("hs", Dedup.shingleHashes(col("sh")))
       .select(col("id"), Dedup.minhashSignature(col("hs"), coeffs).as("sig"))
-    val survSig: DataFrame =
-      try spark.read.parquet(sigPath)
-        .filter(col("__batch_part") =!= batchId) // replay: pre-own-batch state
-        .select(col("id"), col("sig"))
-      catch { case _: org.apache.spark.sql.AnalysisException => corpusSig.limit(0) }
-    // persisted: cands feeds BOTH the hitText semi-join and the
-    // bipartite verify in one output DAG — without the pin the
-    // batch×index LSH band join runs twice per microbatch unless
-    // exchange-reuse happens to fire
+    // explicit schema on the read-back: schema inference costs a
+    // footer-read job per microbatch and the schema is statically known
+    // (batch columns + __sig + batch_id + the partition column)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      batch.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("__sig",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__batch_part",
+          org.apache.spark.sql.types.LongType)))
+    val keptTable: Option[DataFrame] =
+      try Some(spark.read.schema(outSchema).parquet(outPath)
+        .filter(col("__batch_part") =!= batchId)) // replay: pre-own-batch state
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    // the growing index is the __sig COLUMN of the survivors table —
+    // parquet is columnar, so the index probe reads 8·b·r bytes/doc and
+    // never the text column
+    val survSig = keptTable.map(_.select(col(idCol).as("id"), col("__sig").as("sig")))
+      .getOrElse(corpusSig.limit(0))
     val bn = Dedup.bandedSigRows(sigNew, b, r)
       .select(col("id").as("id_new"), col("band"), col("v"))
+    // ONE band join for BOTH candidate families: the probe side is the
+    // kept index (corpus ∪ survivors) PLUS the batch's own band rows
+    // tagged __in_batch, guarded by id_old < id_new — which is exactly
+    // the in-batch keep-min rule lshCandidatesBanded expresses as a
+    // separate self-join (id_a < id_b, drop id_b). Folding it here
+    // removes that join and its own distinct — each is an AQE stage,
+    // and MinhashBatchProbe shows the per-batch floor is stage count.
+    // Every candidate lands canonicalized as (id_new=dropped candidate,
+    // id_old=keeper), so one verify join serves both families.
     val oldBands = corpusBands.unionByName(Dedup.bandedSigRows(survSig, b, r))
       .select(col("id").as("id_old"), col("band"), col("v"))
-    // broadcast only a BOUNDED batch: with no source rate limit a
-    // catch-up microbatch can pull the whole backlog, and batch×b band
-    // rows must then fit the broadcast limit and executor memory — past
-    // the gate, fall back to the shuffle band join (the batch side is
-    // the build), which degrades gracefully instead of failing loudly
-    val bnSide = if (batchRows * b <= maxBroadcastBandRows) broadcast(bn)
-                 else bn.hint("shuffle_hash")
-    val candsRaw = bnSide.join(oldBands, Seq("band", "v"))
+      .withColumn("__in_batch", lit(false))
+      .unionByName(bn
+        .select(col("id_new").as("id_old"), col("band"), col("v"))
+        .withColumn("__in_batch", lit(true)))
+    // persisted: feeds the hitText semi-join and the verify in one
+    // output DAG. No broadcast hint: AQE sees the band exchange's
+    // runtime size and broadcasts a bounded batch / keeps the shuffle
+    // join for an unthrottled catch-up batch (see the header comment)
+    val candsAll = bn.join(oldBands, Seq("band", "v"))
+      .filter(!col("__in_batch") || col("id_old") < col("id_new"))
       .select(col("id_new"), col("id_old")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // EXPLICIT verify width, sized from the PAIR COUNT: the persisted
-    // candidate frame is a few MB of id pairs, so AQE size-coalesces
-    // its exchange to 1-2 partitions — blind to the quadratic per-row
-    // shingle-intersection cost of the verify join that inherits the
-    // width (measured 10.8 s on 2 of 32 cores per microbatch at sf0.1).
-    // repartition-by-num is exempt from AQE coalescing, so the verify
-    // stage keeps this width. Same lesson as GlobalRank.rangeWidth:
-    // size the exchange from the work, not the bytes.
-    // pinned by id_new ALONE: verifyJaccardBipartite's first join is on
-    // id_new, so hash(id_new) satisfies that join's required
-    // distribution and the pin survives even in the shuffle fallback
-    // (large catch-up batch, shingle sides too big to broadcast) — a
-    // (id_new, id_old) pin satisfied neither join key and was lost via
-    // re-exchange exactly when the quadratic verify cost was largest.
-    // In the common broadcast path only the WIDTH matters, unchanged.
-    val nPairs = candsRaw.count()
-    val cands = candsRaw.repartition(verifyWidth(spark, nPairs), col("id_new"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // verify side: text of ONLY the band-colliding old ids
-    val keptText: DataFrame =
-      try spark.read.parquet(outPath)
-        .filter(col("__batch_part") =!= batchId)
-        .select(col(idCol), col(textCol))
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        corpusText.select(col(idCol), col(textCol)).limit(0) }
+    // action 1 — ONE count (r13 ran two, one per candidate family):
+    // exact verify-width input AND guaranteed cache materialization.
+    // Relying on a downstream scan to materialize the cache was
+    // observed to MISS: the candidate pipeline re-ran inside a 1-task
+    // AQE-coalesced stage in the write query, 1-2 CPU-s per batch
+    // (MinhashBatchProbe r14).
+    sc.setJobDescription(s"mh[$batchId] candidate count + width")
+    val nPairs = candsAll.count()
+    // verify side: text of ONLY the band-colliding old ids (batch-side
+    // id_olds from self pairs simply miss this semi-join; their
+    // shingles come from the shNew union below)
+    val keptText = keptTable.map(_.select(col(idCol), col(textCol)))
+      .getOrElse(corpusText.select(col(idCol), col(textCol)).limit(0))
     val hitText = corpusText.select(col(idCol), col(textCol)).unionByName(keptText)
-      .join(cands.select(col("id_old").as(idCol)), Seq(idCol), "left_semi")
-    // MATERIALIZED (eager, bounded by the candidate set): without the
-    // checkpoint boundary the optimizer collapses the shingle
-    // projection into the verify join's inferred/pushed predicates, and
-    // the interpreted higher-order shingling expression re-evaluates
-    // per CORPUS row inside a Filter — measured 20 s/microbatch over a
-    // 50k kept corpus vs <2 s with the boundary (MinhashBatchProbe)
-    val shOld = Dedup.shingled(ensureWidth(hitText), idCol, textCol, n).localCheckpoint()
-    val crossHits = Dedup
-      .verifyJaccardBipartite(cands, shNew, shOld, threshold)
+      .join(candsAll.select(col("id_old").as(idCol)), Seq(idCol), "left_semi")
+    // action 2 — MATERIALIZED (eager, bounded by the candidate set):
+    // without the checkpoint boundary the optimizer collapses the
+    // shingle projection into the verify join's inferred/pushed
+    // predicates, and the interpreted higher-order shingling expression
+    // re-evaluates per CORPUS row inside a Filter — measured 20 s/
+    // microbatch over a 50k kept corpus vs <2 s with the boundary
+    // (MinhashBatchProbe). UNCONDITIONAL repartition, not ensureWidth:
+    // reading the partition count off this AQE plan would finalize
+    // (i.e. EXECUTE) the whole union+semi-join once and the checkpoint
+    // would run it again. The shuffle moves only candidate-bounded text
+    // once and gives the shingle stage full width.
+    // (measured r14: folding this checkpoint into the write query made
+    // batches SLOWER — 4.4-5.3 s vs 3.1-4.4 s — because the unbarriered
+    // shingle subtree re-evaluates across several AQE query stages)
+    sc.setJobDescription(s"mh[$batchId] candidate text checkpoint")
+    val shOld = Dedup.shingled(
+      hitText.repartition(sc.defaultParallelism), idCol, textCol, n)
+      .localCheckpoint()
+    // EXPLICIT verify width, sized from the PAIR COUNT: the candidate
+    // frame is a few MB of id pairs, so AQE size-coalesces its exchange
+    // to 1-2 partitions — blind to the quadratic per-row shingle-
+    // intersection cost of the verify join that inherits the width
+    // (measured 10.8 s on 2 of 32 cores per microbatch at sf0.1).
+    // repartition-by-num is exempt from AQE coalescing. Pinned by
+    // id_new ALONE: the verify's first join key, so the pin's
+    // distribution survives even the shuffle fallback (a (id_new,
+    // id_old) pin satisfied neither join key and was lost exactly when
+    // the quadratic verify cost was largest).
+    val cands = candsAll.repartition(verifyWidth(spark, nPairs), col("id_new"))
+    // id_old shingles: kept/corpus docs from the checkpoint, batch docs
+    // (self-pair keepers) from the batch's own cached shingles
+    val dropped = Dedup
+      .verifyJaccardBipartite(cands, shNew, shOld.unionByName(shNew), threshold)
       .select(col("id_new").as(idCol))
-    // in-batch pairs: id_a < id_b from the band self-join, so dropping
-    // id_b is the same keep-min rule as the simhash sink. Same verify
-    // width treatment as the bipartite pairs — a high-background-J
-    // batch can band-collide quadratically, and the self-join's tiny
-    // exchange would otherwise AQE-coalesce to 1 task
-    val inCandsRaw = Dedup.lshCandidatesBanded(sigNew, b, r)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // id_a alone for the same reason as `cands`: verifyJaccard joins on
-    // id_a first, so the pin's distribution survives a shuffle fallback
-    val inCands = inCandsRaw
-      .repartition(verifyWidth(spark, inCandsRaw.count()), col("id_a"))
-    val inBatch = Dedup
-      .verifyJaccard(inCands, shNew, threshold)
-      .select(col("id_b").as(idCol))
-    val kept = batch.join(crossHits.unionByName(inBatch).distinct(), Seq(idCol), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    kept
+    // action 3: one idempotent write — survivors WITH their signature
+    // column, each batch in its own __batch_part=N partition (dynamic
+    // overwrite, same replay contract as before). No distinct on
+    // `dropped`: the anti-join's build side dedups in its hash relation
+    sc.setJobDescription(s"mh[$batchId] verify + survivors write")
+    batch.join(dropped, Seq(idCol), "left_anti")
+      .join(sigNew.select(col("id").as(idCol), col("sig").as("__sig")), Seq(idCol), "left")
       .withColumn("batch_id", lit(batchId))
       .withColumn("__batch_part", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch_part")
       .parquet(outPath)
-    sigNew.join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .withColumn("__batch_part", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch_part")
-      .parquet(sigPath)
-    kept.unpersist()
-    cands.unpersist()
-    candsRaw.unpersist()
-    inCandsRaw.unpersist()
+    candsAll.unpersist()
     shNew.unpersist()
+    sc.setJobDescription(null)
     ()
   }
 
@@ -542,10 +573,11 @@ object Streams {
     * Probabilistic recall ((1−t^r)^b miss bound — b×r banding, the
     * S-curve geometry the r10 sweep proved r=1 needs) where the simhash
     * twin is deterministic — run both sinks in sequence for the full
-    * production shape (Hamming then Jaccard). All growing state is
-    * SIGNATURES (8·b·r bytes/doc at `outPath.__sig`) plus the survivor
-    * rows themselves; the kept corpus's text is touched per batch only
-    * for ids that band-collide with the batch (see
+    * production shape (Hamming then Jaccard). All growing state is the
+    * survivor rows themselves plus their SIGNATURES (the 8·b·r-byte
+    * `__sig` column on `outPath` — columnar, so index probes never
+    * read the text bytes); the kept corpus's text is touched per batch
+    * only for ids that band-collide with the batch (see
     * [[minhashDedupBatch]]). The corpus signature index is computed
     * once at construction, persisted, and released on termination.
     */

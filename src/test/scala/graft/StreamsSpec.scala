@@ -333,15 +333,16 @@ class StreamsSpec extends SparkSpec {
         "plans and adaptive query execution strategies in distributed engines"))
     q.processAllAvailable()
     q.stop()
-    val out = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().sorted.toSeq
+    val outDf = spark.read.parquet(s"$dir/out")
+    val out = outDf.select("doc_id").as[Long].collect().sorted.toSeq
     assert(out == Seq(2L), s"survivors: $out")
-    // the growing index is SIGNATURES, not text: exactly the survivors'
-    // (id, sig) rows land at out.__sig, partitioned by batch
-    val sig = spark.read.parquet(s"$dir/out.__sig")
-    assert(sig.select("id").as[Long].collect().sorted.toSeq == Seq(2L),
-      "signature index should hold exactly the survivors")
-    assert(sig.schema.fieldNames.contains("sig") && !sig.schema.fieldNames.contains("text"),
-      s"signature index must not carry text: ${sig.schema.fieldNames.toSeq}")
+    // the growing index is the survivors' own __sig column: every
+    // survivor row carries its b·r-slot banded signature, so the next
+    // batch's index probe is a columnar (id, __sig) read — never text
+    assert(outDf.schema.fieldNames.contains("__sig"),
+      s"survivors must carry their signature column: ${outDf.schema.fieldNames.toSeq}")
+    val sigLens = outDf.select(size($"__sig")).as[Int].collect().toSeq
+    assert(sigLens.forall(_ == 64), s"__sig should hold b*r=64 slots per survivor: $sigLens")
   }
 
   test("foreachBatch sink lands stream microbatches as parquet") {
