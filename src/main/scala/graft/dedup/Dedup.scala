@@ -92,6 +92,26 @@ object Dedup {
     res
   }
 
+  /** Verify-stage width for a candidate-pair frame, from the PAIR
+    * COUNT: each pair costs a two-pointer merge over two shingle
+    * arrays, so ~2k pairs is a sub-second task regardless of byte
+    * size. A candidate frame is a few MB of id pairs, so AQE
+    * size-coalesces its exchange to 1-2 partitions — blind to the
+    * quadratic per-pair CPU of the verify join that inherits the width
+    * (r14 measured q_dedup_incremental's whole verify in ONE 7.9 s
+    * task at sf1 before this pin). Floored at cluster parallelism,
+    * capped at the AQE start width (the same cap
+    * [[graft.operators.GlobalRank.rangeWidth]] respects).
+    */
+  private[graft] def pairVerifyWidth(spark: org.apache.spark.sql.SparkSession,
+      pairs: Long): Int = {
+    val floor = spark.sparkContext.defaultParallelism
+    val cap = spark.conf
+      .get("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024").toInt
+    val perTask = 2048L
+    ((pairs + perTask - 1) / perTask).max(floor.toLong).min(cap.max(floor).toLong).toInt
+  }
+
   /** BIPARTITE exact Jaccard join — the INCREMENTAL-dedup candidate
     * step: only (new, old) pairs are generated (a production corpus
     * dedups each incoming batch against the kept corpus; new×new and
@@ -185,8 +205,15 @@ object Dedup {
     }
     val (shNew, sigNew) = prep(newDf)
     val (shOld, sigOld) = prep(oldDf)
-    val cands = lshCandidatesBipartiteBanded(sigNew, sigOld, b, r)
-    releaseAfter(verifyJaccardBipartite(cands, shNew, shOld, threshold), shNew, shOld)
+    // explicit verify width from the pair count (one bounded count on
+    // the persisted candidates), pinned by id_new — the verify's first
+    // join key — so the distribution survives a shuffle-join fallback
+    val candsRaw = lshCandidatesBipartiteBanded(sigNew, sigOld, b, r)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = candsRaw.repartition(
+      pairVerifyWidth(newDf.sparkSession, candsRaw.count()), col("id_new"))
+    releaseAfter(verifyJaccardBipartite(cands, shNew, shOld, threshold),
+      shNew, shOld, candsRaw)
   }
 
   /** Banded bipartite candidate pairs: every (new, old) pair agreeing
@@ -507,8 +534,11 @@ object Dedup {
     val sig = sh.withColumn("hs", shingleHashes(col("sh")))
       .select(col("id"), minhashSignature(col("hs"), permCoeffs(b * r, seed)).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidatesBanded(sig, b, r)
-    releaseAfter(verifyJaccard(cands, sh, threshold), sig, sh)
+    // same pair-count verify-width pin as the bipartite arm
+    val candsRaw = lshCandidatesBanded(sig, b, r).persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = candsRaw.repartition(
+      pairVerifyWidth(df.sparkSession, candsRaw.count()), col("id_a"))
+    releaseAfter(verifyJaccard(cands, sh, threshold), sig, sh, candsRaw)
   }
 
   /** MinHash+LSH near-dup pipeline: signatures → banded candidates →

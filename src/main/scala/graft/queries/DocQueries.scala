@@ -734,32 +734,45 @@ object DocQueries {
   /** INCREMENTAL dedup audit — the production shape of corpus dedup:
     * each incoming batch is checked against the already-kept corpus,
     * never against itself twice. Exact layer = md5 digest semi-join
-    * (one shuffle on 16-byte digests); near layer =
-    * [[Dedup.jaccardJoinBipartite]] (inverted shingle index, only
-    * new×old candidate pairs). Single-row summary: batch size, exact
-    * hits, near hits (J ≥ 0.62, includes exact), survivors.
+    * (one shuffle on 16-byte digests); near layer = the CORPUS-SCALE
+    * banded arm [[Dedup.minhashNearDupBipartiteBanded]] (b=63 × r=2
+    * MinHash bands over 7-gram shingles, candidates exact-verified) —
+    * r13 and earlier ran the exact inverted-index arm here, the last
+    * uncapped-scale exact arm in the dedup family. Precision is 1 by
+    * construction (every candidate is exact-Jaccard-verified), and a
+    * true J ≥ 0.62 pair escapes all 63 bands with probability
+    * (1−0.62²)⁶³ ≈ 5·10⁻¹⁴ — below any realizable pair count, so the
+    * all-pairs exact-Jaccard DuckDB twin is a valid oracle for the
+    * banded output (the same miss-bound argument q_minhash_pairs
+    * uses at (1−0.62)³² ≈ 4·10⁻¹⁴). 7-gram shingles, not 3-gram: the
+    * ~26³ 3-gram type space gives this corpus a ~0.46 median
+    * background J where NO banding geometry prunes (SCALING.md r10-r11
+    * candidate-flood findings); at n=7 the background collapses and
+    * band collisions are near-linear in the batch. Single-row summary:
+    * batch size, exact hits, near hits (J ≥ 0.62 on 7-gram shingles;
+    * includes exact copies), survivors.
     */
   def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // fixed-size cap (≥ the %10 subset at every gated SF — 500 at
-    // sf0.1): the bipartite inverted-index verify is near-quadratic on
-    // this high-background-J corpus (the sf10 decade measured it);
-    // corpus-scale incremental dedup is minhashNearDupBipartite/banded
+    // sf0.1): the ORACLE side is an all-pairs NOT-EXISTS quadratic in
+    // DuckDB, so the oracle seat stays bounded; the operator itself is
+    // the banded corpus-scale path
     val sub = Tables.documents(s, d).filter($"doc_id" % 10 === 0)
       .orderBy($"doc_id").limit(2500)
       .repartition(s.sparkContext.defaultParallelism, $"doc_id")
     val oldB = sub.filter($"doc_id" % 20 === 0)
     val newB = sub.filter($"doc_id" % 20 =!= 0)
     // both id frames feed their own count AND the union — checkpoint
-    // the (batch-bounded) ids so the digest join and the bipartite
-    // jaccard join run ONCE each, not once per consumer (measured 2×
+    // the (batch-bounded) ids so the digest join and the banded
+    // near-dup join run ONCE each, not once per consumer (measured 2×
     // on the near join without it: 5.2 → ~2.6 s at sf0.1)
     val exactIds = newB.select($"doc_id", md5($"text").as("dg"))
       .join(oldB.select(md5($"text").as("dg")).distinct(), Seq("dg"), "left_semi")
       .select($"doc_id").distinct().localCheckpoint()
-    val nearIds = Dedup.jaccardJoinBipartite(
-        Dedup.shingled(newB, "doc_id", "text", 3),
-        Dedup.shingled(oldB, "doc_id", "text", 3), 0.62)
+    val nearIds = Dedup.minhashNearDupBipartiteBanded(
+        newB, oldB, "doc_id", "text", n = 7, b = 63, r = 2, seed = 42L,
+        threshold = 0.62)
       .select($"id_new".as("doc_id")).distinct().localCheckpoint()
     val flagged = exactIds.unionByName(nearIds).distinct()
     newB.agg(count(lit(1)).as("n_new"))
@@ -775,8 +788,8 @@ object DocQueries {
       |o AS (SELECT * FROM sub WHERE doc_id % 20 = 0),
       |nn AS (SELECT * FROM sub WHERE doc_id % 20 <> 0),
       |ex AS (SELECT DISTINCT nn.doc_id FROM nn JOIN o ON md5(nn.text) = md5(o.text)),
-      |sn AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, length(text)-1), i -> substring(text,i,3))) AS sh FROM nn),
-      |so AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, length(text)-1), i -> substring(text,i,3))) AS sh FROM o),
+      |sn AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, length(text)-5), i -> substring(text,i,7))) AS sh FROM nn),
+      |so AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, length(text)-5), i -> substring(text,i,7))) AS sh FROM o),
       |nr AS (SELECT DISTINCT a.id AS doc_id FROM sn a JOIN so b ON
       |  CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)
       |    / (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) >= 0.62),

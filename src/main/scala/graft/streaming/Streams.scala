@@ -538,20 +538,12 @@ object Streams {
     if (parts < floor) df.repartition(floor) else df
   }
 
-  /** Verify-stage width for a candidate-pair frame, from the PAIR
-    * COUNT: each pair costs a two-pointer merge over two shingle
-    * arrays, so ~2k pairs is a sub-second task regardless of byte
-    * size. Floored at cluster parallelism, capped at the AQE start
-    * width (the same cap [[graft.operators.GlobalRank.rangeWidth]]
-    * respects).
+  /** Verify-stage width for a candidate-pair frame — delegates to
+    * [[graft.dedup.Dedup.pairVerifyWidth]], the shared sizing the
+    * batch-library banded arms use too.
     */
-  private[graft] def verifyWidth(spark: SparkSession, pairs: Long): Int = {
-    val floor = spark.sparkContext.defaultParallelism
-    val cap = spark.conf
-      .get("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024").toInt
-    val perTask = 2048L
-    ((pairs + perTask - 1) / perTask).max(floor.toLong).min(cap.max(floor).toLong).toInt
-  }
+  private[graft] def verifyWidth(spark: SparkSession, pairs: Long): Int =
+    graft.dedup.Dedup.pairVerifyWidth(spark, pairs)
 
   /** Broadcast gate for the per-batch band probes: batch×bands rows at
     * ~28 bytes/row ≈ 60 MB at the gate — far under the 8 GB broadcast
