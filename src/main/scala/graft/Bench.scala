@@ -65,7 +65,8 @@ object Bench {
     // min-of-2 batch suite made round-over-round totals incomparable
     // (r12: 53% of the suite total was one drain query). They run ONCE
     // (no min-of-2: the harness dominates, not JIT).
-    val streamE2E = Set("q_stream_dedup_drain", "q_stream_simhash_drain")
+    val streamE2E = Set("q_stream_dedup_drain", "q_stream_simhash_drain",
+      "q_stream_tws_dedup")
 
     // dev-only name filter for fast slope iteration (SCALING.md);
     // the driver contract is an arg-less run over every query

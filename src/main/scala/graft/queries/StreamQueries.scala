@@ -289,6 +289,135 @@ object StreamQueries {
         maxDist = 3, bands = 4, s"$tmp/out", s"$tmp/ckpt")
     }
 
+  /** END-TO-END transformWithState drain — puts the Spark 4
+    * arbitrary-state API under the DuckDB oracle via
+    * [[Streams.ttlDedupTws]]'s first-seen-per-TTL rule: the 3,000
+    * smallest events stream through the TTL dedup in 3 staged
+    * microbatches (file source, maxFilesPerTrigger=1) keyed by
+    * (user_id, first event_type char), with a 1-HOUR TTL so no marker
+    * expires inside the seconds-long drain — which makes the
+    * wall-clock-coupled operator DETERMINISTIC: each key emits exactly
+    * once, in the first staged batch that contains it. Two
+    * ProcessingTime-mode realities shape the harness (see
+    * TransformWithStateSpec): processAllAvailable never returns (every
+    * trigger is pending work), so the drain POLLS consumed input rows
+    * via a listener and stops the query itself; and no-data triggers
+    * still advance batch ids, so the result maps raw batch ids to
+    * DENSE ORDINALS over the batches that actually emitted — which the
+    * oracle reproduces as a dense_rank over each key's min staged
+    * batch. Result: one row per key (key, first_batch ordinal,
+    * n_emissions) — n_emissions > 1 would mean the TTL marker failed
+    * to suppress a repeat, a key surfacing in a later ordinal would
+    * mean cross-batch state was lost. The emitted VALUE is excluded by
+    * design: the processor forwards an arbitrary first row per key per
+    * batch (iterator order), so only the deterministic (key, batch)
+    * identity is under oracle.
+    */
+  def qStreamTwsDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w0 = org.apache.spark.sql.expressions.Window.orderBy($"event_id")
+    // composite key spreads first-appearances across the 3 staged
+    // batches (bare user_id saturates in batch 0: 150 users per 1000
+    // events at every SF); the cap bounds the oracle's window replay
+    val ev = Tables.events(s, d)
+      .select($"event_id",
+        ($"user_id" * 100 + ascii(substring($"event_type", 1, 1))).as("k"),
+        $"value")
+      .withColumn("__r", row_number().over(w0)).filter($"__r" <= 3000).drop("__r")
+      .localCheckpoint()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tws-drain").toString
+    val nStaged = stageBatches(ev.select($"event_id", $"k", $"value"), "event_id", tmp, 3)
+    val confs = Seq(
+      // transformWithState requires the RocksDB state store; checksum
+      // writer + FileContext manager hazards per TransformWithStateSpec
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.checkpointFileManagerClass" ->
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
+    val saved = confs.map { case (key, _) => key -> s.conf.getOption(key) }
+    confs.foreach { case (key, v) => s.conf.set(key, v) }
+    val rows =
+      try {
+        val consumed = new java.util.concurrent.atomic.AtomicLong(0L)
+        val qId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+        val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+            if (e.progress.id == qId.get) consumed.addAndGet(e.progress.numInputRows)
+            ()
+          }
+        }
+        s.streams.addListener(listener)
+        try {
+          val in = s.readStream.schema(s.read.parquet(s"$tmp/in/b000.parquet").schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+          val ds = in.select($"k".as("_1"), $"value".as("_2")).as[(Long, Double)]
+          val q = Streams.ttlDedupTws(ds, java.time.Duration.ofHours(1))
+            .toDF("k", "value")
+            .writeStream
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+            .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+              if (!b.isEmpty) {
+                b.select($"k").withColumn("__batch_part", lit(id))
+                  .write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("__batch_part")
+                  .parquet(s"$tmp/out")
+              }
+            }
+            .start()
+          qId.set(q.id)
+          try {
+            val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+            while (consumed.get < nStaged && System.nanoTime() < deadline)
+              Thread.sleep(100)
+            require(consumed.get >= nStaged,
+              s"tws drain timed out: consumed ${consumed.get} of $nStaged staged rows")
+          } finally q.stop()
+        } finally s.streams.removeListener(listener)
+        val wB = org.apache.spark.sql.expressions.Window.orderBy($"__batch_part")
+        s.read.parquet(s"$tmp/out")
+          .withColumn("first_batch", (dense_rank().over(wB) - 1).cast("long"))
+          .groupBy($"k")
+          .agg(min($"first_batch").as("first_batch"), count(lit(1)).as("n_emissions"))
+          .orderBy($"k")
+          .collect().toList
+      } finally {
+        saved.foreach {
+          case (key, Some(v)) => s.conf.set(key, v)
+          case (key, None) => s.conf.unset(key)
+        }
+        deleteRecursively(new java.io.File(tmp))
+      }
+    s.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("first_batch",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("n_emissions",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  val qStreamTwsDedupOracle: String =
+    """WITH ecap AS MATERIALIZED (
+      | SELECT event_id, user_id * 100 + ascii(substring(event_type, 1, 1)) AS k
+      | FROM events QUALIFY row_number() OVER (ORDER BY event_id) <= 3000),
+      |b AS (SELECT k,
+      |  (row_number() OVER (ORDER BY event_id) - 1) * 3 // (SELECT count(*) FROM ecap) AS b
+      | FROM ecap),
+      |f AS (SELECT k, min(b) AS fb FROM b GROUP BY k)
+      |SELECT k, dense_rank() OVER (ORDER BY fb) - 1 AS first_batch,
+      | CAST(1 AS BIGINT) AS n_emissions
+      |FROM f ORDER BY k""".stripMargin
+
   /** Shared end-to-end drain harness: stage the odd-id documents as 3
     * doc_id-ordered single-file parquet microbatches (file source,
     * maxFilesPerTrigger=1), run `mkSink(in, evenCorpus, tmp)` to
@@ -302,6 +431,33 @@ object StreamQueries {
     * into a LocalRelation so the temp dir (staging + checkpoint + sink
     * output) is deleted before return instead of leaking disk per run.
     */
+  /** Stage a bounded frame as `parts` single-file parquet microbatches
+    * (`$tmp/in/bNNN.parquet`, ascending mod-times so the file source
+    * triggers them in order under maxFilesPerTrigger=1). Returns the
+    * staged row count. The `Window.orderBy` global window is harness
+    * code over a BOUNDED capped frame, not on any production path.
+    */
+  private def stageBatches(frame: DataFrame, orderCol: String, tmp: String,
+      parts: Int): Long = {
+    val ns = frame.count()
+    require(ns > 0, s"stageBatches: empty staged input — wrong data dir?")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+    val ranked = frame
+      .withColumn("rn", row_number().over(w).cast("long") - 1).localCheckpoint()
+    for (k <- 0 until parts) {
+      ranked.filter(expr(s"rn * $parts div $ns") === k).drop("rn")
+        .coalesce(1).write.parquet(s"$tmp/stage_$k")
+      val part = new java.io.File(s"$tmp/stage_$k").listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .getOrElse(sys.error(s"no part file in $tmp/stage_$k"))
+      val dir = new java.io.File(s"$tmp/in"); dir.mkdirs()
+      val dst = new java.io.File(dir, f"b$k%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + k * 60000L)
+    }
+    ns
+  }
+
   private def drainSurvivors(s: SparkSession, d: String)(
       mkSink: (DataFrame, DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
     import s.implicits._
@@ -320,25 +476,8 @@ object StreamQueries {
       .localCheckpoint()
     val corpus = docs.filter($"doc_id" % 2 === 0)
     val stream = docs.filter($"doc_id" % 2 === 1)
-    val ns = stream.count()
-    // a mis-pointed data dir would otherwise surface as `rn * 3 div 0`
-    // null-staging and a missing-part-file sys.error three lines down
-    require(ns > 0, s"drainSurvivors: no odd-id documents under $d — wrong data dir?")
     val tmp = java.nio.file.Files.createTempDirectory("graft-drain").toString
-    val w = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
-    val ranked = stream
-      .withColumn("rn", row_number().over(w).cast("long") - 1).localCheckpoint()
-    for (k <- 0 until 3) {
-      ranked.filter(expr(s"rn * 3 div $ns") === k).drop("rn")
-        .coalesce(1).write.parquet(s"$tmp/stage_$k")
-      val part = new java.io.File(s"$tmp/stage_$k").listFiles()
-        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-        .getOrElse(sys.error(s"no part file in $tmp/stage_$k"))
-      val dir = new java.io.File(s"$tmp/in"); dir.mkdirs()
-      val dst = new java.io.File(dir, f"b$k%03d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + k * 60000L)
-    }
+    stageBatches(stream, "doc_id", tmp, 3)
     // local single-JVM safety: FileSystem-based checkpoint manager, no
     // checksum writer (see TransformWithStateSpec's rocksConf rationale)
     val ckptConfs = Seq(
@@ -457,6 +596,7 @@ object StreamQueries {
   val all: Map[String, Q] = Map(
     "q_stream_dedup_drain" -> qStreamDedupDrain,
     "q_stream_simhash_drain" -> qStreamSimhashDrain,
+    "q_stream_tws_dedup" -> qStreamTwsDedup,
     "q_mm_frames" -> qMmFrames,
     "q_stream_window" -> qStreamWindow,
     "q_stream_hopping" -> qStreamHopping,
@@ -471,6 +611,7 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     "q_stream_dedup_drain" -> qStreamDedupDrainOracle,
     "q_stream_simhash_drain" -> qStreamSimhashDrainOracle,
+    "q_stream_tws_dedup" -> qStreamTwsDedupOracle,
     "q_mm_frames" -> qMmFramesOracle,
     "q_stream_window" -> qStreamWindowOracle,
     "q_stream_hopping" -> qStreamHoppingOracle,
