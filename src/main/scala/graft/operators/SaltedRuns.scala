@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skew-adaptive evaluation of the RUN-COLLAPSE window family —
+  * `sum(newRunFlag) over (partition key order ord)` (SCD2 version
+  * runs, gap-based sessions) and `lead(value) over (partition key
+  * order seq)` — for corpora whose keys carry a zipf head. A window
+  * partition is not splittable, so the single-level plan puts the head
+  * key's ENTIRE stream into one task: the r14 sf10skew sweep measured
+  * q_scd2 at 39 s vs 6 s uniform (custkey 1 holds 3M of 15M orders —
+  * one 3M-row sort + two window passes on one core) after the r13
+  * width pins made the uniform base fast.
+  *
+  * The fix is TWO-LEVEL only where it pays. A 1% sample detects hot
+  * keys (one cheap job, O(sampled keys) driver state); with none — the
+  * uniform case, and every gated SF — the plan is EXACTLY the
+  * single-level window with its r13 width pin, zero overhead. Hot-key
+  * rows alone take the salted path: bucket the key's stream into
+  * contiguous ranges of the order key (global range splits — rows with
+  * equal order values share a bucket, so bucketing respects the total
+  * order), number runs LOCALLY per (key, bucket) window, then repair
+  * bucket boundaries with a second window over O(buckets)-per-key
+  * summaries: a bucket's first local run merges with the previous
+  * bucket's last run iff the user predicate says the boundary pair
+  * does not start a new run, and run numbers shift by the running sum
+  * of preceding buckets' effective run counts. The decomposition is
+  * exact, not approximate — run numbering couples only ADJACENT rows.
+  * An r14 measured rejection shaped this design: unconditionally
+  * bucketing EVERY key (no hot-key gate) ran uniform sf10 q_scd2 at
+  * 20.7 s vs 6.0 s — the boundary repair over keys×buckets summary
+  * rows dwarfs its benefit when no partition is a straggler.
+  *
+  * Reference semantics: pandas groupby-apply run collapse
+  * (src/features/feature_engineering.py's per-entity orderings) — the
+  * single-machine stack never faces the partition-skew question this
+  * operator answers.
+  */
+object SaltedRuns {
+
+  /** Keys whose estimated row count exceeds `hotThreshold`, from a 1%
+    * sample (seeded — deterministic plan choice); capped at the 64
+    * heaviest. Detection affects PERFORMANCE only: both paths are
+    * exact, so a missed hot key degrades to single-level and a false
+    * positive pays the (small) repair overhead. PUBLIC so a caller
+    * chaining [[numbered]] and [[chunkedLead]] detects ONCE on the
+    * cheap source frame and passes the list to both — sampling an
+    * expensive intermediate (e.g. the collapsed-runs frame) executes
+    * its whole upstream pipeline just for the probe (measured +3 s on
+    * uniform sf10 q_scd2). Hotness by SOURCE rows is a safe proxy for
+    * any downstream per-key frame: per-key cardinality only shrinks.
+    */
+  def detectHotKeys(df: DataFrame, key: String,
+      hotThreshold: Long = 1000000L): Seq[Any] = {
+    val rate = 0.01
+    val minSampled = math.max(2.0, hotThreshold * rate)
+    df.select(col(key)).sample(withReplacement = false, rate, seed = 42L)
+      .groupBy(col(key)).count()
+      .filter(col("count") >= minSampled)
+      .orderBy(col("count").desc).limit(64)
+      .collect().map(_.get(0)).toSeq
+  }
+
+  private def singleLevelRuns(df: DataFrame, key: String, ordCols: Seq[Column],
+      cur: Column, newRun: (Column, Column) => Column, outCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(ordCols: _*)
+    // explicit width (REPARTITION_BY_NUM, exempt from AQE coalescing):
+    // window stages are per-row CPU — the r13 qScd2 bytes-blind lesson
+    df.repartition(GlobalRank.rangeWidth(df), col(key))
+      .withColumn("__sr_prev", lag(cur, 1).over(w))
+      .withColumn(outCol, sum(
+        when(col("__sr_prev").isNull || newRun(col("__sr_prev"), cur), 1L)
+          .otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__sr_prev")
+  }
+
+  /** The salted sub-window + boundary-repair path, applied to a frame
+    * that is ENTIRELY hot keys (the caller splits).
+    */
+  private def saltedRuns(df: DataFrame, key: String, ord: String,
+      ordCols: Seq[Column], cur: Column, newRun: (Column, Column) => Column,
+      outCol: String, buckets: Int): DataFrame = {
+    // global range splits of the order key: one approx-quantile pass
+    // over the (hot-only) frame. A head key active across the order
+    // domain — the zipf-head shape — spreads evenly; a key
+    // CONCENTRATED in one order range degrades toward single-level
+    // for that key (documented limit).
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val splits = df.stat.approxQuantile(ord, probes, 0.01).distinct.sorted
+    val bkt = "__sr_b"
+    val withB =
+      if (splits.isEmpty) df.withColumn(bkt, lit(0))
+      else df.withColumn(bkt,
+        size(filter(array(splits.map(lit(_)): _*), v => v <= col(ord))))
+    val w1 = Window.partitionBy(col(key), col(bkt)).orderBy(ordCols: _*)
+    val pinned = withB.repartition(GlobalRank.rangeWidth(withB), col(key), col(bkt))
+    // MATERIALIZED: the flagged frame feeds the boundary-repair summary
+    // AND the final join — unpersisted, both consumers recomputed the
+    // whole salted window pipeline (a duplicated stage pair on every
+    // sf10skew profile). Bounded: hot-key rows only, and the checkpoint
+    // is reclaimed by the ContextCleaner once unreferenced.
+    val flagged = pinned
+      .withColumn("__sr_prev", lag(cur, 1).over(w1))
+      .withColumn("__sr_chg",
+        when(col("__sr_prev").isNull || newRun(col("__sr_prev"), cur), 1L).otherwise(0L))
+      .withColumn("__sr_lv", sum(col("__sr_chg")).over(
+        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
+    // O(buckets) rows per key: boundary repair + cumulative offsets.
+    // min_by/max_by pick each bucket's first/last carry struct under
+    // the same total order the window used.
+    val summ = flagged.groupBy(col(key), col(bkt))
+      .agg(min_by(cur, struct(ordCols: _*)).as("__sr_first"),
+        max_by(cur, struct(ordCols: _*)).as("__sr_last"),
+        max(col("__sr_lv")).as("__sr_runs"))
+    val w2 = Window.partitionBy(col(key)).orderBy(col(bkt))
+    val fix = summ
+      .withColumn("__sr_pl", lag(col("__sr_last"), 1).over(w2))
+      .withColumn("__sr_merge", when(col("__sr_pl").isNotNull &&
+        !newRun(col("__sr_pl"), col("__sr_first")), 1L).otherwise(0L))
+      .withColumn("__sr_eff", col("__sr_runs") - col("__sr_merge"))
+      .withColumn("__sr_base", coalesce(sum(col("__sr_eff")).over(
+        w2.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(key), col(bkt), col("__sr_merge"), col("__sr_base"))
+    // broadcast: hot keys × buckets rows — bounded by the 64-key cap
+    flagged.join(broadcast(fix), Seq(key, bkt))
+      .withColumn(outCol, col("__sr_base") + col("__sr_lv") - col("__sr_merge"))
+      .drop(bkt, "__sr_prev", "__sr_chg", "__sr_lv", "__sr_merge", "__sr_base")
+  }
+
+  /** Append `outCol` = 1-based global run number per `key`, where a new
+    * run starts whenever `newRun(prevCarry, curCarry)` holds (the first
+    * row of a key always starts run 1).
+    *
+    * @param ordExpr   numeric/date-castable order expression
+    * @param tieCols   deterministic tiebreak completing the per-key
+    *                  total order
+    * @param carryCols columns `newRun` reads; exposed to it as struct
+    *                  fields named after each column
+    * @param newRun    (prev, cur) => TRUE iff cur starts a new run
+    * @param buckets   sub-windows per hot key — the head key's
+    *                  straggler task splits this many ways
+    * @param hotThreshold rows per key above which the salted path is
+    *                  used for that key
+    */
+  def numbered(df: DataFrame, key: String, ordExpr: Column, tieCols: Seq[Column],
+      carryCols: Seq[Column], newRun: (Column, Column) => Column,
+      outCol: String, buckets: Int = 16, hotThreshold: Long = 1000000L,
+      hotOverride: Option[Seq[Any]] = None): DataFrame = {
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    val ord = "__sr_ord"
+    val withOrd = df.withColumn(ord, ordExpr.cast("double"))
+    val cur = struct(carryCols: _*)
+    val ordCols = col(ord) +: tieCols
+    val hot = hotOverride.getOrElse(detectHotKeys(withOrd, key, hotThreshold))
+    val out =
+      if (hot.isEmpty || buckets == 1)
+        singleLevelRuns(withOrd, key, ordCols, cur, newRun, outCol)
+      else {
+        // per-key split: keys live wholly in one branch, so numbering
+        // never crosses the union
+        val isHot = col(key).isInCollection(hot)
+        singleLevelRuns(withOrd.filter(!isHot), key, ordCols, cur, newRun, outCol)
+          .unionByName(saltedRuns(withOrd.filter(isHot), key, ord, ordCols,
+            cur, newRun, outCol, buckets))
+      }
+    out.drop(ord)
+  }
+
+  /** A sliding ROWS-frame window aggregate —
+    * `aggFn over (partition key order ord ROWS BETWEEN k PRECEDING AND
+    * CURRENT ROW)` — without a per-key mega-partition. Exact by
+    * construction: hot keys get a two-level per-key row number
+    * ([[numbered]] with an always-true run predicate), dense
+    * `chunkSize` chunks of it (no empty chunks, unlike value-range
+    * buckets), and each chunk's last k rows REPLICATED into the next
+    * chunk as context-only rows — so every row's frame holds exactly
+    * the same rows as the single-level window, and Spark's frame
+    * aggregation arithmetic is bit-identical (the frame is re-evaluated
+    * over its ≤k+1 rows either way; no prefix-sum float drift).
+    */
+  def chunkedRowsAgg(df: DataFrame, key: String, ordExpr: Column,
+      tieCols: Seq[Column], k: Int,
+      aggFn: org.apache.spark.sql.expressions.WindowSpec => Column,
+      outCol: String, chunkSize: Long = 65536L,
+      hotThreshold: Long = 1000000L,
+      hotOverride: Option[Seq[Any]] = None): DataFrame = {
+    require(k >= 0 && chunkSize > k, s"need 0 <= k < chunkSize, got k=$k chunk=$chunkSize")
+    val hot = hotOverride.getOrElse(detectHotKeys(df, key, hotThreshold))
+    def plain(part: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(key))
+        .orderBy((ordExpr +: tieCols): _*)
+        .rowsBetween(-k, Window.currentRow)
+      // explicit width — the r13 qScd2 bytes-blind lesson
+      part.repartition(GlobalRank.rangeWidth(part), col(key))
+        .withColumn(outCol, aggFn(w))
+    }
+    if (hot.isEmpty) plain(df)
+    else {
+      val isHot = col(key).isInCollection(hot)
+      val rn = "__sr_rn"; val ck = "__sr_ck"; val ctx = "__sr_ctx"
+      val hotRn = numbered(df.filter(isHot), key, ordExpr, tieCols,
+        Seq(lit(1L).as("__sr_one")), (_, _) => lit(true), rn,
+        hotOverride = Some(hot))
+        .drop("__sr_one")
+      val base = hotRn
+        .withColumn(ck, floor((col(rn) - 1) / lit(chunkSize)))
+        .withColumn(ctx, lit(false))
+      val context = base
+        .filter((col(rn) - 1) % lit(chunkSize) >= lit(chunkSize - k))
+        .withColumn(ck, col(ck) + 1)
+        .withColumn(ctx, lit(true))
+      val w1 = Window.partitionBy(col(key), col(ck)).orderBy(col(rn))
+        .rowsBetween(-k, Window.currentRow)
+      val hotOut = base.unionByName(context)
+        .repartition(GlobalRank.rangeWidth(base), col(key), col(ck))
+        .withColumn(outCol, aggFn(w1))
+        .filter(!col(ctx))
+        .drop(rn, ck, ctx)
+      plain(df.filter(!isHot)).unionByName(hotOut)
+    }
+  }
+
+  /** `lead(valueCol) over (partition key order seqCol)` without a
+    * per-key mega-partition: the same sample-gated split — cold keys
+    * take the plain window; hot keys lead within contiguous
+    * `chunkSize` ranges of `seqCol` (which must be unique per key —
+    * e.g. the run number [[numbered]] emits), each chunk's LAST row
+    * taking the next non-empty chunk's first value from an
+    * O(chunks)-per-key summary window. `outCol` is null for the key's
+    * last row, as lead is.
+    */
+  def chunkedLead(df: DataFrame, key: String, seqCol: Column, valueCol: Column,
+      outCol: String, chunkSize: Long = 65536L,
+      hotThreshold: Long = 1000000L,
+      hotOverride: Option[Seq[Any]] = None): DataFrame = {
+    require(chunkSize >= 2, s"need chunkSize >= 2, got $chunkSize")
+    val hot = hotOverride.getOrElse(detectHotKeys(df, key, hotThreshold))
+    val wPlain = Window.partitionBy(col(key)).orderBy(seqCol)
+    def plain(part: DataFrame): DataFrame =
+      part.repartition(GlobalRank.rangeWidth(part), col(key))
+        .withColumn(outCol, lead(valueCol, 1).over(wPlain))
+    if (hot.isEmpty) plain(df)
+    else {
+      val isHot = col(key).isInCollection(hot)
+      val ck = "__sr_ck"
+      val hotDf = df.filter(isHot).withColumn(ck, floor(seqCol / lit(chunkSize)))
+      val w1 = Window.partitionBy(col(key), col(ck)).orderBy(seqCol)
+      // materialized for the same two-consumer reason as [[numbered]]'s
+      // flagged frame (chunk summary + final join)
+      val pinned = hotDf.repartition(GlobalRank.rangeWidth(hotDf), col(key), col(ck))
+        .withColumn("__sr_ld", lead(valueCol, 1).over(w1))
+        .localCheckpoint()
+      val cs = pinned.groupBy(col(key), col(ck))
+        .agg(min_by(valueCol, seqCol).as("__sr_cf"))
+      val w2 = Window.partitionBy(col(key)).orderBy(col(ck))
+      val nf = cs.withColumn("__sr_nf", lead(col("__sr_cf"), 1).over(w2))
+        .select(col(key), col(ck), col("__sr_nf"))
+      val hotOut = pinned.join(broadcast(nf), Seq(key, ck))
+        .withColumn(outCol, coalesce(col("__sr_ld"), col("__sr_nf")))
+        .drop(ck, "__sr_ld", "__sr_nf")
+      plain(df.filter(!isHot)).unionByName(hotOut)
+    }
+  }
+}

@@ -400,14 +400,15 @@ object CoreQueries {
     */
   def qMovingAvg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"user_id")
-      .orderBy(unix_timestamp($"ts"), $"event_id")
-      .rowsBetween(-3, Window.currentRow)
     val src = Tables.events(s, d)
-    // explicit window width — the qScd2 AQE bytes-blind lesson
-    // (3 tasks over 168 MB at sf10 otherwise)
-    src.repartition(graft.operators.GlobalRank.rangeWidth(src), $"user_id")
-      .withColumn("mavg", avg($"value").over(w))
+    // skew-adaptive ROWS-frame window (SaltedRuns.chunkedRowsAgg): with
+    // no hot keys this IS the r13 pinned single-level window (plus one
+    // 1% sample probe); a zipf-head user's frame otherwise runs as ONE
+    // unsplittable partition (r14 sf10skew measured 7.3 vs 3.1 s
+    // uniform — 2M of 10M events on user 1, one core)
+    graft.operators.SaltedRuns.chunkedRowsAgg(
+        src, "user_id", unix_timestamp($"ts"), Seq($"event_id"), k = 3,
+        w => avg($"value").over(w), "mavg")
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n"),
         (round(avg($"mavg"), 4) + lit(0.0)).as("avg_mavg"),

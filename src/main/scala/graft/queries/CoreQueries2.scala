@@ -496,31 +496,60 @@ object CoreQueries2 {
     * twin of the feature store's PIT retrieval (features/
     * FeatureStore.scala): an as-of join against this output at time t
     * returns exactly the version whose [valid_from, valid_to) contains
-    * t. Two shuffles total — one hash partition on o_custkey feeds
-    * both windows and the groupBy (co-partitioned, no re-exchange),
-    * then the output sort. At 100 TB the window state per customer is
-    * one row — no skew risk beyond the per-key order cardinality.
+    * t. Both per-key window passes run TWO-LEVEL
+    * ([[graft.operators.SaltedRuns]]): the run numbering as salted
+    * sub-windows + an O(buckets)-per-key boundary repair, the
+    * valid_to lead as chunked sub-windows + an O(chunks)-per-key
+    * summary — because a zipf head key is otherwise ONE unsplittable
+    * window partition (r14 sf10skew measured the single-level plan at
+    * 39 s vs 6 s uniform: custkey 1 = 3M orders sorted + windowed on
+    * one core; two-level runs the same corpus at head/buckets rows per
+    * task).
     */
   def qScd2(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
     val src = Tables.orders(s, d)
       .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority")
-    // Explicit-width partition (exempt from AQE coalescing): the
-    // window stages are per-row CPU (sort + two passes), and AQE's
-    // bytes-based coalescing ran them 5-wide over 261 MB at sf10 —
-    // 10 s/stage on 2/13 of the cores.
-    val runs = src
-      .repartition(graft.operators.GlobalRank.rangeWidth(src), $"o_custkey")
-      .withColumn("chg",
-        when(lag($"o_orderpriority", 1).over(w).isNull ||
-          lag($"o_orderpriority", 1).over(w) =!= $"o_orderpriority", 1L).otherwise(0L))
-      .withColumn("version", sum($"chg").over(w))
-    val vw = Window.partitionBy($"o_custkey").orderBy($"version")
-    runs.groupBy($"o_custkey", $"version", $"o_orderpriority")
-      .agg(min(unix_timestamp($"o_orderdate")).as("valid_from_s"), count(lit(1)).as("n_orders"))
-      .withColumn("valid_to_s",
-        coalesce(lead($"valid_from_s", 1).over(vw), lit(253402300800L)))
+    // ONE hot-key probe on the cheap source scan, shared by every
+    // two-level decision below: sampling the collapsed-runs
+    // intermediate would execute its whole upstream pipeline just for
+    // the probe. Keys are wholly in one branch, so the whole pipeline
+    // (runs → agg → lead) splits per branch and unions at the END —
+    // the cold branch keeps the fully-FUSED r13 plan (window, agg and
+    // lead all ride ONE hash(o_custkey) exchange: clustering by a
+    // grouping-key subset), while only the head keys' rows pay the
+    // salted machinery. The intermediate design that split inside each
+    // operator and unioned between them was measured-rejected: the
+    // union's mixed partitionings forced a full-corpus agg re-exchange
+    // (+205 MB shuffle, ~4 s of the sf10skew run on COLD rows).
+    val hot = graft.operators.SaltedRuns.detectHotKeys(src, "o_custkey")
+    def pipeline(part: DataFrame, hotList: Seq[Any]): DataFrame = {
+      val runs = graft.operators.SaltedRuns.numbered(
+        part, "o_custkey", unix_timestamp($"o_orderdate"), Seq($"o_orderkey"),
+        Seq($"o_orderpriority"),
+        (p, c) => p.getField("o_orderpriority") =!= c.getField("o_orderpriority"),
+        "version", buckets = 32, hotOverride = Some(hotList))
+      // hot branch only: pinned exchange under the agg
+      // (REPARTITION_BY_NUM) — the salted runs arrive hash(key, bucket)
+      // partitioned, the agg must re-exchange anyway, and an unpinned
+      // exchange's reads bytes-coalesce to 1 task (the qScd2 lesson)
+      val gIn = if (hotList.nonEmpty)
+        runs.repartition(graft.operators.GlobalRank.rangeWidth(part),
+          $"o_custkey", $"version", $"o_orderpriority")
+      else runs
+      val g = gIn
+        .groupBy($"o_custkey", $"version", $"o_orderpriority")
+        .agg(min(unix_timestamp($"o_orderdate")).as("valid_from_s"),
+          count(lit(1)).as("n_orders"))
+      graft.operators.SaltedRuns.chunkedLead(g, "o_custkey", $"version",
+        $"valid_from_s", "__vt", hotOverride = Some(hotList))
+    }
+    val led =
+      if (hot.isEmpty) pipeline(src, Nil)
+      else pipeline(src.filter(!$"o_custkey".isInCollection(hot)), Nil)
+        .unionByName(pipeline(src.filter($"o_custkey".isInCollection(hot)), hot))
+    led
+      .withColumn("valid_to_s", coalesce($"__vt", lit(253402300800L)))
       .select($"o_custkey", $"version", $"o_orderpriority".as("priority"),
         $"valid_from_s", $"valid_to_s", $"n_orders")
       .orderBy($"o_custkey", $"version")

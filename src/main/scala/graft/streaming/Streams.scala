@@ -55,23 +55,21 @@ object Streams {
         col("n_events"), col("sum_value"))
 
   /** Batch gap-based sessionization: a new session starts when the gap
-    * to the previous event (per user) exceeds `gapSeconds`. One window
-    * shuffle on user_id; session ids via running sum of boundary flags.
+    * to the previous event (per user) exceeds `gapSeconds`. Session
+    * ids via [[graft.operators.SaltedRuns.numbered]] — the two-level
+    * run numbering whose salted sub-windows keep a zipf-head user from
+    * becoming one unsplittable window partition (r14 sf10skew measured
+    * the single-level plan at 2.1× the uniform corpus: user 1 holds 2M
+    * of 10M events). The gap rule reads only epoch SECONDS, so it is
+    * invariant to tie order among same-second events — both engines
+    * agree regardless of sub-second ordering.
     */
-  def sessionize(df: DataFrame, gapSeconds: Long): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    // explicit window width — AQE bytes-based coalescing ran the
-    // session windows 3-wide over 177 MB at sf10 (per-row window CPU
-    // is invisible to it; the qScd2 lesson)
-    df.repartition(graft.operators.GlobalRank.rangeWidth(df), col("user_id"))
-      .withColumn("__ts_s", unix_timestamp(col("ts")))
-      .withColumn("__prev", lag(col("__ts_s"), 1).over(w))
-      .withColumn("__new_session",
-        when(col("__prev").isNull || col("__ts_s") - col("__prev") > gapSeconds, 1).otherwise(0))
-      .withColumn("session_idx", sum(col("__new_session")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .drop("__ts_s", "__prev", "__new_session")
-  }
+  def sessionize(df: DataFrame, gapSeconds: Long): DataFrame =
+    graft.operators.SaltedRuns.numbered(
+      df, "user_id", unix_timestamp(col("ts")), Seq(col("event_id")),
+      Seq(unix_timestamp(col("ts")).as("__ts_s")),
+      (p, c) => c.getField("__ts_s") - p.getField("__ts_s") > gapSeconds,
+      "session_idx")
 
   /** Per-user session summary (batch): sessions and events per user. */
   def sessionSummary(df: DataFrame, gapSeconds: Long): DataFrame =

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.SaltedRuns
+
+/** The skew-adaptive run-collapse operator must equal the single-level
+  * window EXACTLY on both of its paths — run numbering couples only
+  * adjacent rows, so the salted decomposition (local sub-windows +
+  * boundary repair) is lossless by construction; these specs pin it on
+  * data with a zipf head, cross-bucket runs, and order-key ties, and
+  * pin the PLAN contract: no hot keys → the r13 single-level pinned
+  * window, zero overhead; hot keys → only they take the salted path.
+  */
+class SaltedRunsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // zipf head: key 1 holds half the rows; values repeat in runs so
+  // run boundaries land INSIDE and ACROSS quantile buckets; ties in
+  // the order key exercise the same-bucket guarantee
+  private def mkRows(n: Int, seed: Int): Seq[(Long, Long, Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      val key = if (rnd.nextBoolean()) 1L else 2L + rnd.nextInt(5)
+      val ord = (rnd.nextInt(n / 4) + 1).toLong // many ties
+      val v = s"p${rnd.nextInt(3)}"
+      (key, ord, i.toLong, v) // i = unique tiebreak
+    }
+  }
+
+  test("numbered equals the single-level window on both paths (hot key, ties)") {
+    for ((buckets, thresh) <- Seq((1, 50L), (4, 50L), (16, 50L), (16, 1000000L))) {
+      val df = mkRows(2000, seed = 7 + buckets).toDF("k", "ord", "tie", "v")
+      val w = Window.partitionBy($"k").orderBy($"ord", $"tie")
+      val expected = df
+        .withColumn("chg", when(lag($"v", 1).over(w).isNull ||
+          lag($"v", 1).over(w) =!= $"v", 1L).otherwise(0L))
+        .withColumn("run", sum($"chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"k", $"ord", $"tie", $"v", $"run")
+      val got = SaltedRuns.numbered(df, "k", $"ord", Seq($"tie"), Seq($"v"),
+        (p, c) => p.getField("v") =!= c.getField("v"), "run",
+        buckets = buckets, hotThreshold = thresh)
+        .select($"k", $"ord", $"tie", $"v", $"run")
+      assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+        s"buckets=$buckets thresh=$thresh: run numbers diverge from the window")
+    }
+  }
+
+  test("numbered repairs a run spanning several buckets into one number") {
+    // one hot key, constant value: however the quantile splits fall,
+    // the whole stream is ONE run — every bucket boundary must merge
+    val df = (1 to 500).map(i => (9L, i.toLong, i.toLong, "same"))
+      .toDF("k", "ord", "tie", "v")
+    val got = SaltedRuns.numbered(df, "k", $"ord", Seq($"tie"), Seq($"v"),
+      (p, c) => p.getField("v") =!= c.getField("v"), "run",
+      buckets = 8, hotThreshold = 50L)
+    assert(got.select($"run").distinct().as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("chunkedLead equals lead across chunk boundaries and empty chunks") {
+    // seq has gaps (empty chunks at chunkSize=4); key 1 forced hot so
+    // the chunked path is exercised, key 2 stays on the plain window
+    val rows = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0), (1L, 5L, 50.0),
+      (1L, 9L, 90.0), (1L, 17L, 170.0), // chunks 0,0,0,1,2,4 — chunk 3 empty
+      (1L, 18L, 180.0), (1L, 19L, 190.0), (1L, 20L, 200.0), (1L, 21L, 210.0),
+      (2L, 4L, 4.0), (2L, 8L, 8.0))
+      .toDF("k", "seq", "vf")
+    val w = Window.partitionBy($"k").orderBy($"seq")
+    val expected = rows.withColumn("nxt", lead($"vf", 1).over(w))
+      .select($"k", $"seq", $"nxt")
+    val got = SaltedRuns.chunkedLead(rows, "k", $"seq", $"vf", "nxt",
+      chunkSize = 4L, hotThreshold = 2L)
+    val exp = expected.collect().map(r => (r.getLong(0), r.getLong(1),
+      Option(r.get(2)))).toSet
+    val act = got.select($"k", $"seq", $"nxt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(act == exp, s"chunkedLead diverges: $act vs $exp")
+  }
+
+  test("chunkedRowsAgg equals the single-level ROWS-frame window across chunk boundaries") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 1200).map { i =>
+      val key = if (rnd.nextBoolean()) 1L else 2L + rnd.nextInt(3)
+      (key, (rnd.nextInt(300) + 1).toLong, i.toLong, rnd.nextInt(100).toDouble)
+    }.toDF("k", "ord", "tie", "v")
+    val w = Window.partitionBy($"k").orderBy($"ord", $"tie")
+      .rowsBetween(-3, Window.currentRow)
+    val expected = rows.withColumn("mavg", avg($"v").over(w))
+      .select($"k", $"ord", $"tie", round($"mavg", 9).as("mavg"))
+    // chunkSize 16 forces MANY chunk boundaries; threshold 50 forces
+    // the hot path for key 1 (~600 rows)
+    val got = SaltedRuns.chunkedRowsAgg(rows, "k", $"ord", Seq($"tie"), k = 3,
+      wd => avg($"v").over(wd), "mavg", chunkSize = 16L, hotThreshold = 50L)
+      .select($"k", $"ord", $"tie", round($"mavg", 9).as("mavg"))
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+      "chunked ROWS-frame agg diverges from the single-level window")
+    assert(got.count() === rows.count(), "context rows leaked into the output")
+  }
+
+  test("plan contract: hot keys split (key, bucket)-wide; none -> r13 single-level") {
+    val df = mkRows(2000, seed = 3).toDF("k", "ord", "tie", "v")
+    // forced-hot: the salted branch's (key, bucket) repartition shows
+    val hotPlan = SaltedRuns.numbered(df, "k", $"ord", Seq($"tie"), Seq($"v"),
+      (p, c) => p.getField("v") =!= c.getField("v"), "run",
+      buckets = 16, hotThreshold = 50L)
+      .queryExecution.executedPlan.toString
+    assert(hotPlan.contains("REPARTITION_BY_NUM"), hotPlan.take(800))
+    assert(hotPlan.contains("__sr_b"), "salted bucket column missing from hot plan")
+    // default threshold: nothing is hot at 2k rows — the plan must be
+    // the plain pinned window with ZERO salting machinery (the r14
+    // measured rejection: unconditional salting ran uniform sf10
+    // q_scd2 at 20.7 s vs 6.0 s)
+    val coldPlan = SaltedRuns.numbered(df, "k", $"ord", Seq($"tie"), Seq($"v"),
+      (p, c) => p.getField("v") =!= c.getField("v"), "run")
+      .queryExecution.executedPlan.toString
+    assert(coldPlan.contains("REPARTITION_BY_NUM"), coldPlan.take(800))
+    assert(!coldPlan.contains("__sr_b"),
+      "cold path must carry no salting machinery")
+  }
+}
