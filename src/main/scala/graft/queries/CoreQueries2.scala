@@ -508,8 +508,19 @@ object CoreQueries2 {
     */
   def qScd2(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val src = Tables.orders(s, d)
-      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    scd2Of(s, Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority"))
+      .orderBy($"o_custkey", $"version")
+  }
+
+  /** The qScd2 build pipeline over an arbitrary orders subset — shared
+    * with [[qScd2Apply]], whose base dimension is the same build on
+    * the pre-cutoff orders. Returns the final dimension schema
+    * (o_custkey, version, priority, valid_from_s, valid_to_s,
+    * n_orders), unsorted.
+    */
+  private def scd2Of(s: SparkSession, src: DataFrame): DataFrame = {
+    import s.implicits._
     // ONE hot-key probe on the cheap source scan, shared by every
     // two-level decision below: sampling the collapsed-runs
     // intermediate would execute its whole upstream pipeline just for
@@ -552,8 +563,50 @@ object CoreQueries2 {
       .withColumn("valid_to_s", coalesce($"__vt", lit(253402300800L)))
       .select($"o_custkey", $"version", $"o_orderpriority".as("priority"),
         $"valid_from_s", $"valid_to_s", $"n_orders")
+  }
+
+  /** INCREMENTAL SCD2 maintenance — the MERGE-shaped twin of
+    * q_dedup_incremental for the warehouse side: the dimension built
+    * from pre-1997 orders is the STORED table, the 1997+ orders are
+    * the change batch, and [[graft.operators.Scd2.applyChanges]] folds
+    * them in without rebuilding — untouched customers pass through a
+    * map-side broadcast anti-join (the touched-keys-only shuffle
+    * contract, plan-spec'd), touched customers close/extend their
+    * current row and append the batch's collapsed runs. The date
+    * cutoff gives the operator its contract for free: every change
+    * event is strictly later than every base event. ORACLE: the full
+    * REBUILD over all orders (qScd2's own SQL) — increment == rebuild,
+    * row for row, on every key.
+    */
+  def qScd2Apply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val cutoff = "1997-01-01"
+    val dim = scd2Of(s, all.filter($"o_orderdate" < lit(cutoff)))
+    val changes = all.filter($"o_orderdate" >= lit(cutoff))
+    graft.operators.Scd2.applyChanges(dim, changes, "o_custkey",
+        unix_timestamp($"o_orderdate"), $"o_orderkey", "o_orderpriority")
       .orderBy($"o_custkey", $"version")
   }
+
+  val qScd2ApplyOracle: String = // rebuild-vs-increment equality: the full-rebuild SQL
+    """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+      |  CASE WHEN lag(o_orderpriority) OVER w IS NULL
+      |         OR lag(o_orderpriority) OVER w <> o_orderpriority THEN 1 ELSE 0 END AS chg
+      | FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |r AS (SELECT o_custkey, o_orderpriority,  o_orderdate,
+      |  CAST(sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version
+      | FROM o),
+      |g AS (SELECT o_custkey, version, o_orderpriority AS priority,
+      |  CAST(floor(epoch(min(o_orderdate))) AS BIGINT) AS valid_from_s,
+      |  count(*) AS n_orders
+      | FROM r GROUP BY 1, 2, 3)
+      |SELECT o_custkey, version, priority, valid_from_s,
+      | coalesce(lead(valid_from_s) OVER (PARTITION BY o_custkey ORDER BY version),
+      |          253402300800) AS valid_to_s,
+      | n_orders
+      |FROM g ORDER BY o_custkey, version""".stripMargin
 
   val qScd2Oracle: String =
     """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
@@ -668,6 +721,7 @@ object CoreQueries2 {
   val all: Map[String, Q] = Map(
     "q_zvalue" -> qZvalue,
     "q_scd2" -> qScd2,
+    "q_scd2_apply" -> qScd2Apply,
     "q_intervals_merge" -> qIntervalsMerge,
     "q_kanon" -> qKanon,
     "q_pseudonymize" -> qPseudonymize,
@@ -687,6 +741,7 @@ object CoreQueries2 {
   val oracles: Map[String, String] = Map(
     "q_zvalue" -> qZvalueOracle,
     "q_scd2" -> qScd2Oracle,
+    "q_scd2_apply" -> qScd2ApplyOracle,
     "q_intervals_merge" -> qIntervalsMergeOracle,
     "q_kanon" -> qKanonOracle,
     "q_pseudonymize" -> qPseudonymizeOracle,

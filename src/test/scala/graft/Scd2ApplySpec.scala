@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scd2
+
+/** Incremental SCD2 maintenance (Scd2.applyChanges): increment must
+  * equal rebuild row-for-row, untouched keys must ride a map-side
+  * broadcast anti-join (the touched-keys-only shuffle contract).
+  */
+class Scd2ApplySpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, tiebreak, dateSec, value) change events
+  private def dimOf(events: Seq[(Long, Long, Long, String)]) = {
+    val df = events.toDF("k", "tie", "ds", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"ds", $"tie")
+    val runs = df
+      .withColumn("chg", when(lag($"v", 1).over(w).isNull ||
+        lag($"v", 1).over(w) =!= $"v", 1L).otherwise(0L))
+      .withColumn("version", sum($"chg").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"version")
+    runs.groupBy($"k", $"version", $"v")
+      .agg(min($"ds").as("valid_from_s"), count(lit(1)).as("n_orders"))
+      .withColumn("valid_to_s",
+        coalesce(lead($"valid_from_s", 1).over(wl), lit(Scd2.Sentinel)))
+      .select($"k", $"version", $"v".as("priority"),
+        $"valid_from_s", $"valid_to_s", $"n_orders")
+  }
+
+  // base: key 1 two runs (a then b), key 2 one run, key 3 untouched
+  private val base = Seq(
+    (1L, 1L, 100L, "a"), (1L, 2L, 200L, "a"), (1L, 3L, 300L, "b"),
+    (2L, 4L, 100L, "x"),
+    (3L, 5L, 100L, "z"), (3L, 6L, 400L, "w"))
+  // changes, all strictly later: key 1 CONTINUES run b then flips to c
+  // (merge + append), key 2 flips immediately (close + append), key 9
+  // is NEW (no dim rows)
+  private val changes = Seq(
+    (1L, 7L, 500L, "b"), (1L, 8L, 600L, "c"),
+    (2L, 9L, 500L, "y"), (2L, 10L, 700L, "y"),
+    (9L, 11L, 500L, "n"), (9L, 12L, 600L, "m"))
+
+  private def applied = Scd2.applyChanges(
+    dimOf(base), changes.toDF("k", "tie", "ds", "v"),
+    "k", $"ds", $"tie", "v")
+
+  test("increment equals rebuild row-for-row (merge, close, new key, untouched)") {
+    val rebuilt = dimOf(base ++ changes)
+    val inc = applied.select(rebuilt.columns.map(col): _*)
+    assert(inc.except(rebuilt).isEmpty && rebuilt.except(inc).isEmpty,
+      s"increment diverges from rebuild:\ninc=${inc.orderBy($"k", $"version").collect().mkString("\n")}" +
+        s"\nrebuilt=${rebuilt.orderBy($"k", $"version").collect().mkString("\n")}")
+    // spot-pin the merge: key 1's run b absorbed the change event
+    val k1v2 = applied.filter($"k" === 1 && $"version" === 2).collect().head
+    assert(k1v2.getAs[Long]("n_orders") === 2L, "merged run must count both events")
+    assert(k1v2.getAs[Long]("valid_to_s") === 600L, "merged run closes at the next run")
+    // untouched key 3 is bit-identical to its dim rows
+    val dim3 = dimOf(base).filter($"k" === 3).collect().toSet
+    assert(applied.filter($"k" === 3).collect().toSet == dim3)
+  }
+
+  test("untouched keys ride a broadcast anti-join — no dimension shuffle") {
+    val plan = applied.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(1200))
+    // the anti-join must be broadcast (build = touched keys), never a
+    // shuffled join that re-exchanges the stored dimension
+    assert(!plan.contains("SortMergeJoin LeftAnti") &&
+      !plan.contains("ShuffledHashJoin LeftAnti"),
+      "untouched-keys anti-join must not shuffle the dimension:\n" + plan.take(1200))
+  }
+}

@@ -282,10 +282,22 @@ class SourcesPlanSpec extends SparkSpec {
     // "UDF(" / ScalaUDF = actual user functions; bare "UDF" would also
     // match UDFAdaptors, the internal shim every typed Dataset op uses
     // (TopKAggregator's flatMap unpack is deliberate, O(queries×k))
+    // piggybacked width guard (the r13 verdict's inverse assertion):
+    // every EXPLICIT width pin (REPARTITION_BY_NUM) in any query's plan
+    // must be far below the 1024 AQE start width at this toy SF — a pin
+    // that reads 1024 here inherited the cap from garbage stats (the
+    // r10 regression class: a Long.MaxValue size estimate pushes
+    // rangeWidth to its cap and schedules 1024 near-empty tasks), and
+    // this catches the NEXT such query at spec time instead of at the
+    // next sf10 sweep.
+    val pinWidth = """(?:hash|range)partitioning\(.*?, (\d+)\), REPARTITION_BY_NUM""".r
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val plan = q(spark, sf).queryExecution.executedPlan.toString
-      Seq("UDF(", "ScalaUDF", "BatchEvalPython", "CartesianProduct")
+      val udfish = Seq("UDF(", "ScalaUDF", "BatchEvalPython", "CartesianProduct")
         .filter(plan.contains).map(bad => s"$name: $bad")
+      val fatPins = pinWidth.findAllMatchIn(plan).map(_.group(1).toInt)
+        .filter(_ >= 1024).map(w => s"$name: width pin inherited the AQE cap ($w)")
+      udfish ++ fatPins
     }
     assert(offenders.isEmpty, offenders.mkString(", "))
   }
