@@ -501,6 +501,13 @@ object FeatureQueries {
     */
   def qWinsorize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // DELIBERATELY NOT the q_outlier_mad shared-checkpoint shape: r14
+    // measured fusing fit+apply onto one localCheckpoint'd narrow
+    // projection at 40.0 s vs 21.2 s at sf10 — materializing 60M
+    // row-oriented checkpoint rows and re-reading them LOSES to two
+    // vectorized 2-column parquet scans (the events projection
+    // q_outlier_mad checkpoints is 6× smaller and feeds FIVE
+    // consumers, not two). The second scan is the honest price here.
     val li = Tables.lineitem(s, d)
     val bounds = graft.operators.GlobalRank.quantilesByGroup(
         li, "l_returnflag", $"l_extendedprice", Seq("lo" -> 0.05, "hi" -> 0.95))
