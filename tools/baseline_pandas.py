@@ -93,9 +93,11 @@ def q_dedup_incremental(d):
     new_dg = new.text.map(lambda t: hashlib.md5(t.encode()).hexdigest())
     exact = set(new.doc_id[new_dg.isin(old_dg).values])
     # the single-process reference shape: per-doc shingle sets, then
-    # new×old pairwise Jaccard (no distributed inverted index to lean on)
+    # new×old pairwise Jaccard (no distributed banded index to lean on).
+    # 7-gram shingles — the r14 query semantics (the 3-gram space's
+    # background J defeats any candidate pruning; see SCALING.md)
     def sh(t):
-        return {t[i:i + 3] for i in range(len(t) - 2)}
+        return {t[i:i + 7] for i in range(len(t) - 6)}
     old_sh = [sh(t) for t in old.text]
     near = set()
     for i, t in zip(new.doc_id, new.text):
