@@ -201,7 +201,10 @@ object TrackerRegistry {
 
   private val factories = TrieMap[String, Factory](
     "parquet" -> ((s, uri) => new ParquetTracker(s, uri)),
-    "memory" -> ((s, uri) => memoryStores.getOrElseUpdate(uri, new InMemoryTracker(s))))
+    "memory" -> ((s, uri) => memoryStores.getOrElseUpdate(uri, new InMemoryTracker(s))),
+    // uri = an MLflow tracking server URL (http://host:port); spec'd
+    // against a local wire-format stub — see MlflowTracker
+    "mlflow" -> ((s, uri) => new MlflowTracker(s, uri)))
   private val memoryStores = TrieMap[String, InMemoryTracker]()
 
   def register(name: String, factory: Factory): Unit = factories.put(name, factory)

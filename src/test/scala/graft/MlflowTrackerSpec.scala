@@ -1,0 +1,191 @@
+package graft
+
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.ml.{EvalArtifacts, ExperimentTracker, MlflowTracker, ModelRegistry,
+  TrackerRegistry, Trainer}
+
+/** The MLflow-wire backend against a LOCAL stub implementing the same
+  * REST surface (runs/create, runs/log-batch, runs/set-tag,
+  * runs/search, metrics/get-history, experiments/create) with an
+  * in-memory store and a file: artifact root — no network egress, and
+  * the tracker code path is identical to a real tracking server. The
+  * behavioral contract mirrors the parquet/memory backend specs:
+  * log → list → best-run selection → trials → artifacts → registry
+  * stages.
+  */
+class MlflowTrackerSpec extends SparkSpec {
+  private implicit val fmt: Formats = DefaultFormats
+
+  /** Minimal MLflow tracking server: JSON wire format over the five
+    * endpoints the tracker uses.
+    */
+  private final class Stub {
+    final case class StoredRun(
+      runId: String, experimentId: String, startTime: Long,
+      var params: Map[String, String] = Map.empty,
+      var tags: Map[String, String] = Map.empty,
+      // metric key -> history of (step, value); "latest" = last logged
+      var metrics: Map[String, List[(Int, Double)]] = Map.empty)
+
+    val runs = scala.collection.mutable.LinkedHashMap[String, StoredRun]()
+    val experiments = scala.collection.mutable.LinkedHashMap[String, String]()
+    val artifactRoot: String =
+      java.nio.file.Files.createTempDirectory("mlflow-stub-artifacts").toString
+
+    private def body(ex: HttpExchange): JValue =
+      JsonMethods.parse(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+
+    private def respond(ex: HttpExchange, v: JValue): Unit = {
+      val bytes = JsonMethods.compact(JsonMethods.render(v)).getBytes("UTF-8")
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+    private def runJson(r: StoredRun): JValue = JObject(
+      "info" -> JObject(
+        "run_id" -> JString(r.runId),
+        "experiment_id" -> JString(r.experimentId),
+        "start_time" -> JInt(r.startTime),
+        "artifact_uri" -> JString(s"file:$artifactRoot/${r.runId}")),
+      "data" -> JObject(
+        "params" -> JArray(r.params.toList.map { case (k, v) =>
+          JObject("key" -> JString(k), "value" -> JString(v)) }),
+        "tags" -> JArray(r.tags.toList.map { case (k, v) =>
+          JObject("key" -> JString(k), "value" -> JString(v)) }),
+        "metrics" -> JArray(r.metrics.toList.map { case (k, hist) =>
+          JObject("key" -> JString(k), "value" -> JDouble(hist.last._2)) })))
+
+    val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/2.0/mlflow/", (ex: HttpExchange) => try {
+      val path = ex.getRequestURI.getPath.stripPrefix("/api/2.0/mlflow/")
+      path match {
+        case "experiments/create" =>
+          val name = (body(ex) \ "name").extract[String]
+          val id = (experiments.size + 1).toString
+          experiments(id) = name
+          respond(ex, JObject("experiment_id" -> JString(id)))
+        case "runs/create" =>
+          val b = body(ex)
+          val id = java.util.UUID.randomUUID().toString.replace("-", "")
+          val tags = (b \ "tags") match {
+            case JArray(ts) => ts.map(t =>
+              (t \ "key").extract[String] -> (t \ "value").extract[String]).toMap
+            case _ => Map.empty[String, String]
+          }
+          val r = StoredRun(id, (b \ "experiment_id").extract[String],
+            (b \ "start_time").extract[Long], tags = tags)
+          runs(id) = r
+          respond(ex, JObject("run" -> runJson(r)))
+        case "runs/log-batch" =>
+          val b = body(ex)
+          val r = runs((b \ "run_id").extract[String])
+          (b \ "metrics") match {
+            case JArray(ms) => ms.foreach { m =>
+              val k = (m \ "key").extract[String]
+              val entry = ((m \ "step").extractOrElse[Int](0),
+                (m \ "value").extract[Double])
+              r.metrics = r.metrics.updated(k, r.metrics.getOrElse(k, Nil) :+ entry)
+            }
+            case _ =>
+          }
+          (b \ "params") match {
+            case JArray(ps) => ps.foreach { p =>
+              r.params += ((p \ "key").extract[String] -> (p \ "value").extract[String])
+            }
+            case _ =>
+          }
+          respond(ex, JObject())
+        case "runs/set-tag" =>
+          val b = body(ex)
+          val r = runs((b \ "run_id").extract[String])
+          r.tags += ((b \ "key").extract[String] -> (b \ "value").extract[String])
+          respond(ex, JObject())
+        case "runs/search" =>
+          val b = body(ex)
+          val expIds = (b \ "experiment_ids") match {
+            case JArray(ids) => ids.map(_.extract[String]).toSet
+            case _ => Set.empty[String]
+          }
+          val hits = runs.values.filter(r => expIds.contains(r.experimentId))
+            .toList.sortBy(-_.startTime)
+          respond(ex, JObject("runs" -> JArray(hits.map(runJson))))
+        case "metrics/get-history" =>
+          val q = ex.getRequestURI.getQuery.split("&")
+            .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+          val hist = runs(q("run_id")).metrics.getOrElse(q("metric_key"), Nil)
+          respond(ex, JObject("metrics" -> JArray(hist.map { case (step, v) =>
+            JObject("key" -> JString(q("metric_key")), "value" -> JDouble(v),
+              "step" -> JInt(step), "timestamp" -> JInt(0)) })))
+        case other =>
+          ex.sendResponseHeaders(404, -1); ex.close()
+      }
+    } catch {
+      case e: Throwable =>
+        val msg = e.toString.getBytes("UTF-8")
+        ex.sendResponseHeaders(500, msg.length.toLong)
+        ex.getResponseBody.write(msg); ex.close()
+    })
+    server.start()
+    def url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("mlflow wire backend: runs, selection, trials, artifacts, stages round-trip") {
+    val stub = new Stub
+    try {
+      val t = TrackerRegistry.create("mlflow", spark, stub.url)
+      assert(TrackerRegistry.registered.contains("mlflow"))
+      t.logRun(ExperimentTracker.Run("r1", "logreg", Map("regParam" -> 0.1),
+        Map("auc" -> 0.81), timestampMs = 1000L, artifacts = Map("model" -> "/m/r1")))
+      t.logRun(ExperimentTracker.Run("r2", "gbt", Map("maxDepth" -> 3.0),
+        Map("auc" -> 0.86), timestampMs = 2000L, artifacts = Map("model" -> "/m/r2")))
+      t.logRun(ExperimentTracker.Run("r3", "rf", Map.empty,
+        Map("auc" -> 0.99), timestampMs = 3000L)) // no model artifact
+
+      // the wire really was exercised: the stub holds the runs
+      assert(stub.runs.size === 3)
+      assert(stub.runs.values.exists(_.tags.get("graft.run_id").contains("r2")))
+
+      // listRuns: most recent first, params/metrics/artifacts rebuilt
+      val listed = t.listRuns().collect()
+      assert(listed.map(_.getAs[String]("runId")).toSeq == Seq("r3", "r2", "r1"))
+      // shared selection rules from the trait work over the wire data:
+      // bestRun ignores deployability, bestDeployableRun skips r3
+      assert(t.bestRun("auc", 10).map(_.runId).contains("r3"))
+      assert(t.bestDeployableRun("auc", 10).map(_.runId).contains("r2"))
+
+      // trials via metric history + params tags
+      t.logTrials("r2", Seq(
+        Trainer.Trial(Map("maxDepth" -> 2.0), 0.80),
+        Trainer.Trial(Map("maxDepth" -> 3.0), 0.86)))
+      val trials = t.trialsOf("r2").collect()
+      assert(trials.length === 2)
+      assert(trials(1).getAs[Double]("metric") === 0.86)
+      assert(trials(1).getAs[Map[String, Double]]("params") == Map("maxDepth" -> 3.0))
+
+      // artifacts land under the server-assigned artifact_uri
+      import spark.implicits._
+      t.logConfusionMatrix("r2", Seq((0, 0, 5L), (1, 1, 7L)).toDF("label", "pred", "n"))
+      assert(t.confusionMatrix("r2").count() === 2)
+      t.logCurve("r2", "roc", EvalArtifacts.Curve("line", "fpr", "tpr",
+        Seq((0.0, 0.0), (1.0, 1.0)).toDF("fpr", "tpr")))
+      assert(t.curveNames("r2") == Seq("roc"))
+      assert(t.curve("r2", "roc").chart === "line")
+      assert(t.curve("r2", "roc").frame.count() === 2)
+
+      // registry stages as append-only tags; archived runs not deployable
+      ModelRegistry.register(t, "r2")
+      ModelRegistry.archive(t, "r2")
+      assert(t.runIdsAtStage(ModelRegistry.Archived) == Seq("r2"))
+      assert(ModelRegistry.stageOf(t, "r2").contains(ModelRegistry.Archived))
+      assert(t.bestDeployableRun("auc", 10).map(_.runId).contains("r1"))
+    } finally stub.stop()
+  }
+}
