@@ -583,7 +583,12 @@ object CoreQueries2 {
     val all = Tables.orders(s, d)
       .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority")
     val cutoff = "1997-01-01"
-    val dim = scd2Of(s, all.filter($"o_orderdate" < lit(cutoff)))
+    // MATERIALIZED: the scenario's dimension is a STORED table — as a
+    // live pipeline it would re-execute once per applyChanges consumer
+    // (untouched anti-join, history, current row) and once more per
+    // output-sort pass (measured 22.3 s at sf10; checkpointed ~14 s).
+    // Eager at construction, like the other fit-shaped queries.
+    val dim = scd2Of(s, all.filter($"o_orderdate" < lit(cutoff))).localCheckpoint()
     val changes = all.filter($"o_orderdate" >= lit(cutoff))
     graft.operators.Scd2.applyChanges(dim, changes, "o_custkey",
         unix_timestamp($"o_orderdate"), $"o_orderkey", "o_orderpriority")
