@@ -230,59 +230,77 @@ object Streams {
 
   /** One microbatch of [[simhashDedupSink]] — exposed so a spec can
     * replay a batch id and assert neither output nor signature rows
-    * duplicate. Probes corpus-index ∪ accumulated-survivor signatures
-    * (own batch's rows EXCLUDED, so a replay sees exactly the state
-    * the original run saw), drops in-batch near-dup pairs keeping the
-    * min id, then lands survivors AND their banded signatures in their
-    * own `__batch_part=N` partitions (dynamic overwrite — the same
-    * idempotency contract as [[writeScoredBatch]]).
+    * duplicate. Probes corpus-index ∪ accumulated survivors' `__sh`
+    * signature column (own batch's rows EXCLUDED, so a replay sees
+    * exactly the state the original run saw), drops in-batch near-dup
+    * pairs keeping the min id, then lands survivors WITH their 60-bit
+    * simhash (`__sh`) in their own `__batch_part=N` partition (dynamic
+    * overwrite — the same idempotency contract as
+    * [[writeScoredBatch]]).
+    *
+    * ONE action per microbatch (r14 — the r13 shape ran a gate count,
+    * a checkpoint and two writes): the verify is an inline popcount,
+    * so the in-batch self-join folds into the index probe as tagged
+    * probe-side rows guarded by `id_old < id_new` (the keep-min rule,
+    * same canonicalization as [[minhashDedupBatch]]), the survivors'
+    * signature is a single recomputed codegen expression rather than a
+    * second table, and AQE's runtime size check replaces the explicit
+    * broadcast gate (a bounded batch's band rows broadcast; an
+    * unthrottled catch-up batch degrades to the shuffle band join).
+    * SimHash is one cheap codegen pass per evaluation, so the batch
+    * scan appearing three times in the single plan (probe side, tagged
+    * old side, write projection) beats any materialization barrier —
+    * unlike the minhash twin, whose 126-permutation signatures justify
+    * its persisted shingle frame.
     */
   private[graft] def simhashDedupBatch(corpusIdx: DataFrame, batch: DataFrame,
       batchId: Long, idCol: String, textCol: String, maxDist: Int, bands: Int,
-      outPath: String, sigPath: String): Unit = {
+      outPath: String): Unit = {
     val spark = batch.sparkSession
-    // microbatch-bounded; checkpointed so simhash + banding run once
-    // across the index probe, the self-join, and the survivor semi-join
-    val bsig = bandedSimhash(ensureWidth(batch), idCol, textCol, bands, "s").localCheckpoint()
+    val bsig = bandedSimhash(ensureWidth(batch), idCol, textCol, bands, "s")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      batch.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("__sh",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__batch_part",
+          org.apache.spark.sql.types.LongType)))
     val kept: DataFrame =
-      try spark.read.parquet(sigPath)
-        .filter(col("__batch_part") =!= batchId) // replay: pre-own-batch state
-        .select(col("c_id"), col("c_sh"), col("b"), col("v"))
-      catch { case _: org.apache.spark.sql.AnalysisException => corpusIdx.limit(0) }
-    // batch side broadcast (bounded: microbatch × bands rows): the
-    // kept index is probed map-side — cached corpus rows and survivor
-    // parquet are scanned, never shuffled (same rationale as
-    // [[minhashDedupBatch]]'s candidate join). Gated like the minhash
-    // twin: an unthrottled catch-up batch falls back to the shuffle
-    // band join instead of blowing the broadcast limit
-    val bsigSide = if (bsig.count() <= maxBroadcastBandRows) broadcast(bsig)
-                   else bsig.hint("shuffle_hash")
-    val hits = bsigSide.join(corpusIdx.unionByName(kept), Seq("b", "v"))
+      try {
+        val t = spark.read.schema(outSchema).parquet(outPath)
+          .filter(col("__batch_part") =!= batchId) // replay: pre-own-batch state
+        bandedSimhashOf(t.select(col(idCol).as("c_id"), col("__sh").as("c_sh")), bands)
+      } catch { case _: org.apache.spark.sql.AnalysisException => corpusIdx.limit(0) }
+    // index probe + in-batch keep-min in ONE band join: the old side is
+    // corpus ∪ survivors ∪ the batch's own band rows tagged __in_batch
+    val oldSide = corpusIdx.unionByName(kept).withColumn("__in_batch", lit(false))
+      .unionByName(bsig
+        .select(col("s_id").as("c_id"), col("s_sh").as("c_sh"), col("b"), col("v"))
+        .withColumn("__in_batch", lit(true)))
+    val dropped = bsig.join(oldSide, Seq("b", "v"))
+      .filter(!col("__in_batch") || col("c_id") < col("s_id"))
       .filter(bit_count(col("s_sh").bitwiseXOR(col("c_sh"))) <= maxDist)
-      .select(col("s_id")).distinct()
-    // in-batch near-dup pairs: band self-join, drop every id that has a
-    // smaller near-dup (keep-min — the greedy rule exact dedup uses)
-    val inBatch = bsig.select(col("s_id").as("a_id"), col("s_sh").as("a_sh"), col("b"), col("v"))
-      .join(bsig.select(col("s_id").as("b_id"), col("s_sh").as("b_sh"), col("b"), col("v")), Seq("b", "v"))
-      .filter(col("a_id") < col("b_id") &&
-        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxDist)
-      .select(col("b_id").as("s_id")).distinct()
-    val dropped = hits.unionByName(inBatch).distinct().withColumnRenamed("s_id", idCol)
-    val survivors = batch.join(dropped, Seq(idCol), "left_anti").localCheckpoint()
-    survivors
+      .select(col("s_id").as(idCol))
+    batch.join(dropped, Seq(idCol), "left_anti")
+      .withColumn("__sh", graft.dedup.Dedup.simhash60(col(textCol)))
       .withColumn("batch_id", lit(batchId))
       .withColumn("__batch_part", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch_part")
       .parquet(outPath)
-    bsig.join(survivors.select(col(idCol).as("s_id")), Seq("s_id"), "left_semi")
-      .select(col("s_id").as("c_id"), col("s_sh").as("c_sh"), col("b"), col("v"))
-      .withColumn("__batch_part", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch_part")
-      .parquet(sigPath)
+  }
+
+  /** (c_id, c_sh) → the (c_id, c_sh, b, v) band fan-out over an
+    * ALREADY-computed simhash column (the survivors' stored `__sh`).
+    */
+  private def bandedSimhashOf(sig: DataFrame, bands: Int): DataFrame = {
+    val w = 60 / bands
+    sig.select(col("c_id"), col("c_sh"), explode(array(
+      (0 until bands).map(i => struct(lit(i).as("b"),
+        shiftright(col("c_sh"), i * w).bitwiseAND(lit((1L << w) - 1)).as("v"))): _*)).as("bd"))
+      .select(col("c_id"), col("c_sh"), col("bd.b").as("b"), col("bd.v").as("v"))
   }
 
   /** Streaming NEAR-dup filter in Hamming space with a GROWING kept
@@ -291,14 +309,14 @@ object Streams {
     * (bands > maxDist contiguous bit-bands), joined to the kept index
     * on the 8-byte (band, bits) key, candidates verified by popcount,
     * matches dropped. The kept index is corpus-index ∪ ACCUMULATED
-    * SURVIVOR SIGNATURES: each batch's survivors append their banded
-    * (id, simhash) rows to `outPath.__sig` (idempotent per batch id),
-    * so a near-dup of a batch-N survivor arriving in batch N+1 is
-    * caught — and in-batch near-dup pairs are dropped too (band
-    * self-join, keep min id). All state is signatures only (8
-    * bytes/doc + band fan-out — never text), the accumulated side
-    * lives in parquet not streaming state, and the per-batch work is
-    * the batch's band fan-out probing it. Deterministic recall (unlike
+    * SURVIVOR SIGNATURES: each survivor row carries its 60-bit simhash
+    * as a `__sh` column on `outPath` (idempotent per batch id; parquet
+    * is columnar, so the index probe reads 8 bytes/doc and never the
+    * text), so a near-dup of a batch-N survivor arriving in batch N+1
+    * is caught — and in-batch near-dup pairs are dropped too (the same
+    * band join, keep-min guard). The accumulated side lives in parquet
+    * not streaming state, and the per-batch work is ONE band-join
+    * query ending in the idempotent write. Deterministic recall (unlike
     * the MinHash twin [[minhashDedupSink]]): a kept doc within maxDist
     * bits is ALWAYS caught. The corpus index is persisted at
     * construction and unpersisted when the query terminates.
@@ -314,7 +332,7 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         simhashDedupBatch(corpusIdx, batch.toDF(), batchId, idCol, textCol,
-          maxDist, bands, outPath, s"$outPath.__sig")
+          maxDist, bands, outPath)
       }
       .start()
     releaseOnTermination(qry, corpusIdx)

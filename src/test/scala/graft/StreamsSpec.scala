@@ -230,7 +230,7 @@ class StreamsSpec extends SparkSpec {
 
   test("simhash dedup sink: index grows with survivors, in-batch pairs keep min, replay idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shgrow").toString
-    val out = s"$dir/out"; val sig = s"$dir/out.__sig"
+    val out = s"$dir/out"
     val corpusText = "alpha beta gamma delta epsilon zeta eta theta"
     val corpus = Seq((100L, corpusText)).toDF("doc_id", "text")
     val corpusIdx = Streams.bandedSimhash(corpus, "doc_id", "text", bands = 15, "c")
@@ -247,9 +247,8 @@ class StreamsSpec extends SparkSpec {
       s"test texts drifted out of Hamming budget: ${hd(novel0, near0)}, ${hd(corpusText, nearCorpus)}")
 
     val b0 = Seq((1L, novel0)).toDF("doc_id", "text")
-    Streams.simhashDedupBatch(corpusIdx, b0, 0L, "doc_id", "text", 12, 15, out, sig)
+    Streams.simhashDedupBatch(corpusIdx, b0, 0L, "doc_id", "text", 12, 15, out)
     assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSeq == Seq(1L))
-    assert(spark.read.parquet(sig).select("c_id").distinct().as[Long].collect().toSeq == Seq(1L))
 
     val b1 = Seq(
       (2L, near0),                          // near-dup of BATCH-0 SURVIVOR — the growing-index case
@@ -258,18 +257,22 @@ class StreamsSpec extends SparkSpec {
       (5L, "pair text repeated verbatim in this batch"),
       (6L, "pair text repeated verbatim in this batch")) // in-batch dup of 5 → keep min
       .toDF("doc_id", "text")
-    Streams.simhashDedupBatch(corpusIdx, b1, 1L, "doc_id", "text", 12, 15, out, sig)
+    Streams.simhashDedupBatch(corpusIdx, b1, 1L, "doc_id", "text", 12, 15, out)
     def survivors() = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq
-    def sigRows() = spark.read.parquet(sig).count()
     assert(survivors() == Seq(1L, 4L, 5L), s"survivors: ${survivors()}")
-    val sigN = sigRows()
-    assert(spark.read.parquet(sig).select("c_id").distinct().as[Long].collect().sorted.toSeq
-      == Seq(1L, 4L, 5L))
+    // the growing index is the survivors' own __sh column — one stored
+    // 60-bit signature per survivor, matching a fresh simhash of its text
+    val shRows = spark.read.parquet(out)
+      .select($"doc_id", $"__sh", graft.dedup.Dedup.simhash60($"text").as("fresh"))
+      .collect()
+    assert(shRows.length == 3)
+    assert(shRows.forall(r => r.getAs[Long]("__sh") == r.getAs[Long]("fresh")),
+      "stored __sh must equal the simhash of the survivor's text")
 
-    // replay batch 1: same survivors, no duplicated output or index rows
-    Streams.simhashDedupBatch(corpusIdx, b1, 1L, "doc_id", "text", 12, 15, out, sig)
+    // replay batch 1: same survivors, no duplicated output rows
+    Streams.simhashDedupBatch(corpusIdx, b1, 1L, "doc_id", "text", 12, 15, out)
     assert(survivors() == Seq(1L, 4L, 5L), s"post-replay survivors: ${survivors()}")
-    assert(sigRows() == sigN, s"replay duplicated signature rows: ${sigRows()} vs $sigN")
+    assert(spark.read.parquet(out).count() == 3L, "replay duplicated output rows")
   }
 
   test("simhash dedup sink unpersists its corpus index when the query terminates") {
