@@ -37,7 +37,8 @@ import ExperimentTracker.Run
   * Driver-side, O(runs) wire payloads — tracking metadata is tiny by
   * construction; the DATA stays in Spark.
   */
-final class MlflowTracker(val spark: SparkSession, uri: String) extends TrackerBackend {
+final class MlflowTracker(val spark: SparkSession, uri: String,
+    pageSize: Int = 1000) extends TrackerBackend {
   private val base = uri.stripSuffix("/")
   private val http = HttpClient.newHttpClient()
   private implicit val fmt: Formats = DefaultFormats
@@ -75,15 +76,37 @@ final class MlflowTracker(val spark: SparkSession, uri: String) extends TrackerB
   // shared stores)
   private val known = scala.collection.concurrent.TrieMap[String, (String, String)]()
 
+  /** Full scan of this tracker's experiment, following
+    * `next_page_token` until the server is exhausted — beyond one page
+    * of runs, a single request would silently truncate listRuns /
+    * stageLog and fail resolve() for older runs.
+    */
   private def searchRuns(): Seq[JValue] = {
-    val out = post("runs/search", JObject(
-      "experiment_ids" -> JArray(List(JString(experimentId))),
-      "order_by" -> JArray(List(JString("attributes.start_time DESC"))),
-      "max_results" -> JInt(1000)))
-    (out \ "runs") match {
-      case JArray(rs) => rs
-      case _ => Seq.empty
+    val acc = List.newBuilder[JValue]
+    var token: Option[String] = None
+    var more = true
+    var pages = 0
+    while (more) {
+      val base = List[JField](
+        "experiment_ids" -> JArray(List(JString(experimentId))),
+        "order_by" -> JArray(List(JString("attributes.start_time DESC"))),
+        "max_results" -> JInt(pageSize))
+      val out = post("runs/search",
+        JObject(base ++ token.map(t => "page_token" -> (JString(t): JValue))))
+      val got = (out \ "runs") match {
+        case JArray(rs) => rs
+        case _ => Nil
+      }
+      acc ++= got
+      token = (out \ "next_page_token") match {
+        case JString(t) if t.nonEmpty => Some(t)
+        case _ => None
+      }
+      pages += 1
+      require(pages <= 100000, "mlflow runs/search: page loop not converging")
+      more = token.isDefined && got.nonEmpty
     }
+    acc.result()
   }
 
   private def tagsOf(run: JValue): Map[String, String] =
@@ -118,7 +141,16 @@ final class MlflowTracker(val spark: SparkSession, uri: String) extends TrackerB
     })
 
   private def artifactDir(graftId: String): String = {
-    val d = resolve(graftId)._2.stripPrefix("file:")
+    val artUri = resolve(graftId)._2
+    // direct artifact writes assume a LOCAL artifact root, as mlflow
+    // clients do with file stores; an s3://http artifact root from a
+    // remote server must fail loudly, not write to a bogus local path
+    val scheme = Option(URI.create(artUri).getScheme).getOrElse("file")
+    require(scheme == "file",
+      s"mlflow tracker: artifact_uri '$artUri' has unsupported scheme " +
+        s"'$scheme' — only local file: artifact roots are supported " +
+        "(remote artifact stores need an mlflow artifacts proxy)")
+    val d = artUri.stripPrefix("file:")
     new java.io.File(d).mkdirs()
     d
   }

@@ -249,18 +249,23 @@ object SaltedRuns {
       val ck = "__sr_ck"
       val hotDf = df.filter(isHot).withColumn(ck, floor(seqCol / lit(chunkSize)))
       val w1 = Window.partitionBy(col(key), col(ck)).orderBy(seqCol)
-      // materialized for the same two-consumer reason as [[numbered]]'s
-      // flagged frame (chunk summary + final join)
+      // lead rides struct(valueCol): the struct is non-null iff a NEXT
+      // ROW exists, so the boundary coalesce below dispatches on
+      // row-existence only — a null valueCol on a mid-chunk row stays
+      // null (plain-lead semantics) instead of being conflated with
+      // "last row of chunk" and patched with the next chunk's first
+      // value. Materialized for the same two-consumer reason as
+      // [[numbered]]'s flagged frame (chunk summary + final join).
       val pinned = hotDf.repartition(GlobalRank.rangeWidth(hotDf), col(key), col(ck))
-        .withColumn("__sr_ld", lead(valueCol, 1).over(w1))
+        .withColumn("__sr_ld", lead(struct(valueCol.as("v")), 1).over(w1))
         .localCheckpoint()
       val cs = pinned.groupBy(col(key), col(ck))
-        .agg(min_by(valueCol, seqCol).as("__sr_cf"))
+        .agg(min_by(struct(valueCol.as("v")), seqCol).as("__sr_cf"))
       val w2 = Window.partitionBy(col(key)).orderBy(col(ck))
       val nf = cs.withColumn("__sr_nf", lead(col("__sr_cf"), 1).over(w2))
         .select(col(key), col(ck), col("__sr_nf"))
       val hotOut = pinned.join(broadcast(nf), Seq(key, ck))
-        .withColumn(outCol, coalesce(col("__sr_ld"), col("__sr_nf")))
+        .withColumn(outCol, coalesce(col("__sr_ld"), col("__sr_nf")).getField("v"))
         .drop(ck, "__sr_ld", "__sr_nf")
       plain(df.filter(!isHot)).unionByName(hotOut)
     }

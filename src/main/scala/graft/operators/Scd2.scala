@@ -37,6 +37,16 @@ object Scd2 {
     * dimension rows — the append-in-time-order shape of warehouse
     * loads. Late-arriving events need the rebuild path; interleaving
     * them incrementally would require reopening closed intervals.
+    * With `validate = true` (default) the contract is CHECKED, not
+    * trusted: one O(touched-keys) eager pass compares each touched
+    * key's `min(change dateSec)` against its folded
+    * `max(valid_from_s)` and fails loudly with sample keys on
+    * violation (a silent pass would corrupt the dimension); the same
+    * pass enforces `maxTouchedKeys`, the documented bound behind the
+    * broadcast of the touched-key set (a change batch touching tens of
+    * millions of keys belongs on the rebuild path, not in a
+    * driver-melting broadcast). `validate = false` skips both checks
+    * for callers that own the contract.
     *
     * Per touched key: collapse the change batch into runs; if the
     * first run continues the current row's value, the current row
@@ -48,8 +58,31 @@ object Scd2 {
     * (spec'd, and oracle-checked by q_scd2_apply).
     */
   def applyChanges(dim: DataFrame, changes: DataFrame, keyCol: String,
-      dateSec: Column, tieCol: Column, valueCol: String): DataFrame = {
+      dateSec: Column, tieCol: Column, valueCol: String,
+      validate: Boolean = true, maxTouchedKeys: Long = 10000000L): DataFrame = {
     val k = col(keyCol)
+    if (validate) {
+      // one pass over the change batch (keys + contract minima), one
+      // map-side broadcast-semi pass over the stored dimension (folded
+      // maxima) — O(touched keys), never dimension-proportional state
+      val chgMin = changes.groupBy(k).agg(min(dateSec).as("__minc"))
+        .localCheckpoint() // three consumers: cap count, semi probe, join
+      val nTouched = chgMin.count()
+      require(nTouched <= maxTouchedKeys,
+        s"Scd2.applyChanges: change batch touches $nTouched keys > " +
+          s"maxTouchedKeys=$maxTouchedKeys — the touched-key broadcast would " +
+          "not be batch-bounded; use the full rebuild path (or raise the cap)")
+      val dimMax = dim.join(broadcast(chgMin.select(k)), Seq(keyCol), "left_semi")
+        .groupBy(k).agg(max(col("valid_from_s")).as("__maxf"))
+      val viol = chgMin.join(dimMax, Seq(keyCol))
+        .filter(col("__minc") <= col("__maxf"))
+        .limit(3).collect()
+      require(viol.isEmpty,
+        "Scd2.applyChanges: strictly-later contract violated — change events " +
+          "at or before the folded history for keys " +
+          viol.map(_.get(0)).mkString("[", ", ", "]") +
+          " (showing <= 3); late-arriving events need the rebuild path")
+    }
     // run-collapse the change batch (bounded by contract — a change
     // batch is a load increment, not a corpus; the full-corpus path
     // with skew handling is qScd2's SaltedRuns build)

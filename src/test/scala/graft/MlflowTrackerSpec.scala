@@ -24,7 +24,7 @@ class MlflowTrackerSpec extends SparkSpec {
   /** Minimal MLflow tracking server: JSON wire format over the five
     * endpoints the tracker uses.
     */
-  private final class Stub {
+  private final class Stub(s3Artifacts: Boolean = false) {
     final case class StoredRun(
       runId: String, experimentId: String, startTime: Long,
       var params: Map[String, String] = Map.empty,
@@ -53,7 +53,9 @@ class MlflowTrackerSpec extends SparkSpec {
         "run_id" -> JString(r.runId),
         "experiment_id" -> JString(r.experimentId),
         "start_time" -> JInt(r.startTime),
-        "artifact_uri" -> JString(s"file:$artifactRoot/${r.runId}")),
+        "artifact_uri" -> JString(
+          if (s3Artifacts) s"s3://some-bucket/artifacts/${r.runId}"
+          else s"file:$artifactRoot/${r.runId}")),
       "data" -> JObject(
         "params" -> JArray(r.params.toList.map { case (k, v) =>
           JObject("key" -> JString(k), "value" -> JString(v)) }),
@@ -115,7 +117,22 @@ class MlflowTrackerSpec extends SparkSpec {
           }
           val hits = runs.values.filter(r => expIds.contains(r.experimentId))
             .toList.sortBy(-_.startTime)
-          respond(ex, JObject("runs" -> JArray(hits.map(runJson))))
+          // paginated, like the real server: max_results per page, an
+          // offset-encoded next_page_token while more remain
+          val max = (b \ "max_results") match {
+            case JInt(n) => n.toInt
+            case _ => hits.size
+          }
+          val off = (b \ "page_token") match {
+            case JString(t) => t.toInt
+            case _ => 0
+          }
+          val page = hits.slice(off, off + max)
+          val tok: List[JField] =
+            if (off + max < hits.size)
+              List("next_page_token" -> JString((off + max).toString))
+            else Nil
+          respond(ex, JObject(("runs" -> (JArray(page.map(runJson)): JValue)) :: tok))
         case "metrics/get-history" =>
           val q = ex.getRequestURI.getQuery.split("&")
             .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
@@ -186,6 +203,42 @@ class MlflowTrackerSpec extends SparkSpec {
       assert(t.runIdsAtStage(ModelRegistry.Archived) == Seq("r2"))
       assert(ModelRegistry.stageOf(t, "r2").contains(ModelRegistry.Archived))
       assert(t.bestDeployableRun("auc", 10).map(_.runId).contains("r1"))
+    } finally stub.stop()
+  }
+
+  test("runs/search pagination: listRuns and per-run lookups span pages") {
+    val stub = new Stub
+    try {
+      val t = new MlflowTracker(spark, stub.url, pageSize = 2)
+      (1 to 5).foreach { i =>
+        t.logRun(ExperimentTracker.Run(s"p$i", "logreg", Map.empty,
+          Map("auc" -> (0.5 + i / 100.0)), timestampMs = i * 1000L))
+      }
+      // 5 runs over pageSize=2 → 3 pages; a single request would
+      // return 2 and silently truncate
+      val listed = t.listRuns().collect()
+      assert(listed.length === 5, s"truncated listing: ${listed.length}")
+      assert(listed.map(_.getAs[String]("runId")).toSeq ==
+        Seq("p5", "p4", "p3", "p2", "p1"))
+      // trialsOf scans runs/search for the oldest run's tags — it
+      // lives on the LAST page
+      t.logTrials("p1", Seq(Trainer.Trial(Map("d" -> 1.0), 0.7)))
+      assert(t.trialsOf("p1").collect().length === 1)
+      assert(t.stageLog().count() === 0)
+    } finally stub.stop()
+  }
+
+  test("non-local artifact_uri fails loudly instead of writing a bogus local path") {
+    val stub = new Stub(s3Artifacts = true)
+    try {
+      val t = new MlflowTracker(spark, stub.url)
+      t.logRun(ExperimentTracker.Run("s1", "rf", Map.empty,
+        Map("auc" -> 0.9), timestampMs = 1000L))
+      import spark.implicits._
+      val e = intercept[IllegalArgumentException] {
+        t.logConfusionMatrix("s1", Seq((0, 0, 5L)).toDF("label", "pred", "n"))
+      }
+      assert(e.getMessage.contains("s3"), e.getMessage)
     } finally stub.stop()
   }
 }

@@ -59,14 +59,19 @@ class SaltedRunsSpec extends SparkSpec {
     assert(got.select($"run").distinct().as[Long].collect().toSeq == Seq(1L))
   }
 
-  test("chunkedLead equals lead across chunk boundaries and empty chunks") {
+  test("chunkedLead equals lead across chunk boundaries, empty chunks, null values") {
     // seq has gaps (empty chunks at chunkSize=4); key 1 forced hot so
-    // the chunked path is exercised, key 2 stays on the plain window
+    // the chunked path is exercised, key 2 stays on the plain window.
+    // Null values land mid-chunk (seq 2 — its PREDECESSOR's lead must
+    // be null, not the next chunk's first value) and at a chunk's
+    // first row (seq 17 — the previous chunk's last row must receive
+    // null, not skip ahead): lead dispatches on row-existence, never
+    // on value-nullness
     val rows = Seq(
-      (1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0), (1L, 5L, 50.0),
-      (1L, 9L, 90.0), (1L, 17L, 170.0), // chunks 0,0,0,1,2,4 — chunk 3 empty
-      (1L, 18L, 180.0), (1L, 19L, 190.0), (1L, 20L, 200.0), (1L, 21L, 210.0),
-      (2L, 4L, 4.0), (2L, 8L, 8.0))
+      (1L, 1L, Some(10.0)), (1L, 2L, None), (1L, 3L, Some(30.0)), (1L, 5L, Some(50.0)),
+      (1L, 9L, Some(90.0)), (1L, 17L, None), // chunks 0,0,0,1,2,4 — chunk 3 empty
+      (1L, 18L, Some(180.0)), (1L, 19L, Some(190.0)), (1L, 20L, Some(200.0)), (1L, 21L, Some(210.0)),
+      (2L, 4L, Some(4.0)), (2L, 8L, Some(8.0)))
       .toDF("k", "seq", "vf")
     val w = Window.partitionBy($"k").orderBy($"seq")
     val expected = rows.withColumn("nxt", lead($"vf", 1).over(w))

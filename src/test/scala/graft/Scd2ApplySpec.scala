@@ -63,6 +63,34 @@ class Scd2ApplySpec extends SparkSpec {
     assert(applied.filter($"k" === 3).collect().toSet == dim3)
   }
 
+  test("strictly-later contract violation fails loudly, naming the keys") {
+    // key 1's folded history reaches ds=300; a change at ds=250 is a
+    // late arrival — silently applying it would corrupt the dimension
+    val late = Seq((1L, 20L, 250L, "c"), (2L, 21L, 500L, "y"))
+      .toDF("k", "tie", "ds", "v")
+    val e = intercept[IllegalArgumentException] {
+      Scd2.applyChanges(dimOf(base), late, "k", $"ds", $"tie", "v")
+    }
+    assert(e.getMessage.contains("strictly-later") && e.getMessage.contains("1"),
+      s"must name the violating key: ${e.getMessage}")
+    // boundary: a change at EXACTLY the folded max is also a violation
+    val tied = Seq((1L, 22L, 300L, "c")).toDF("k", "tie", "ds", "v")
+    intercept[IllegalArgumentException] {
+      Scd2.applyChanges(dimOf(base), tied, "k", $"ds", $"tie", "v")
+    }
+    // validate=false trusts the caller (the documented escape hatch)
+    assert(Scd2.applyChanges(dimOf(base), tied, "k", $"ds", $"tie", "v",
+      validate = false).count() > 0)
+  }
+
+  test("touched-key cap guards the broadcast") {
+    val e = intercept[IllegalArgumentException] {
+      Scd2.applyChanges(dimOf(base), changes.toDF("k", "tie", "ds", "v"),
+        "k", $"ds", $"tie", "v", maxTouchedKeys = 2L)
+    }
+    assert(e.getMessage.contains("maxTouchedKeys"), e.getMessage)
+  }
+
   test("untouched keys ride a broadcast anti-join — no dimension shuffle") {
     val plan = applied.queryExecution.executedPlan.toString
     assert(plan.contains("LeftAnti"), plan.take(1200))
