@@ -66,7 +66,7 @@ object Bench {
     // (r12: 53% of the suite total was one drain query). They run ONCE
     // (no min-of-2: the harness dominates, not JIT).
     val streamE2E = Set("q_stream_dedup_drain", "q_stream_simhash_drain",
-      "q_stream_tws_dedup")
+      "q_stream_tws_dedup", "q_stream_tws_stats")
 
     // dev-only name filter for fast slope iteration (SCALING.md);
     // the driver contract is an arg-less run over every query

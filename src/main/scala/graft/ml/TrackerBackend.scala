@@ -204,7 +204,11 @@ object TrackerRegistry {
     "memory" -> ((s, uri) => memoryStores.getOrElseUpdate(uri, new InMemoryTracker(s))),
     // uri = an MLflow tracking server URL (http://host:port); spec'd
     // against a local wire-format stub — see MlflowTracker
-    "mlflow" -> ((s, uri) => new MlflowTracker(s, uri)))
+    "mlflow" -> ((s, uri) => new MlflowTracker(s, uri)),
+    // uri = a Comet-format REST server URL — the reference registry's
+    // second remote backend (orchestrator.py:84-105); spec'd against a
+    // local wire-format stub — see CometTracker
+    "comet" -> ((s, uri) => new CometTracker(s, uri)))
   private val memoryStores = TrieMap[String, InMemoryTracker]()
 
   def register(name: String, factory: Factory): Unit = factories.put(name, factory)

@@ -77,24 +77,40 @@ object SaltedRuns {
       .drop("__sr_prev")
   }
 
+  /** PER-KEY range splits of the order key: one approx-percentile
+    * aggregate over the hot-only frame, grouped by key — O(hot keys ≤
+    * 64) result rows. r14 used ONE pooled approxQuantile shared by all
+    * hot keys, which degraded a hot key CONCENTRATED in a narrow order
+    * range to ~1 bucket (single-level) whenever another hot key's wider
+    * range dominated the pooled quantiles — the r14 documented limit,
+    * now closed: each key's own quantiles split ITS stream evenly
+    * regardless of how the keys' ranges interleave. Same job count as
+    * the pooled pass.
+    */
+  private[graft] def perKeySplits(df: DataFrame, key: String, ord: String,
+      buckets: Int): DataFrame = {
+    val probes = array((1 until buckets).map(i =>
+      lit(i.toDouble / buckets)): _*)
+    df.groupBy(col(key))
+      .agg(percentile_approx(col(ord), probes, lit(10000)).as("__sr_qs"))
+  }
+
   /** The salted sub-window + boundary-repair path, applied to a frame
     * that is ENTIRELY hot keys (the caller splits).
     */
   private def saltedRuns(df: DataFrame, key: String, ord: String,
       ordCols: Seq[Column], cur: Column, newRun: (Column, Column) => Column,
       outCol: String, buckets: Int): DataFrame = {
-    // global range splits of the order key: one approx-quantile pass
-    // over the (hot-only) frame. A head key active across the order
-    // domain — the zipf-head shape — spreads evenly; a key
-    // CONCENTRATED in one order range degrades toward single-level
-    // for that key (documented limit).
-    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-    val splits = df.stat.approxQuantile(ord, probes, 0.01).distinct.sorted
+    // per-key range splits (broadcast: ≤ 64 hot keys, buckets-1 doubles
+    // each); rows with equal order values share a bucket, so bucketing
+    // respects the per-key total order — duplicate split values just
+    // leave bucket-number gaps, which the boundary repair's lag-over-
+    // present-buckets window never notices
     val bkt = "__sr_b"
-    val withB =
-      if (splits.isEmpty) df.withColumn(bkt, lit(0))
-      else df.withColumn(bkt,
-        size(filter(array(splits.map(lit(_)): _*), v => v <= col(ord))))
+    val withB = df.join(broadcast(perKeySplits(df, key, ord, buckets)), Seq(key))
+      .withColumn(bkt,
+        coalesce(size(filter(col("__sr_qs"), v => v <= col(ord))), lit(0)))
+      .drop("__sr_qs")
     val w1 = Window.partitionBy(col(key), col(bkt)).orderBy(ordCols: _*)
     val pinned = withB.repartition(GlobalRank.rangeWidth(withB), col(key), col(bkt))
     // MATERIALIZED: the flagged frame feeds the boundary-repair summary

@@ -406,6 +406,106 @@ object StreamQueries {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** Second transformWithState oracle seat — [[Streams.runningStatsTws]]
+    * (typed ValueState accumulation, TimeMode.None, RocksDB provider)
+    * under the DuckDB oracle via a staged batch-REPLAY check: the
+    * 3,000 smallest events stream through in 3 staged microbatches
+    * keyed by user_id; each microbatch emits the UPDATED cumulative
+    * (n, total, max) row for every key that received input, so the
+    * result — one row per (key, batch-of-appearance) with the
+    * cumulative stats AT THAT POINT — must equal the oracle's windowed
+    * replay of the same staged prefixes. Values ride an integer cent
+    * grid (floor(value*100)) so the running sums are exact integer
+    * arithmetic in both engines — no float-summation-order drift under
+    * the hash compare. Cross-batch state loss, a missed per-batch
+    * emission, or wrong accumulation all surface as row/hash
+    * mismatches. TimeMode.None has no wall-clock coupling, so unlike
+    * [[qStreamTwsDedup]] the plain processAllAvailable drain applies.
+    */
+  def qStreamTwsStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w0 = org.apache.spark.sql.expressions.Window.orderBy($"event_id")
+    val ev = Tables.events(s, d)
+      .select($"event_id", $"user_id".as("k"),
+        floor($"value" * 100).cast("double").as("v"))
+      .withColumn("__r", row_number().over(w0)).filter($"__r" <= 3000).drop("__r")
+      .localCheckpoint()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tws-stats").toString
+    stageBatches(ev.select($"event_id", $"k", $"v"), "event_id", tmp, 3)
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.checkpointFileManagerClass" ->
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
+    val saved = confs.map { case (key, _) => key -> s.conf.getOption(key) }
+    confs.foreach { case (key, v) => s.conf.set(key, v) }
+    val rows =
+      try {
+        val in = s.readStream.schema(s.read.parquet(s"$tmp/in/b000.parquet").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+        val ds = in.select($"k".as("_1"), $"v".as("_2")).as[(Long, Double)]
+        val q = Streams.runningStatsTws(ds)
+          .toDF("k", "n", "total", "vmax")
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            if (!b.isEmpty) {
+              b.withColumn("__batch_part", lit(id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_part")
+                .parquet(s"$tmp/out")
+            }
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val wB = org.apache.spark.sql.expressions.Window.orderBy($"__batch_part")
+        s.read.parquet(s"$tmp/out")
+          .withColumn("b", (dense_rank().over(wB) - 1).cast("long"))
+          .select($"k", $"b", $"n", $"total".cast("long").as("total_cents"),
+            $"vmax".cast("long").as("vmax_cents"))
+          .orderBy($"k", $"b")
+          .collect().toList
+      } finally {
+        saved.foreach {
+          case (key, Some(v)) => s.conf.set(key, v)
+          case (key, None) => s.conf.unset(key)
+        }
+        deleteRecursively(new java.io.File(tmp))
+      }
+    s.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("total_cents",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("vmax_cents",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+  }
+
+  val qStreamTwsStatsOracle: String =
+    """WITH ecap AS MATERIALIZED (
+      | SELECT event_id, user_id AS k, CAST(floor(value * 100) AS BIGINT) AS v
+      | FROM events QUALIFY row_number() OVER (ORDER BY event_id) <= 3000),
+      |bb AS (SELECT k, v,
+      |  (row_number() OVER (ORDER BY event_id) - 1) * 3 // (SELECT count(*) FROM ecap) AS b
+      | FROM ecap),
+      |g AS (SELECT k, b, count(*) AS dn,
+      |  CAST(sum(v) AS BIGINT) AS dsum, max(v) AS dmax FROM bb GROUP BY k, b),
+      |c AS (SELECT k, b,
+      |  CAST(sum(dn) OVER (PARTITION BY k ORDER BY b) AS BIGINT) AS n,
+      |  CAST(sum(dsum) OVER (PARTITION BY k ORDER BY b) AS BIGINT) AS total_cents,
+      |  max(dmax) OVER (PARTITION BY k ORDER BY b) AS vmax_cents
+      | FROM g)
+      |SELECT k, b, n, total_cents, vmax_cents FROM c ORDER BY k, b""".stripMargin
+
   val qStreamTwsDedupOracle: String =
     """WITH ecap AS MATERIALIZED (
       | SELECT event_id, user_id * 100 + ascii(substring(event_type, 1, 1)) AS k
@@ -597,6 +697,7 @@ object StreamQueries {
     "q_stream_dedup_drain" -> qStreamDedupDrain,
     "q_stream_simhash_drain" -> qStreamSimhashDrain,
     "q_stream_tws_dedup" -> qStreamTwsDedup,
+    "q_stream_tws_stats" -> qStreamTwsStats,
     "q_mm_frames" -> qMmFrames,
     "q_stream_window" -> qStreamWindow,
     "q_stream_hopping" -> qStreamHopping,
@@ -612,6 +713,7 @@ object StreamQueries {
     "q_stream_dedup_drain" -> qStreamDedupDrainOracle,
     "q_stream_simhash_drain" -> qStreamSimhashDrainOracle,
     "q_stream_tws_dedup" -> qStreamTwsDedupOracle,
+    "q_stream_tws_stats" -> qStreamTwsStatsOracle,
     "q_mm_frames" -> qMmFramesOracle,
     "q_stream_window" -> qStreamWindowOracle,
     "q_stream_hopping" -> qStreamHoppingOracle,

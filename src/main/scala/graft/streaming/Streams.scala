@@ -399,7 +399,9 @@ object Streams {
     val spark = batch.sparkSession
     val coeffs = Dedup.permCoeffs(b * r, seed)
     val sc = spark.sparkContext
-    // THREE actions per microbatch, by design. r13 ran FIVE (gate
+    // TWO actions per microbatch on the common path (r15; the r14
+    // candidate-count action now reads the materialized cache's
+    // row-count statistics instead — see below). r13 ran FIVE (gate
     // count, two candidate counts, checkpoint, two writes) plus their
     // AQE sub-stages — ~30 jobs/batch, and MinhashBatchProbe showed the
     // per-batch floor is job count and inter-job planning gaps, not
@@ -464,14 +466,6 @@ object Streams {
       .filter(!col("__in_batch") || col("id_old") < col("id_new"))
       .select(col("id_new"), col("id_old")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // action 1 — ONE count (r13 ran two, one per candidate family):
-    // exact verify-width input AND guaranteed cache materialization.
-    // Relying on a downstream scan to materialize the cache was
-    // observed to MISS: the candidate pipeline re-ran inside a 1-task
-    // AQE-coalesced stage in the write query, 1-2 CPU-s per batch
-    // (MinhashBatchProbe r14).
-    sc.setJobDescription(s"mh[$batchId] candidate count + width")
-    val nPairs = candsAll.count()
     // verify side: text of ONLY the band-colliding old ids (batch-side
     // id_olds from self pairs simply miss this semi-join; their
     // shingles come from the shNew union below)
@@ -493,10 +487,33 @@ object Streams {
     // (measured r14: folding this checkpoint into the write query made
     // batches SLOWER — 4.4-5.3 s vs 3.1-4.4 s — because the unbarriered
     // shingle subtree re-evaluates across several AQE query stages)
+    // action 1 — the checkpoint job's semi-join scans candsAll FULLY,
+    // so it also MATERIALIZES the candidate cache (r13 ran a dedicated
+    // count action first; relying on the WRITE query to materialize
+    // was the observed-to-MISS case — the candidate pipeline re-ran
+    // inside a 1-task AQE-coalesced stage, 1-2 CPU-s per batch,
+    // MinhashBatchProbe r14. This scan precedes every other consumer,
+    // so the guarantee holds without the count's job.)
     sc.setJobDescription(s"mh[$batchId] candidate text checkpoint")
     val shOld = Dedup.shingled(
       hitText.repartition(sc.defaultParallelism), idCol, textCol, n)
       .localCheckpoint()
+    // pair count WITHOUT a dedicated job (r15; the r14 count action
+    // existed only to size the verify width + force the cache): the
+    // now-materialized InMemoryRelation carries an EXACT row-count
+    // accumulator — read it off a fresh plan (the cache-lookup rewrite
+    // substitutes the relation), falling back to the counting job if
+    // the cache is somehow not loaded. Width is a performance knob, so
+    // either path is correct; the stats path saves one whole
+    // job + planning gap per microbatch (the profiled per-batch floor).
+    val nPairs = candsAll.where(lit(true)).queryExecution.optimizedPlan
+      .collectFirst {
+        case im: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          im.stats.rowCount
+      }.flatten.map(_.toLong).getOrElse {
+        sc.setJobDescription(s"mh[$batchId] candidate count fallback")
+        candsAll.count()
+      }
     // EXPLICIT verify width, sized from the PAIR COUNT: the candidate
     // frame is a few MB of id pairs, so AQE size-coalesces its exchange
     // to 1-2 partitions — blind to the quadratic per-row shingle-
@@ -513,7 +530,7 @@ object Streams {
     val dropped = Dedup
       .verifyJaccardBipartite(cands, shNew, shOld.unionByName(shNew), threshold)
       .select(col("id_new").as(idCol))
-    // action 3: one idempotent write — survivors WITH their signature
+    // action 2: one idempotent write — survivors WITH their signature
     // column, each batch in its own __batch_part=N partition (dynamic
     // overwrite, same replay contract as before). No distinct on
     // `dropped`: the anti-join's build side dedups in its hash relation

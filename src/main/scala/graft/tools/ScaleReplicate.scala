@@ -58,10 +58,14 @@ object ScaleReplicate {
   }
 
   def main(args: Array[String]): Unit = {
-    val (src, dst, factor, skew) = args.toList match {
-      case s :: d :: f :: Nil           => (s, d, f.toInt, false)
-      case s :: d :: f :: "skew" :: Nil => (s, d, f.toInt, true)
-      case _ => sys.error("usage: ScaleReplicate <srcDir> <dstDir> <factor> [skew]")
+    // skew = 20% zipf head; skew40 = 40% head (the SCALING.md
+    // amortization probe — does the salted-runs factor hold as the
+    // head's mass doubles?)
+    val (src, dst, factor, headMod) = args.toList match {
+      case s :: d :: f :: Nil             => (s, d, f.toInt, 0)
+      case s :: d :: f :: "skew" :: Nil   => (s, d, f.toInt, 1)
+      case s :: d :: f :: "skew40" :: Nil => (s, d, f.toInt, 2)
+      case _ => sys.error("usage: ScaleReplicate <srcDir> <dstDir> <factor> [skew|skew40]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -87,12 +91,18 @@ object ScaleReplicate {
         case "documents"  => graft.Tables.documents(spark, src)
         case "embeddings" => graft.Tables.embeddings(spark, src)
       }
-      val out = (0 until factor).map { i =>
-        val keyed = keyCols.foldLeft(base)((d, k) =>
-          d.withColumn(k, col(k) + lit(i * OFF)))
-        perReplica(keyed, i)
-      }.reduce(_ unionByName _)
-      out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      // chunked appends: a single union of `factor` branches is fine at
+      // 100 but at 1000 (the sf100 decade) the left-deep plan tree
+      // strains the analyzer — write <=64 replicas per job instead
+      (0 until factor).grouped(64).zipWithIndex.foreach { case (chunk, ci) =>
+        val out = chunk.map { i =>
+          val keyed = keyCols.foldLeft(base)((d, k) =>
+            d.withColumn(k, col(k) + lit(i * OFF)))
+          perReplica(keyed, i)
+        }.reduce(_ unionByName _)
+        out.write.mode(if (ci == 0) "overwrite" else "append")
+          .parquet(s"$dst/$name.parquet")
+      }
       println(s"[scale] $name x$factor -> $dst")
     }
 
@@ -115,8 +125,8 @@ object ScaleReplicate {
     // boundary SCALING.md's skew table measures). Hash-of-PK selection
     // keeps it deterministic and spread evenly over order/event time.
     def hot(d: DataFrame, pk: String, fk: String): DataFrame =
-      if (!skew) d
-      else d.withColumn(fk, when(pmod(xxhash64(col(pk)), lit(5)) === 0, lit(1L))
+      if (headMod == 0) d
+      else d.withColumn(fk, when(pmod(xxhash64(col(pk)), lit(5)) < lit(headMod), lit(1L))
         .otherwise(col(fk)))
     replicate("orders", Seq("o_orderkey", "o_custkey"))((d, _) =>
       hot(d, "o_orderkey", "o_custkey"))

@@ -59,6 +59,38 @@ class SaltedRunsSpec extends SparkSpec {
     assert(got.select($"run").distinct().as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("per-key splits: a concentrated hot key still spreads across buckets") {
+    // the r14 documented limit, now closed: key 1 lives in a NARROW
+    // order range [0,100) while key 2 spans [1000, 1e6] — POOLED
+    // quantiles over the union would land all of key 1 below the first
+    // split (~1 bucket = single-level for exactly the straggler key);
+    // per-key quantiles split each key's own stream regardless
+    val rows = (1 to 1000).map(i => (1L, (i % 100).toLong, i.toLong, s"p${i % 3}")) ++
+      (1 to 1000).map(i => (2L, (i * 1000).toLong, (10000 + i).toLong, s"p${i % 3}"))
+    val df = rows.toDF("k", "ord", "tie", "v")
+    val sp = SaltedRuns.perKeySplits(
+      df.withColumn("__sr_ord", $"ord".cast("double")), "k", "__sr_ord", 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(sp(1L).distinct.size >= 4 && sp(1L).max <= 100.0,
+      s"key 1 splits must cover its own narrow range: ${sp(1L)}")
+    assert(sp(2L).distinct.size >= 4 && sp(2L).min >= 1000.0,
+      s"key 2 splits must cover its own wide range: ${sp(2L)}")
+    // exactness on the adversarial fixture, both keys forced hot
+    val w = Window.partitionBy($"k").orderBy($"ord", $"tie")
+    val expected = df
+      .withColumn("chg", when(lag($"v", 1).over(w).isNull ||
+        lag($"v", 1).over(w) =!= $"v", 1L).otherwise(0L))
+      .withColumn("run", sum($"chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"k", $"ord", $"tie", $"v", $"run")
+    val got = SaltedRuns.numbered(df, "k", $"ord", Seq($"tie"), Seq($"v"),
+      (p, c) => p.getField("v") =!= c.getField("v"), "run",
+      buckets = 8, hotThreshold = 50L)
+      .select($"k", $"ord", $"tie", $"v", $"run")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+      "per-key-split salted path diverges from the window on the concentrated fixture")
+  }
+
   test("chunkedLead equals lead across chunk boundaries, empty chunks, null values") {
     // seq has gaps (empty chunks at chunkSize=4); key 1 forced hot so
     // the chunked path is exercised, key 2 stays on the plain window.
