@@ -101,6 +101,17 @@ object SaltedRuns {
   private def saltedRuns(df: DataFrame, key: String, ord: String,
       ordCols: Seq[Column], cur: Column, newRun: (Column, Column) => Column,
       outCol: String, buckets: Int): DataFrame = {
+    // buckets stays CALLER-FIXED (16 default) — an r15 measured
+    // rejection: flooring it at the hot frame's range width to chase
+    // the 40%-head factor rise (2.1× → 2.8× on q_scd2 as the head
+    // doubled) made every query WORSE (q_scd2 17.2 → 18.1 s,
+    // q_moving_avg 6.9 → 8.4, q_sessionize 5.5 → 6.5 on sf10skew40):
+    // the rise is TOTAL-WORK — twice the mass pays the two-level
+    // machinery (extra shuffle + checkpoint + repair) — not bucket
+    // starvation, so finer buckets only add probe/summary overhead.
+    // The honest bound (SCALING.md): factor grows with the mass on the
+    // two-level path, ~2.8× at a 40% head vs single-level's ~13×.
+    //
     // per-key range splits (broadcast: ≤ 64 hot keys, buckets-1 doubles
     // each); rows with equal order values share a bucket, so bucketing
     // respects the per-key total order — duplicate split values just

@@ -590,8 +590,14 @@ object CoreQueries2 {
     // Eager at construction, like the other fit-shaped queries.
     val dim = scd2Of(s, all.filter($"o_orderdate" < lit(cutoff))).localCheckpoint()
     val changes = all.filter($"o_orderdate" >= lit(cutoff))
+    // the seat's "change batch" is a DATE SLICE of the whole corpus —
+    // it touches ~every key by construction (that is what makes the
+    // rebuild-equality oracle total), so the touched-key cap that
+    // guards PRODUCTION increments is explicitly waived; the r15 sf100
+    // sweep is what caught the default cap firing here (14.98M keys)
     graft.operators.Scd2.applyChanges(dim, changes, "o_custkey",
-        unix_timestamp($"o_orderdate"), $"o_orderkey", "o_orderpriority")
+        unix_timestamp($"o_orderdate"), $"o_orderkey", "o_orderpriority",
+        maxTouchedKeys = Long.MaxValue)
       .orderBy($"o_custkey", $"version")
   }
 

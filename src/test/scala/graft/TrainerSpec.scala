@@ -466,9 +466,11 @@ class TrainerSpec extends SparkSpec {
     // nothing leaked to the filesystem under the key
     assert(!new java.io.File(key).exists())
     // unknown backends fail fast, at create and at config validation
-    intercept[RuntimeException](TrackerRegistry.create("comet", spark, key))
+    // ("comet" stopped being a valid unknown in r15 — it is a real
+    // registered wire backend now, see CometTrackerSpec)
+    intercept[RuntimeException](TrackerRegistry.create("wandb", spark, key))
     intercept[IllegalArgumentException](TrainConfig.validate(
-      TrainPipeline.Config("label", "id", "arr", trackerBackend = "comet")))
+      TrainPipeline.Config("label", "id", "arr", trackerBackend = "wandb")))
   }
 
   test("plot-ready curves: champion logs roc/pr/calibration/lift; artifacts round-trip") {
