@@ -56,11 +56,15 @@ object SaltedRuns {
       hotThreshold: Long = 1000000L): Seq[Any] = {
     val rate = 0.01
     val minSampled = math.max(2.0, hotThreshold * rate)
+    // a NULL key never enters the hot list: the branch split rides
+    // isInCollection, where null only yields null (no TRUE arm), so a
+    // "hot" null group stays on the single-level path by design —
+    // WindowExec groups nulls like any key, the decomposition doesn't
     df.select(col(key)).sample(withReplacement = false, rate, seed = 42L)
       .groupBy(col(key)).count()
       .filter(col("count") >= minSampled)
       .orderBy(col("count").desc).limit(64)
-      .collect().map(_.get(0)).toSeq
+      .collect().map(_.get(0)).filter(_ != null).toSeq
   }
 
   private def singleLevelRuns(df: DataFrame, key: String, ordCols: Seq[Column],
@@ -188,8 +192,11 @@ object SaltedRuns {
         singleLevelRuns(withOrd, key, ordCols, cur, newRun, outCol)
       else {
         // per-key split: keys live wholly in one branch, so numbering
-        // never crosses the union
-        val isHot = col(key).isInCollection(hot)
+        // never crosses the union. NULL-SAFE: bare isInCollection is
+        // null for a null key, which both branch filters drop — null-
+        // key rows would silently VANISH (r15 find; the plain window
+        // keeps nulls as a group). coalesce routes them cold.
+        val isHot = coalesce(col(key).isInCollection(hot), lit(false))
         singleLevelRuns(withOrd.filter(!isHot), key, ordCols, cur, newRun, outCol)
           .unionByName(saltedRuns(withOrd.filter(isHot), key, ord, ordCols,
             cur, newRun, outCol, buckets))
@@ -227,7 +234,8 @@ object SaltedRuns {
     }
     if (hot.isEmpty) plain(df)
     else {
-      val isHot = col(key).isInCollection(hot)
+      // null-safe split — see [[numbered]]
+      val isHot = coalesce(col(key).isInCollection(hot), lit(false))
       val rn = "__sr_rn"; val ck = "__sr_ck"; val ctx = "__sr_ctx"
       val hotRn = numbered(df.filter(isHot), key, ordExpr, tieCols,
         Seq(lit(1L).as("__sr_one")), (_, _) => lit(true), rn,
@@ -272,7 +280,8 @@ object SaltedRuns {
         .withColumn(outCol, lead(valueCol, 1).over(wPlain))
     if (hot.isEmpty) plain(df)
     else {
-      val isHot = col(key).isInCollection(hot)
+      // null-safe split — see [[numbered]]
+      val isHot = coalesce(col(key).isInCollection(hot), lit(false))
       val ck = "__sr_ck"
       val hotDf = df.filter(isHot).withColumn(ck, floor(seqCol / lit(chunkSize)))
       val w1 = Window.partitionBy(col(key), col(ck)).orderBy(seqCol)

@@ -38,15 +38,24 @@ object Scd2 {
     * loads. Late-arriving events need the rebuild path; interleaving
     * them incrementally would require reopening closed intervals.
     * With `validate = true` (default) the contract is CHECKED, not
-    * trusted: one O(touched-keys) eager pass compares each touched
-    * key's `min(change dateSec)` against its folded
-    * `max(valid_from_s)` and fails loudly with sample keys on
-    * violation (a silent pass would corrupt the dimension); the same
-    * pass enforces `maxTouchedKeys`, the documented bound behind the
-    * broadcast of the touched-key set (a change batch touching tens of
-    * millions of keys belongs on the rebuild path, not in a
-    * driver-melting broadcast). `validate = false` skips both checks
-    * for callers that own the contract.
+    * trusted — at ZERO extra scans: the output's valid_to_s column
+    * carries a per-row `raise_error` comparing each touched key's
+    * `min(change dateSec)` (the first run's start, already computed)
+    * against its folded `max(valid_from_s)` (the current row's
+    * valid_from_s — intervals start in increasing order), so a
+    * violating batch fails the job loudly, naming the key, before any
+    * output commits (r15: the first, eager two-scan guard cost
+    * +11.5 s at sf10 and was replaced by this in-pass form). The
+    * guard fires on every consumer that EVALUATES the output (all
+    * writes, collect, downstream transforms); a bare count() prunes
+    * the select list and skips it — count a projected column instead.
+    * `maxTouchedKeys` — the documented bound behind the touched-key
+    * broadcast (a change batch touching tens of millions of keys
+    * belongs on the rebuild path, not in a driver-melting broadcast) —
+    * stays an EAGER one-aggregate check over the change batch alone,
+    * because it must fire before the broadcast materializes; pass
+    * Long.MaxValue to waive it (declared rebuild-equality seats).
+    * `validate = false` skips the contract check entirely.
     *
     * Per touched key: collapse the change batch into runs; if the
     * first run continues the current row's value, the current row
@@ -61,27 +70,15 @@ object Scd2 {
       dateSec: Column, tieCol: Column, valueCol: String,
       validate: Boolean = true, maxTouchedKeys: Long = 10000000L): DataFrame = {
     val k = col(keyCol)
-    if (validate) {
-      // one pass over the change batch (keys + contract minima), one
-      // map-side broadcast-semi pass over the stored dimension (folded
-      // maxima) — O(touched keys), never dimension-proportional state
-      val chgMin = changes.groupBy(k).agg(min(dateSec).as("__minc"))
-        .localCheckpoint() // three consumers: cap count, semi probe, join
-      val nTouched = chgMin.count()
+    if (validate && maxTouchedKeys < Long.MaxValue) {
+      // the CAP must run eagerly — it protects the broadcasts below,
+      // which would have materialized before any lazy check fires.
+      // One aggregate job over the change batch alone; no dim scan.
+      val nTouched = changes.select(k).distinct().count()
       require(nTouched <= maxTouchedKeys,
         s"Scd2.applyChanges: change batch touches $nTouched keys > " +
           s"maxTouchedKeys=$maxTouchedKeys — the touched-key broadcast would " +
           "not be batch-bounded; use the full rebuild path (or raise the cap)")
-      val dimMax = dim.join(broadcast(chgMin.select(k)), Seq(keyCol), "left_semi")
-        .groupBy(k).agg(max(col("valid_from_s")).as("__maxf"))
-      val viol = chgMin.join(dimMax, Seq(keyCol))
-        .filter(col("__minc") <= col("__maxf"))
-        .limit(3).collect()
-      require(viol.isEmpty,
-        "Scd2.applyChanges: strictly-later contract violated — change events " +
-          "at or before the folded history for keys " +
-          viol.map(_.get(0)).mkString("[", ", ", "]") +
-          " (showing <= 3); late-arriving events need the rebuild path")
     }
     // run-collapse the change batch (bounded by contract — a change
     // batch is a load increment, not a corpus; the full-corpus path
@@ -107,11 +104,30 @@ object Scd2 {
     val first = newRuns.filter(col("__lv") === 1)
       .select(k, col(valueCol).as("__fv"), col("__from").as("__ffrom"),
         col("__to").as("__fto"), col("__n").as("__fn"))
-    // the current row either absorbs the first change run or closes at it
+    // the current row either absorbs the first change run or closes at
+    // it. The strictly-later contract is enforced HERE, inside the
+    // existing pass (r15: a dedicated eager two-scan guard cost
+    // +11.5 s at sf10 — this one is free): the current row's
+    // valid_from_s IS the key's max folded valid_from_s (intervals
+    // start in increasing order), and __ffrom is the key's min change
+    // date, so the violation predicate needs no extra data. It rides
+    // an OUTPUT column (raise_error inside valid_to_s) so column
+    // pruning cannot drop it, and fails the job per violating row,
+    // naming the key, before any output commits.
+    val closedOrAbsorbed = when(col("__merged"), col("__fto")).otherwise(col("__ffrom"))
+    val vto =
+      if (!validate) closedOrAbsorbed
+      else when(col("__ffrom") <= col("valid_from_s"),
+        raise_error(concat(
+          lit("Scd2.applyChanges: strictly-later contract violated for key "),
+          k.cast("string"),
+          lit(" (min change date <= the key's folded max valid_from_s); " +
+            "late-arriving events need the rebuild path"))))
+        .otherwise(closedOrAbsorbed)
     val cur2 = current.join(first, Seq(keyCol))
       .withColumn("__merged", col("priority") === col("__fv"))
       .select(k, col("version"), col("priority"), col("valid_from_s"),
-        when(col("__merged"), col("__fto")).otherwise(col("__ffrom")).as("valid_to_s"),
+        vto.as("valid_to_s"),
         when(col("__merged"), col("n_orders") + col("__fn"))
           .otherwise(col("n_orders")).as("n_orders"),
         col("__merged"))

@@ -137,6 +137,37 @@ class SaltedRunsSpec extends SparkSpec {
     assert(got.count() === rows.count(), "context rows leaked into the output")
   }
 
+  test("null keys survive the hot/cold split and number like the window") {
+    // r15 find: bare isInCollection(hot) is NULL for a null key, which
+    // BOTH branch filters drop — null-key rows silently vanished
+    // whenever any hot key existed, while WindowExec groups nulls like
+    // any key. The split is null-safe now (nulls ride the cold branch;
+    // a "hot" null group stays single-level by design).
+    val rows: Seq[(Option[Long], Long, Long, String)] =
+      (1 to 400).map(i => (Some(1L), (i % 50).toLong, i.toLong, s"p${i % 2}")) ++
+      (1 to 30).map(i => (None, i.toLong, (1000 + i).toLong, s"p${i % 3}")) ++
+      (1 to 30).map(i => (Some(5L), i.toLong, (2000 + i).toLong, s"p${i % 2}"))
+    val df = rows.toDF("k", "ord", "tie", "v")
+    val w = Window.partitionBy($"k").orderBy($"ord", $"tie")
+    val expected = df
+      .withColumn("chg", when(lag($"v", 1).over(w).isNull ||
+        lag($"v", 1).over(w) =!= $"v", 1L).otherwise(0L))
+      .withColumn("run", sum($"chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"k", $"ord", $"tie", $"v", $"run")
+    val got = SaltedRuns.numbered(df, "k", $"ord", Seq($"tie"), Seq($"v"),
+      (p, c) => p.getField("v") =!= c.getField("v"), "run",
+      buckets = 8, hotThreshold = 100L) // key 1 hot, null + key 5 cold
+      .select($"k", $"ord", $"tie", $"v", $"run")
+    assert(got.count() === df.count(), "null-key rows were dropped by the split")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+      "null-key runs diverge from the window")
+    // chunkedLead: same null-safety contract
+    val ld = SaltedRuns.chunkedLead(df, "k", $"tie", $"ord".cast("double"), "nxt",
+      chunkSize = 64L, hotThreshold = 100L)
+    assert(ld.count() === df.count(), "chunkedLead dropped null-key rows")
+  }
+
   test("plan contract: hot keys split (key, bucket)-wide; none -> r13 single-level") {
     val df = mkRows(2000, seed = 3).toDF("k", "ord", "tie", "v")
     // forced-hot: the salted branch's (key, bucket) repartition shows

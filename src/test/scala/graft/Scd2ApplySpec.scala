@@ -63,21 +63,29 @@ class Scd2ApplySpec extends SparkSpec {
     assert(applied.filter($"k" === 3).collect().toSet == dim3)
   }
 
-  test("strictly-later contract violation fails loudly, naming the keys") {
+  test("strictly-later contract violation fails the job loudly, naming the key") {
     // key 1's folded history reaches ds=300; a change at ds=250 is a
-    // late arrival — silently applying it would corrupt the dimension
+    // late arrival — silently applying it would corrupt the dimension.
+    // The guard rides the output's valid_to_s column (zero extra
+    // scans), so it fires when the result executes, before any commit
+    def allMsgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + "\n" + allMsgs(t.getCause)
     val late = Seq((1L, 20L, 250L, "c"), (2L, 21L, 500L, "y"))
       .toDF("k", "tie", "ds", "v")
-    val e = intercept[IllegalArgumentException] {
-      Scd2.applyChanges(dimOf(base), late, "k", $"ds", $"tie", "v")
+    // collect(), not count(): count prunes every select-list column
+    // including the guard (the Bench noop-write lesson at the action
+    // level) — any consumer that READS the output fires it
+    val e = intercept[Exception] {
+      Scd2.applyChanges(dimOf(base), late, "k", $"ds", $"tie", "v").collect()
     }
-    assert(e.getMessage.contains("strictly-later") && e.getMessage.contains("1"),
-      s"must name the violating key: ${e.getMessage}")
+    assert(allMsgs(e).contains("strictly-later") && allMsgs(e).contains("key 1"),
+      s"must name the violating key: ${allMsgs(e).take(600)}")
     // boundary: a change at EXACTLY the folded max is also a violation
     val tied = Seq((1L, 22L, 300L, "c")).toDF("k", "tie", "ds", "v")
-    intercept[IllegalArgumentException] {
-      Scd2.applyChanges(dimOf(base), tied, "k", $"ds", $"tie", "v")
+    val e2 = intercept[Exception] {
+      Scd2.applyChanges(dimOf(base), tied, "k", $"ds", $"tie", "v").collect()
     }
+    assert(allMsgs(e2).contains("strictly-later"), allMsgs(e2).take(600))
     // validate=false trusts the caller (the documented escape hatch)
     assert(Scd2.applyChanges(dimOf(base), tied, "k", $"ds", $"tie", "v",
       validate = false).count() > 0)
