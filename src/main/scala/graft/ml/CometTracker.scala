@@ -151,9 +151,13 @@ final class CometTracker(val spark: SparkSession, uri: String,
       val key = (e \ "experimentKey").extract[String]
       val others = othersOf(key)
       // latest sample per metric name = the run-level value (trial
-      // histories are per-step samples of trial_metric only)
+      // histories are per-step samples of trial_metric only). A real
+      // metrics-raw response carries no ordering contract, so "latest"
+      // is the max (step, wire position) — wire order alone would pick
+      // a stale value if the server returns samples out of log order
       val latest = metricsRaw(key).filterNot(_._1 == "trial_metric")
-        .groupBy(_._1).map { case (n, ss) => n -> ss.last._2 }
+        .groupBy(_._1).map { case (n, ss) =>
+          n -> ss.zipWithIndex.maxBy { case ((_, _, step), pos) => (step, pos) }._1._2 }
       Run(
         runId = (e \ "experimentName").extract[String],
         model = others.getOrElse("graft.model", ""),
@@ -170,11 +174,16 @@ final class CometTracker(val spark: SparkSession, uri: String,
 
   override def logTrials(runId: String, trials: Seq[Trainer.Trial]): Unit = {
     val key = resolve(runId)
+    // steps continue from the existing trial_metric history, so a
+    // second logTrials call APPENDS instead of restarting at step 0
+    // (which would interleave duplicate steps into trialsOf). One
+    // metrics-raw GET per call — tracking metadata is tiny.
+    val offset = metricsRaw(key).count(_._1 == "trial_metric")
     trials.zipWithIndex.foreach { case (t, i) =>
       post("write/experiment/metric", JObject("experimentKey" -> JString(key),
         "metricName" -> JString("trial_metric"), "metricValue" -> JDouble(t.metric),
-        "step" -> JInt(i), "timestamp" -> JInt(0)))
-      logOther(key, s"graft.trial_params.$i", JsonMethods.compact(
+        "step" -> JInt(offset + i), "timestamp" -> JInt(0)))
+      logOther(key, s"graft.trial_params.${offset + i}", JsonMethods.compact(
         JsonMethods.render(JObject(t.params.toList.map {
           case (k, v) => k -> (JDouble(v): JValue) }))))
     }

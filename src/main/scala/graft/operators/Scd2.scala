@@ -55,7 +55,8 @@ object Scd2 {
     * stays an EAGER one-aggregate check over the change batch alone,
     * because it must fire before the broadcast materializes; pass
     * Long.MaxValue to waive it (declared rebuild-equality seats).
-    * `validate = false` skips the contract check entirely.
+    * `validate = false` skips the contract check only — the broadcast
+    * cap holds regardless, since it protects the driver, not the data.
     *
     * Per touched key: collapse the change batch into runs; if the
     * first run continues the current row's value, the current row
@@ -70,7 +71,11 @@ object Scd2 {
       dateSec: Column, tieCol: Column, valueCol: String,
       validate: Boolean = true, maxTouchedKeys: Long = 10000000L): DataFrame = {
     val k = col(keyCol)
-    if (validate && maxTouchedKeys < Long.MaxValue) {
+    // the cap is INDEPENDENT of `validate` (r16): validate governs only
+    // the strictly-later contract guard; the broadcast bound protects
+    // the driver and must hold even for trusted batches. Waive it
+    // explicitly with Long.MaxValue (declared rebuild-equality seats).
+    if (maxTouchedKeys < Long.MaxValue) {
       // the CAP must run eagerly — it protects the broadcasts below,
       // which would have materialized before any lazy check fires.
       // One aggregate job over the change batch alone; no dim scan.

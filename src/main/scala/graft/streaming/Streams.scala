@@ -506,6 +506,11 @@ object Streams {
     // the cache is somehow not loaded. Width is a performance knob, so
     // either path is correct; the stats path saves one whole
     // job + planning gap per microbatch (the profiled per-batch floor).
+    // NOT exact: the cache-build accumulator can OVER-count if cached
+    // partitions recompute after eviction or task retry. Width is a
+    // performance knob (pairVerifyWidth caps at the AQE start width), so an
+    // inflated count costs at most extra small partitions, never
+    // correctness — do not treat this value as a row count elsewhere.
     val nPairs = candsAll.where(lit(true)).queryExecution.optimizedPlan
       .collectFirst {
         case im: org.apache.spark.sql.execution.columnar.InMemoryRelation =>

@@ -171,6 +171,38 @@ class CometTrackerSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("re-logged run metric resolves by max step, not wire order") {
+    val stub = new Stub
+    try {
+      val t = new CometTracker(spark, stub.url)
+      t.logRun(ExperimentTracker.Run("r1", "rf", Map.empty, Map("auc" -> 0.5), 1L))
+      // a real metrics-raw response has NO ordering contract: simulate a
+      // server returning the step-1 re-log BEFORE the stale step-0
+      // sample — wire-order .last would resolve auc to the stale 0.5
+      val e = stub.exps.values.find(_.name == "r1").get
+      e.metrics = List(("auc", 0.9, 1), ("auc", 0.5, 0))
+      val m = t.listRuns().collect().head.getAs[Map[String, Double]]("metrics")
+      assert(m == Map("auc" -> 0.9), s"stale sample won: $m")
+    } finally stub.stop()
+  }
+
+  test("second logTrials call appends steps instead of restarting at 0") {
+    val stub = new Stub
+    try {
+      val t = new CometTracker(spark, stub.url)
+      t.logRun(ExperimentTracker.Run("r1", "rf", Map.empty, Map("auc" -> 0.5), 1L))
+      t.logTrials("r1", Seq(
+        Trainer.Trial(Map("d" -> 1.0), 0.70),
+        Trainer.Trial(Map("d" -> 2.0), 0.75)))
+      t.logTrials("r1", Seq(Trainer.Trial(Map("d" -> 3.0), 0.80)))
+      val trials = t.trialsOf("r1").collect()
+      assert(trials.map(_.getAs[Int]("trial")).toSeq == Seq(0, 1, 2))
+      assert(trials.map(_.getAs[Double]("metric")).toSeq == Seq(0.70, 0.75, 0.80))
+      assert(trials(2).getAs[Map[String, Double]]("params") == Map("d" -> 3.0),
+        "appended trial must keep its own params, not overwrite step 0's")
+    } finally stub.stop()
+  }
+
   test("requests without the api key are rejected by the server, loudly") {
     val stub = new Stub
     try {

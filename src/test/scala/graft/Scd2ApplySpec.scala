@@ -97,6 +97,13 @@ class Scd2ApplySpec extends SparkSpec {
         "k", $"ds", $"tie", "v", maxTouchedKeys = 2L)
     }
     assert(e.getMessage.contains("maxTouchedKeys"), e.getMessage)
+    // the cap is independent of the contract flag: validate=false skips
+    // only the strictly-later guard, never the driver-protecting bound
+    val e2 = intercept[IllegalArgumentException] {
+      Scd2.applyChanges(dimOf(base), changes.toDF("k", "tie", "ds", "v"),
+        "k", $"ds", $"tie", "v", validate = false, maxTouchedKeys = 2L)
+    }
+    assert(e2.getMessage.contains("maxTouchedKeys"), e2.getMessage)
   }
 
   test("untouched keys ride a broadcast anti-join — no dimension shuffle") {
