@@ -236,6 +236,85 @@ final class MlflowTracker(val spark: SparkSession, uri: String,
     }.toDF("trial", "params", "metric").orderBy(col("trial"))
   }
 
+  // --- binary model-asset round-trip (reference orchestrator.py:
+  // 500-523 uploads the champion model to the tracker; 808-840
+  // downloads it back when no local copy exists). Rides the
+  // mlflow-artifacts PROXY surface — the documented HTTP endpoints
+  // mlflow clients use when the tracking server serves artifacts
+  // (`mlflow server --serve-artifacts`, the default since 1.24):
+  // PUT/GET file bytes at /api/2.0/mlflow-artifacts/artifacts/<path>,
+  // JSON directory listing at the same endpoint with ?path=. The
+  // DataFrame-shaped artifacts (curves, confusion matrices) stay on
+  // the file: root — this wire is for opaque model bundles, where the
+  // recovery story needs the bytes INSIDE the tracker.
+
+  private def artifactsRel(mlflowId: String, name: String): String =
+    s"experiments/$experimentId/runs/$mlflowId/artifacts/$name"
+
+  private def proxyUri(rel: String): URI =
+    URI.create(s"$base/api/2.0/mlflow-artifacts/artifacts/$rel")
+
+  override def uploadArtifactDir(runId: String, name: String, localDir: String): Boolean = {
+    val (mlflowId, _) = resolve(runId)
+    val root = java.nio.file.Paths.get(localDir)
+    require(java.nio.file.Files.isDirectory(root),
+      s"mlflow tracker: uploadArtifactDir expects a directory, got $localDir")
+    val files = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.walk(root)
+      try st.filter(p => java.nio.file.Files.isRegularFile(p))
+        .iterator().asScala.toList
+      finally st.close()
+    }
+    files.foreach { f =>
+      val rel = root.relativize(f).toString.replace(java.io.File.separatorChar, '/')
+      val req = HttpRequest.newBuilder(proxyUri(s"${artifactsRel(mlflowId, name)}/$rel"))
+        .PUT(HttpRequest.BodyPublishers.ofByteArray(java.nio.file.Files.readAllBytes(f)))
+        .build()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200,
+        s"mlflow artifact upload '$rel' failed: HTTP ${resp.statusCode()} ${resp.body().take(300)}")
+    }
+    true
+  }
+
+  override def downloadArtifactDir(runId: String, name: String, destDir: String): Boolean = {
+    val (mlflowId, _) = resolve(runId)
+    def list(rel: String): Seq[(String, Boolean)] = {
+      val req = HttpRequest.newBuilder(
+        URI.create(s"$base/api/2.0/mlflow-artifacts/artifacts?path=$rel")).GET().build()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200,
+        s"mlflow artifact list '$rel' failed: HTTP ${resp.statusCode()} ${resp.body().take(300)}")
+      (JsonMethods.parse(resp.body()) \ "files") match {
+        case JArray(fs) => fs.map(f => ((f \ "path").extract[String],
+          (f \ "is_dir").extractOrElse[Boolean](false)))
+        case _ => Seq.empty
+      }
+    }
+    // (remote rel under the artifact, local rel under destDir)
+    def walk(rel: String, local: String): Seq[(String, String)] =
+      list(rel).flatMap { case (child, isDir) =>
+        val r = s"$rel/$child"; val l = if (local.isEmpty) child else s"$local/$child"
+        if (isDir) walk(r, l) else Seq((r, l))
+      }
+    val top = artifactsRel(mlflowId, name)
+    val entries = walk(top, "")
+    if (entries.isEmpty) false
+    else {
+      entries.foreach { case (remoteRel, localRel) =>
+        val req = HttpRequest.newBuilder(proxyUri(remoteRel)).GET().build()
+        val resp = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
+        require(resp.statusCode() == 200,
+          s"mlflow artifact download '$remoteRel' failed: HTTP ${resp.statusCode()}")
+        val out = java.nio.file.Paths.get(destDir, localRel.split('/').toSeq: _*)
+        java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.write(out, resp.body())
+      }
+      true
+    }
+  }
+
   override def logConfusionMatrix(runId: String, cm: DataFrame): Unit =
     cm.write.mode("overwrite").parquet(s"${artifactDir(runId)}/confusion_matrix")
 

@@ -89,9 +89,30 @@ object ModelRegistry {
     * [[Champion]] must carry a `bundle` artifact (TrainPipeline records
     * the Deployment.save directory there). This is how a scorer picks
     * its model — by lifecycle stage, not by metric ranking.
+    *
+    * RECOVERY PATH (reference orchestrator.py:808-840 downloads the
+    * champion model from the tracker when no local copy exists): if
+    * the recorded bundle directory is GONE — a scorer node that lost
+    * its working dir — and the backend carries the binary asset
+    * ([[TrackerBackend.downloadArtifactDir]]), the bundle is fetched
+    * from the tracker into a temp dir and loaded from there. A missing
+    * dir on a backend with no asset wire still fails loudly.
     */
   def loadChampionBundle(tracker: TrackerBackend,
       bundleArtifact: String = "bundle"): Option[Deployment.Bundle] =
-    championRun(tracker).flatMap(_.artifacts.get(bundleArtifact))
-      .map(dir => Deployment.load(tracker.spark, dir))
+    championRun(tracker).flatMap { run =>
+      run.artifacts.get(bundleArtifact).map { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(tracker.spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) Deployment.load(tracker.spark, dir)
+        else {
+          val tmp = java.nio.file.Files.createTempDirectory("graft-bundle-dl").toString
+          require(tracker.downloadArtifactDir(run.runId, bundleArtifact, tmp),
+            s"champion bundle dir '$dir' is missing and the tracker holds no " +
+              s"'$bundleArtifact' asset for run '${run.runId}' — re-train or " +
+              "restore the bundle directory")
+          Deployment.load(tracker.spark, tmp)
+        }
+      }
+    }
 }

@@ -36,6 +36,25 @@ trait TrackerBackend {
   def curve(runId: String, name: String): EvalArtifacts.Curve
   def curveNames(runId: String): Seq[String]
 
+  /** Upload a LOCAL directory (a model bundle — Deployment.save
+    * layout) as run-attached binary artifact `name` on the tracker's
+    * own store. Returns false when the backend has no binary-asset
+    * wire (pointer-only backends: parquet/memory/comet keep payloads
+    * on shared storage under the recorded pointer); true after a
+    * completed upload. Reference: orchestrator.py:500-523 registers
+    * the champion model WITH the tracker so a node that lost its
+    * working dir can recover it.
+    */
+  def uploadArtifactDir(runId: String, name: String, localDir: String): Boolean = false
+
+  /** Download binary artifact `name` of `runId` into `destDir`
+    * (created if missing). Returns false when the backend has no
+    * binary-asset wire or holds no such artifact — callers fall back
+    * or fail loudly ([[ModelRegistry.loadChampionBundle]]'s recovery
+    * path, reference orchestrator.py:808-840).
+    */
+  def downloadArtifactDir(runId: String, name: String, destDir: String): Boolean = false
+
   /** Append a lifecycle stage transition for a run (see
     * [[ModelRegistry]]; stages: candidate → champion → archived).
     * `seq` orders transitions; callers use [[ModelRegistry]] rather

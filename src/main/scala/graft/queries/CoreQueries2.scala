@@ -519,7 +519,7 @@ object CoreQueries2 {
     * (o_custkey, version, priority, valid_from_s, valid_to_s,
     * n_orders), unsorted.
     */
-  private def scd2Of(s: SparkSession, src: DataFrame): DataFrame = {
+  private[graft] def scd2Of(s: SparkSession, src: DataFrame): DataFrame = {
     import s.implicits._
     // ONE hot-key probe on the cheap source scan, shared by every
     // two-level decision below: sampling the collapsed-runs

@@ -475,6 +475,113 @@ object DocQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  /** [Q] Planted-neighbor ANN recall, EXACTLY oracle-pinned — the
+    * deterministic complement of [[qAnnLsh]]'s self-graded adversarial
+    * case. Every query vector is an engine-reproducible perturbation of
+    * a corpus vector (coordinate 1 nudged by +0.25, id offset by 1e6),
+    * and the LSH tables use EXPLICIT integer-valued planes from a
+    * transparent LCG formula — so DuckDB replays the ENTIRE pipeline
+    * bit-for-bit: same planes, same left-to-right dots, same sign rule,
+    * same bucket ids, same candidate pairs, same rounded-cosine top-3
+    * with the (cos desc, id asc) tie-break. Output: one row per planted
+    * query with the rank its source vector achieved (0 = missed), so
+    * LSH-table recall on KNOWN structure is a hash-checked oracle seat,
+    * not a self-grade. Runs through the REAL library path
+    * ([[Similarity.annLshMultiTables]] — the seam [[Similarity
+    * .annLshMulti]] itself delegates through), so a recall regression
+    * in the production operator fails this row.
+    *
+    * Determinism note: plane entries are integers in {-1,0,1} and both
+    * engines evaluate the dot product left-to-right over the same
+    * float-widened doubles, so the IEEE result — hence every sign and
+    * bucket — is identical by construction, not by luck.
+    */
+  def qAnnPlanted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nT = 4; val nP = 6; val dim = 64
+    // entry(t,p,j) = ((1103515245*((t*nP+p)*dim+j) + 12345) % 2147483647) % 3 - 1
+    val planes: Seq[Seq[Seq[Double]]] = (0 until nT).map { t =>
+      (0 until nP).map { p =>
+        (0 until dim).map { j =>
+          val idx = (t.toLong * nP + p) * dim + j
+          (((1103515245L * idx + 12345L) % 2147483647L) % 3L - 1L).toDouble
+        }
+      }: Seq[Seq[Double]]
+    }
+    // FIXED-SIZE cap (the qAnnLsh lesson): candidate count per table is
+    // n²/2^planes, so an uncapped corpus scales the seat quadratically —
+    // the first uncapped build ran MINUTES at the 20k-row sf1 replica.
+    // 600 lowest ids = the whole table at the gated SFs (500 rows);
+    // checkpointed because the subset feeds the index AND the query
+    // derivation
+    val corpus = Tables.embeddings(s, d)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      .orderBy($"id").limit(600)
+      .repartition(s.sparkContext.defaultParallelism, $"id")
+      .localCheckpoint()
+    val queries = corpus.filter($"id" % 25 === 0)
+      .select(($"id" + 1000000L).as("id"),
+        concat(array(element_at($"v", 1) + lit(0.25)), slice($"v", 2, dim - 1)).as("v"))
+    val all = corpus.unionByName(queries)
+      .repartition(s.sparkContext.defaultParallelism, $"id")
+    val top = Similarity.annLshMultiTables(all, "id", "v", 3, planes)
+    val planted = top.filter($"query_id" >= 1000000L)
+      .groupBy($"query_id")
+      .agg(max(when($"neighbor_id" === $"query_id" - 1000000L, $"rank")).as("__rh"))
+    queries.select($"id".as("query_id"), ($"id" - 1000000L).as("src_id"))
+      .join(planted, Seq("query_id"), "left")
+      .select($"query_id", $"src_id",
+        coalesce($"__rh", lit(0)).cast("long").as("src_rank"),
+        when(coalesce($"__rh", lit(0)) > 0, 1L).otherwise(0L).as("found"))
+      .orderBy($"query_id")
+  }
+
+  val qAnnPlantedOracle: String =
+    """WITH c AS (
+      | SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      | FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 600)),
+      |q AS (
+      | SELECT id + 1000000 AS id, list_concat([v[1] + 0.25], v[2:]) AS v
+      | FROM c WHERE id % 25 = 0),
+      |a AS (SELECT * FROM c UNION ALL SELECT * FROM q),
+      |b AS (
+      | SELECT r.t, a.id,
+      |   CAST(list_sum(list_transform(range(0, 6), p ->
+      |     CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |            list_transform(range(1, 65), j ->
+      |              v[CAST(j AS INT)] * CAST(((1103515245 * ((r.t*6 + p)*64 + (j-1)) + 12345) % 2147483647) % 3 - 1 AS DOUBLE))),
+      |            (acc, x) -> acc + x) >= 0
+      |          THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+      | FROM a, range(0, 4) r(t)),
+      |cand AS (
+      | SELECT DISTINCT qa.id AS query_id, nb.id AS neighbor_id
+      | FROM b qa JOIN b nb ON qa.t = nb.t AND qa.bucket = nb.bucket
+      | WHERE qa.id >= 1000000 AND nb.id <> qa.id),
+      |norms AS (
+      | SELECT id, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |   list_transform(range(1, 65), j -> v[CAST(j AS INT)] * v[CAST(j AS INT)])),
+      |   (acc, x) -> acc + x)) AS nrm FROM a),
+      |scored AS (
+      | SELECT cand.query_id, cand.neighbor_id,
+      |   round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |     list_transform(range(1, 65), j -> qa.v[CAST(j AS INT)] * nb.v[CAST(j AS INT)])),
+      |     (acc, x) -> acc + x) / (nq.nrm * nn.nrm), 4) AS cos
+      | FROM cand
+      | JOIN a qa ON qa.id = cand.query_id JOIN a nb ON nb.id = cand.neighbor_id
+      | JOIN norms nq ON nq.id = cand.query_id JOIN norms nn ON nn.id = cand.neighbor_id),
+      |topk AS (
+      | SELECT query_id, neighbor_id,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      | FROM scored),
+      |hit AS (
+      | SELECT query_id, max(CASE WHEN neighbor_id = query_id - 1000000 THEN rnk END) AS rh
+      | FROM topk WHERE rnk <= 3 GROUP BY query_id)
+      |SELECT q.id AS query_id, q.id - 1000000 AS src_id,
+      |  CAST(COALESCE(hit.rh, 0) AS BIGINT) AS src_rank,
+      |  CAST(CASE WHEN COALESCE(hit.rh, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS found
+      |FROM q LEFT JOIN hit ON hit.query_id = q.id
+      |ORDER BY query_id""".stripMargin
+
   /** Near-dup clusters (connected components over exact-Jaccard pairs):
     * per non-singleton cluster, its min-id label and size — the
     * "keep one per cluster" shape of corpus dedup. Oracle = recursive
@@ -1935,6 +2042,7 @@ object DocQueries {
     "q_corpus_clean" -> qCorpusClean,
     "q_simhash" -> qSimhash,
     "q_ann_lsh" -> qAnnLsh,
+    "q_ann_planted" -> qAnnPlanted,
     "q_token_count" -> qTokenCount,
     "q_text_quality" -> qTextQuality,
     "q_lang_id" -> qLangId,
@@ -1998,6 +2106,7 @@ object DocQueries {
     "q_embed_neardup" -> qEmbedNearDupOracle,
     "q_cosine_topk" -> qCosineTopKOracle,
     "q_dup_clusters" -> qDupClustersOracle,
+    "q_ann_planted" -> qAnnPlantedOracle,
     "q_word_ngrams" -> qWordNgramsOracle,
     "q_vocab_topk" -> qVocabTopkOracle,
     // the sketch head EQUALS the exact head at these SFs (margin

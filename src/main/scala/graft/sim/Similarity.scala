@@ -171,9 +171,16 @@ object Similarity {
     * same bucket are ANN candidates — the scale path for full-corpus
     * kNN (join on bucket, verify exactly within).
     */
-  def hyperplaneBucket(vecCol: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  def hyperplaneBucket(vecCol: Column, dim: Int, nPlanes: Int, seed: Long): Column =
+    hyperplaneBucketOf(vecCol, gaussianPlanes(dim, nPlanes, seed))
+
+  /** [[hyperplaneBucket]] with EXPLICIT planes — the oracle-replayable
+    * form: a caller supplying integer-valued planes (and integral or
+    * half-integral vectors) gets buckets an external engine can
+    * reproduce exactly (q_ann_planted's DuckDB oracle replays this
+    * expression term for term: left-to-right dot, sign at >= 0).
+    */
+  def hyperplaneBucketOf(vecCol: Column, planes: Seq[Seq[Double]]): Column = {
     val vd = vecCol.cast("array<double>")
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val pl = array(p.map(lit): _*)
@@ -181,6 +188,11 @@ object Similarity {
       when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  private def gaussianPlanes(dim: Int, nPlanes: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
@@ -406,13 +418,23 @@ object Similarity {
     * result must outlive executor churn, write it to storage promptly.
     */
   def annLshMulti(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
-      nPlanes: Int, seeds: Seq[Long], k: Int): DataFrame = {
-    require(seeds.nonEmpty, "at least one LSH table required")
+      nPlanes: Int, seeds: Seq[Long], k: Int): DataFrame =
+    annLshMultiTables(vecs, idCol, vecCol, k,
+      seeds.map(s => gaussianPlanes(dim, nPlanes, s)))
+
+  /** [[annLshMulti]] with EXPLICIT plane tables (one Seq[plane] per
+    * table) — same candidate/scoring/top-k path; this is the seam the
+    * seeded form delegates through, and the oracle-replayable entry for
+    * deterministic integer-valued planes (q_ann_planted).
+    */
+  def annLshMultiTables(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, tables: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(tables.nonEmpty, "at least one LSH table required")
     val vd = vecs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = seeds.map { s =>
-      val b = vd.select(col("id"), hyperplaneBucket(col("v"), dim, nPlanes, s).as("bucket"))
+    val cands = tables.map { planes =>
+      val b = vd.select(col("id"), hyperplaneBucketOf(col("v"), planes).as("bucket"))
       b.select(col("bucket"), col("id").as("query_id"))
         .join(b.select(col("bucket"), col("id").as("neighbor_id")), Seq("bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))

@@ -149,6 +149,41 @@ class MlflowTrackerSpec extends SparkSpec {
         ex.sendResponseHeaders(500, msg.length.toLong)
         ex.getResponseBody.write(msg); ex.close()
     })
+    // mlflow-artifacts proxy surface (`mlflow server --serve-artifacts`):
+    // PUT/GET raw file bytes under .../artifacts/<path>, JSON listing of
+    // a directory's immediate children via ?path=<dir>
+    val assets = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
+    server.createContext("/api/2.0/mlflow-artifacts/artifacts", (ex: HttpExchange) => try {
+      val rel = ex.getRequestURI.getPath
+        .stripPrefix("/api/2.0/mlflow-artifacts/artifacts").stripPrefix("/")
+      (ex.getRequestMethod, Option(ex.getRequestURI.getQuery)) match {
+        case ("PUT", _) =>
+          assets(rel) = ex.getRequestBody.readAllBytes()
+          respond(ex, JObject())
+        case ("GET", Some(q)) if q.startsWith("path=") =>
+          val p = q.stripPrefix("path=")
+          val kids = assets.keys.filter(_.startsWith(p + "/"))
+            .map(_.stripPrefix(p + "/")).toList
+          val files = kids.filter(!_.contains("/"))
+            .map(n => JObject("path" -> JString(n), "is_dir" -> JBool(false)))
+          val dirs = kids.filter(_.contains("/")).map(_.takeWhile(_ != '/')).distinct
+            .map(n => JObject("path" -> JString(n), "is_dir" -> JBool(true)))
+          respond(ex, JObject("files" -> JArray(dirs ++ files)))
+        case ("GET", _) =>
+          assets.get(rel) match {
+            case Some(b) =>
+              ex.sendResponseHeaders(200, b.length.toLong)
+              ex.getResponseBody.write(b); ex.close()
+            case None => ex.sendResponseHeaders(404, -1); ex.close()
+          }
+        case _ => ex.sendResponseHeaders(405, -1); ex.close()
+      }
+    } catch {
+      case e: Throwable =>
+        val msg = e.toString.getBytes("UTF-8")
+        ex.sendResponseHeaders(500, msg.length.toLong)
+        ex.getResponseBody.write(msg); ex.close()
+    })
     server.start()
     def url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
     def stop(): Unit = server.stop(0)
@@ -225,6 +260,61 @@ class MlflowTrackerSpec extends SparkSpec {
       t.logTrials("p1", Seq(Trainer.Trial(Map("d" -> 1.0), 0.7)))
       assert(t.trialsOf("p1").collect().length === 1)
       assert(t.stageLog().count() === 0)
+    } finally stub.stop()
+  }
+
+  test("model-asset round-trip: uploaded bundle survives losing the local dir") {
+    val stub = new Stub
+    try {
+      import spark.implicits._
+      import graft.ml.{Deployment, ModelRegistry}
+      val df = Seq((0L, 0.0, Array(0.2, 0.1)), (1L, 1.0, Array(0.9, 0.8)),
+        (2L, 0.0, Array(0.1, 0.3)), (3L, 1.0, Array(0.8, 0.7)),
+        (4L, 0.0, Array(0.15, 0.2)), (5L, 1.0, Array(0.95, 0.9)))
+        .toDF("id", "label", "arr")
+      val m = new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(10).fit(Trainer.withFeaturesFromArray(df, "arr"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-mlflow-bundle").toString
+      Deployment.save(spark, dir, m, None, 0.5)
+      val before = Deployment.load(spark, dir).score(df, "arr")
+        .select($"id", $"score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+      val t = new MlflowTracker(spark, stub.url)
+      t.logRun(ExperimentTracker.Run("c1", "logreg", Map.empty, Map("auc" -> 0.9),
+        timestampMs = 1000L, artifacts = Map("bundle" -> dir)))
+      ModelRegistry.register(t, "c1"); ModelRegistry.promote(t, "c1")
+      assert(t.uploadArtifactDir("c1", "bundle", dir))
+      assert(stub.assets.nonEmpty &&
+        stub.assets.keys.forall(_.contains("/artifacts/bundle/")), stub.assets.keys.toString)
+
+      // lose the local working dir — the reference's recovery scenario
+      // (orchestrator.py:808-840): the champion reloads THROUGH the
+      // tracker and scores identically
+      def rmrf(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rmrf)); f.delete(); ()
+      }
+      rmrf(new java.io.File(dir))
+      val bundle = ModelRegistry.loadChampionBundle(t).get
+      val after = bundle.score(df, "arr").select($"id", $"score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(after.keySet == before.keySet &&
+        after.forall { case (k, v) => math.abs(v - before(k)) < 1e-12 })
+    } finally stub.stop()
+  }
+
+  test("missing bundle dir with no tracker asset fails loudly") {
+    val stub = new Stub
+    try {
+      import graft.ml.ModelRegistry
+      val t = new MlflowTracker(spark, stub.url)
+      t.logRun(ExperimentTracker.Run("c2", "rf", Map.empty, Map("auc" -> 0.8),
+        timestampMs = 1000L,
+        artifacts = Map("bundle" -> "/tmp/graft-definitely-gone-bundle")))
+      ModelRegistry.register(t, "c2"); ModelRegistry.promote(t, "c2")
+      val e = intercept[IllegalArgumentException] {
+        ModelRegistry.loadChampionBundle(t)
+      }
+      assert(e.getMessage.contains("missing") && e.getMessage.contains("c2"), e.getMessage)
     } finally stub.stop()
   }
 
