@@ -159,9 +159,17 @@ object StreamBench {
     val out = scala.collection.mutable.ArrayBuffer[String]()
 
     // dedup sinks: kept = the first K docs by id; stream = the LAST
-    // 24k docs (disjoint from both kept sizes, identical across cells)
-    val keptSizes = Seq(50000L, 400000L).filter(_ < nDocs - 24000)
-    val batchSizes = Seq(250, 1000, 4000)
+    // 24k docs (disjoint from both kept sizes, identical across cells).
+    // Env knobs (r16): SPARK_GRAFT_STREAM_KEPT / _BATCHES override the
+    // grids for targeted decade probes (the kept=4M column at the
+    // sf100 universe) without re-running the full default grid.
+    val keptSizes = sys.env.get("SPARK_GRAFT_STREAM_KEPT")
+      .map(_.split(",").toSeq.map(_.trim.toLong))
+      .getOrElse(Seq(50000L, 400000L))
+      .filter(_ < nDocs - 24000)
+    val batchSizes = sys.env.get("SPARK_GRAFT_STREAM_BATCHES")
+      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(250, 1000, 4000))
     val nBatches = 6
     val streamDocs = {
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id").desc)
