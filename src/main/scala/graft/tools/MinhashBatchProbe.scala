@@ -21,6 +21,9 @@ object MinhashBatchProbe {
       .master(s"local[$cpus]")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", (!args.contains("--no-aqe")).toString)
+      // local-FS bytesRead honesty (same knob as Bench — see SCALING.md)
+      .config("spark.hadoop.parquet.hadoop.vectored.io.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_VECTORED_IO", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = graft.Tables.documents(spark, universe).select(col("doc_id"), col("text"))
@@ -58,8 +61,9 @@ object MinhashBatchProbe {
           val run = si.taskMetrics.executorRunTime / 1e3
           val cpu = si.taskMetrics.executorCpuTime / 1e9
           val deser = si.taskMetrics.executorDeserializeTime / 1e3
+          val inMb = si.taskMetrics.inputMetrics.bytesRead / 1048576
           stages.put(si.stageId,
-            f"stage ${si.stageId}%4d ${si.numTasks}%5d tasks $dur%6.2f s (run $run%.2f cpu $cpu%.2f deser $deser%.2f)  $rdds")
+            f"stage ${si.stageId}%4d ${si.numTasks}%5d tasks $dur%6.2f s (run $run%.2f cpu $cpu%.2f deser $deser%.2f in ${inMb}%d MB)  $rdds")
         }
         ()
       }
