@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
   * n_orders) with exactly one CURRENT row per key (valid_to_s =
   * [[Sentinel]]).
   *
-  * Scale shape: untouched keys NEVER shuffle — they pass through a
-  * broadcast anti-join on the (bounded, change-batch-sized) touched-key
-  * set, map-side over the stored dimension scan. Only the change batch
-  * itself is windowed (run collapse), and only the touched keys'
-  * current rows join it. At 100 TB the dimension is the big side and
-  * the nightly change batch the small one; the rebuild alternative
-  * re-windows every key's full history.
+  * Scale shape: untouched keys NEVER shuffle — the stored dimension is
+  * scanned exactly TWICE (r16; was four times), map-side both times: a
+  * broadcast left join on the (bounded, change-batch-sized) first-run
+  * frame tags each row and the close/absorb arithmetic rides
+  * conditionally on touched current rows, everything else passing
+  * through unchanged; the second scan builds the (touched keys only)
+  * version lookup the appended runs broadcast. Only the change batch
+  * itself is windowed (run collapse). At 100 TB the dimension is the
+  * big side and the nightly change batch the small one; the rebuild
+  * alternative re-windows every key's full history.
   *
   * Reference semantics: the reference's pandas stack rebuilds
   * per-entity orderings wholesale (feature_engineering.py) — the
@@ -101,26 +104,32 @@ object Scd2 {
     val newRuns = runs.groupBy(k, col("__lv"), col(valueCol))
       .agg(min(col("__ds")).as("__from"), count(lit(1)).as("__n"))
       .withColumn("__to", coalesce(lead(col("__from"), 1).over(wl), lit(Sentinel)))
-    // touched keys: bounded by the change batch — broadcast both ways
-    val touched = changes.select(k).distinct()
-    val touchedRows = dim.join(broadcast(touched), Seq(keyCol), "left_semi")
-    val current = touchedRows.filter(col("valid_to_s") === Sentinel)
-    val history = touchedRows.filter(col("valid_to_s") =!= Sentinel)
+    // per touched key: its first change run, plus a non-null touch
+    // marker (valueCol may be nullable — __fv can't flag the match)
     val first = newRuns.filter(col("__lv") === 1)
       .select(k, col(valueCol).as("__fv"), col("__from").as("__ffrom"),
         col("__to").as("__fto"), col("__n").as("__fn"))
-    // the current row either absorbs the first change run or closes at
-    // it. The strictly-later contract is enforced HERE, inside the
-    // existing pass (r15: a dedicated eager two-scan guard cost
-    // +11.5 s at sf10 — this one is free): the current row's
-    // valid_from_s IS the key's max folded valid_from_s (intervals
-    // start in increasing order), and __ffrom is the key's min change
-    // date, so the violation predicate needs no extra data. It rides
-    // an OUTPUT column (raise_error inside valid_to_s) so column
-    // pruning cannot drop it, and fails the job per violating row,
-    // naming the key, before any output commits.
-    val closedOrAbsorbed = when(col("__merged"), col("__fto")).otherwise(col("__ffrom"))
-    val vto =
+      .withColumn("__tch", lit(true))
+    // ONE pass over the stored dimension (r16; the previous shape
+    // scanned it FOUR times — untouched anti-join, history, current,
+    // and the appended join's broadcast build each re-scanned dim,
+    // measured 13.5 s vs 63.4 s rebuild at sf100): a broadcast left
+    // join against the (bounded, change-batch-sized) first-run frame
+    // tags each row, and the close/absorb arithmetic rides
+    // conditionally on the touched CURRENT rows only — untouched and
+    // historical rows pass through bit-unchanged, map-side, never
+    // shuffled. The strictly-later contract guard is unchanged in
+    // form (r15): the current row's valid_from_s IS the key's max
+    // folded valid_from_s (intervals start in increasing order), and
+    // __ffrom is the key's min change date, so the violation
+    // predicate needs no extra data. It rides an OUTPUT column
+    // (raise_error inside valid_to_s) so column pruning cannot drop
+    // it, and fails the job per violating row, naming the key, before
+    // any output commits.
+    val isCur = col("__tch").isNotNull && col("valid_to_s") === Sentinel
+    val merged = col("priority") === col("__fv")
+    val closedOrAbsorbed = when(merged, col("__fto")).otherwise(col("__ffrom"))
+    val vtoTouched =
       if (!validate) closedOrAbsorbed
       else when(col("__ffrom") <= col("valid_from_s"),
         raise_error(concat(
@@ -129,16 +138,19 @@ object Scd2 {
           lit(" (min change date <= the key's folded max valid_from_s); " +
             "late-arriving events need the rebuild path"))))
         .otherwise(closedOrAbsorbed)
-    val cur2 = current.join(first, Seq(keyCol))
-      .withColumn("__merged", col("priority") === col("__fv"))
+    val mainPass = dim.join(broadcast(first), Seq(keyCol), "left")
       .select(k, col("version"), col("priority"), col("valid_from_s"),
-        vto.as("valid_to_s"),
-        when(col("__merged"), col("n_orders") + col("__fn"))
-          .otherwise(col("n_orders")).as("n_orders"),
-        col("__merged"))
+        when(isCur, vtoTouched).otherwise(col("valid_to_s")).as("valid_to_s"),
+        when(isCur && merged, col("n_orders") + col("__fn"))
+          .otherwise(col("n_orders")).as("n_orders"))
     // appended runs: versions continue the key's numbering; a merged
-    // first run is already inside the current row, so it is skipped
-    val curInfo = cur2.select(k, col("version").as("__cv"), col("__merged"))
+    // first run is already absorbed into the current row, so it is
+    // skipped. The version/merged lookup needs the touched keys'
+    // current rows — the SECOND (and last) dim scan; its broadcast
+    // build reuses mainPass's first-frame exchange (ReuseExchange).
+    val curInfo = dim.filter(col("valid_to_s") === Sentinel)
+      .join(broadcast(first), Seq(keyCol))
+      .select(k, col("version").as("__cv"), merged.as("__merged"))
     val appended = newRuns.join(broadcast(curInfo), Seq(keyCol), "left")
       .filter(col("__cv").isNull || !col("__merged") || col("__lv") >= 2)
       .select(k,
@@ -147,12 +159,6 @@ object Scd2 {
             .otherwise(col("__lv"))).as("version"),
         col(valueCol).as("priority"), col("__from").as("valid_from_s"),
         col("__to").as("valid_to_s"), col("__n").as("n_orders"))
-    // untouched keys: map-side broadcast anti-join over the stored
-    // dimension — the touched-keys-only shuffle contract
-    val untouched = dim.join(broadcast(touched), Seq(keyCol), "left_anti")
-    untouched
-      .unionByName(history)
-      .unionByName(cur2.drop("__merged"))
-      .unionByName(appended)
+    mainPass.unionByName(appended)
   }
 }

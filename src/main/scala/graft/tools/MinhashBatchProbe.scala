@@ -29,8 +29,17 @@ object MinhashBatchProbe {
     val docs = graft.Tables.documents(spark, universe).select(col("doc_id"), col("text"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
     val ranked = docs.withColumn("__rn", row_number().over(w).cast("long"))
-    val corpus = ranked.filter(col("__rn") <= keptN).drop("__rn")
-      .repartition(cpus).localCheckpoint()
+    val corpus = {
+      val base = ranked.filter(col("__rn") <= keptN).drop("__rn")
+      // SPARK_GRAFT_STREAM_CORPUS_PARQUET=1: id-sorted parquet corpus
+      // (the 100 TB placement — see StreamBench.corpusOf)
+      if (sys.env.get("SPARK_GRAFT_STREAM_CORPUS_PARQUET").contains("1")) {
+        val p = "/tmp/graft-mh-corpus" // outside the cleaned scratch dir
+        base.repartitionByRange(cpus, col("doc_id")).sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      } else base.repartition(cpus).localCheckpoint()
+    }
     val wd = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id").desc)
     val stream = docs.withColumn("__rn", row_number().over(wd))
       .filter(col("__rn") <= 4 * batchN).drop("__rn").localCheckpoint()

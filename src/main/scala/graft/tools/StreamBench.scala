@@ -186,12 +186,29 @@ object StreamBench {
       docs.withColumn("__rn", row_number().over(w).cast("long"))
         .filter(col("__rn") <= k).drop("__rn").repartition(cpus)
     }
+    // corpus placement knob (r16): default keeps the corpus
+    // localCheckpoint-ed (RAM-resident — the small-kept regime).
+    // SPARK_GRAFT_STREAM_CORPUS_PARQUET=1 lands it as ID-SORTED
+    // parquet and reads it back — the 100 TB deployment shape, where
+    // the kept corpus cannot live in executor memory and every
+    // per-batch corpus-text scan pays real IO. Range-partitioned +
+    // sorted by doc_id so min/max row-group and page stats are tight
+    // (the layout a real kept-corpus table has, and the one the
+    // candidate-id pushdown's isin pruning needs to bite).
+    val corpusOf: Long => DataFrame =
+      if (sys.env.get("SPARK_GRAFT_STREAM_CORPUS_PARQUET").contains("1")) { k =>
+        val p = s"$scratch/corpus_$k"
+        keptDocs(k).repartitionByRange(cpus.toInt, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      } else { k => keptDocs(k).localCheckpoint() }
 
     if (which == "all" || which == "simhash") {
       for (k <- keptSizes; bs <- batchSizes) {
         writeBatchFiles(streamDocs, "doc_id", bs, nBatches, batchDir)
         val od = cleanDir(s"$scratch/sh_out"); val ck = cleanDir(s"$scratch/sh_ckpt")
-        val corpus = keptDocs(k).localCheckpoint()
+        val corpus = corpusOf(k)
         val rows = timeSink(spark, batchDir, nBatches)(st =>
           // bands=4 → 15-bit band keys: random band-collision rate
           // 2^-15 keeps a 400k index from flooding candidates (the
@@ -207,7 +224,7 @@ object StreamBench {
       for (k <- keptSizes; bs <- batchSizes) {
         writeBatchFiles(streamDocs, "doc_id", bs, nBatches, batchDir)
         val od = cleanDir(s"$scratch/mh_out"); val ck = cleanDir(s"$scratch/mh_ckpt")
-        val corpus = keptDocs(k).localCheckpoint()
+        val corpus = corpusOf(k)
         val rows = timeSink(spark, batchDir, nBatches)(st =>
           // n=7 char-grams (the 26^3 background floor of 3-grams —
           // SCALING.md — vanishes), and b=21×r=3: stream batches are

@@ -106,13 +106,16 @@ class Scd2ApplySpec extends SparkSpec {
     assert(e2.getMessage.contains("maxTouchedKeys"), e2.getMessage)
   }
 
-  test("untouched keys ride a broadcast anti-join — no dimension shuffle") {
+  test("the dimension rides broadcast joins only — no dimension shuffle") {
+    // r16 shape: ONE broadcast LEFT join tags + rewrites touched
+    // current rows in the main dimension pass (untouched/history rows
+    // pass through map-side), and the appended-runs version lookup is
+    // another broadcast build. The dimension must never be the probe
+    // of a shuffled join — that would re-exchange the stored table.
     val plan = applied.queryExecution.executedPlan.toString
-    assert(plan.contains("LeftAnti"), plan.take(1200))
-    // the anti-join must be broadcast (build = touched keys), never a
-    // shuffled join that re-exchanges the stored dimension
-    assert(!plan.contains("SortMergeJoin LeftAnti") &&
-      !plan.contains("ShuffledHashJoin LeftAnti"),
-      "untouched-keys anti-join must not shuffle the dimension:\n" + plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      plan.take(1200))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the stored dimension must not shuffle:\n" + plan.take(1200))
   }
 }
