@@ -126,6 +126,15 @@ object Scd2 {
     // (raise_error inside valid_to_s) so column pruning cannot drop
     // it, and fails the job per violating row, naming the key, before
     // any output commits.
+    // broadcast is the CONTRACT shape only under the cap: a waived cap
+    // (Long.MaxValue — the declared rebuild-equality seats) means the
+    // touched set is corpus-scale, and hinting it into a broadcast
+    // melts the driver (caught live: the r16 sf100skew sweep OOMed
+    // q_scd2_apply's 15M-key first-run broadcast). Unhinted, AQE
+    // broadcasts small batches anyway and shuffles the huge ones —
+    // the right plan for a batch that is really a rebuild.
+    val bc: DataFrame => DataFrame =
+      if (maxTouchedKeys < Long.MaxValue) broadcast else identity
     val isCur = col("__tch").isNotNull && col("valid_to_s") === Sentinel
     val merged = col("priority") === col("__fv")
     val closedOrAbsorbed = when(merged, col("__fto")).otherwise(col("__ffrom"))
@@ -138,7 +147,7 @@ object Scd2 {
           lit(" (min change date <= the key's folded max valid_from_s); " +
             "late-arriving events need the rebuild path"))))
         .otherwise(closedOrAbsorbed)
-    val mainPass = dim.join(broadcast(first), Seq(keyCol), "left")
+    val mainPass = dim.join(bc(first), Seq(keyCol), "left")
       .select(k, col("version"), col("priority"), col("valid_from_s"),
         when(isCur, vtoTouched).otherwise(col("valid_to_s")).as("valid_to_s"),
         when(isCur && merged, col("n_orders") + col("__fn"))
@@ -149,9 +158,9 @@ object Scd2 {
     // current rows — the SECOND (and last) dim scan; its broadcast
     // build reuses mainPass's first-frame exchange (ReuseExchange).
     val curInfo = dim.filter(col("valid_to_s") === Sentinel)
-      .join(broadcast(first), Seq(keyCol))
+      .join(bc(first), Seq(keyCol))
       .select(k, col("version").as("__cv"), merged.as("__merged"))
-    val appended = newRuns.join(broadcast(curInfo), Seq(keyCol), "left")
+    val appended = newRuns.join(bc(curInfo), Seq(keyCol), "left")
       .filter(col("__cv").isNull || !col("__merged") || col("__lv") >= 2)
       .select(k,
         (coalesce(col("__cv"), lit(0L)) +

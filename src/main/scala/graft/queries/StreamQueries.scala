@@ -152,21 +152,39 @@ object StreamQueries {
 
   /** Ordered funnel conversion (view → click → purchase): per user,
     * the earliest view, the earliest click AT OR AFTER it, and the
-    * earliest purchase at or after that click — three chained
-    * conditional window-mins over ONE user_id shuffle (each stage's
-    * anchor is constant per partition, so the stages stack without
-    * re-shuffling). Output: stage reach counts + conversion rates.
+    * earliest purchase at or after that click. Output: stage reach
+    * counts + conversion rates.
+    *
+    * Shape (r16): chained GROUP-BY mins with per-stage joins, not
+    * whole-partition window-mins. The previous three stacked
+    * `min().over(partitionBy(user))` windows computed per-row values
+    * that the very next groupBy collapsed per user — pure waste — and
+    * put every hot user's full event set in ONE window task: at
+    * sf100skew (20% of 100M events on one user) that straggler read
+    * 43.7 s vs 7.1 s uniform (6.2×, the decade's skew finding). The
+    * agg form partial-aggregates map-side, so the hot key collapses
+    * to one row per input partition before any exchange; each stage's
+    * threshold (t1, t2) arrives by join, and the per-stage joins +
+    * final assembly all reuse the same hash(user_id) partitioning.
     */
   def qFunnel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
-    val staged = Tables.events(s, d)
+    val ev = Tables.events(s, d)
       .select($"user_id", $"event_type", unix_timestamp($"ts").as("ts_s"))
-      .withColumn("t1", min(when($"event_type" === "view", $"ts_s")).over(w))
-      .withColumn("t2", min(when($"event_type" === "click" && $"ts_s" >= $"t1", $"ts_s")).over(w))
-      .withColumn("t3", min(when($"event_type" === "purchase" && $"ts_s" >= $"t2", $"ts_s")).over(w))
-      .groupBy($"user_id")
-      .agg(max($"t1").as("t1"), max($"t2").as("t2"), max($"t3").as("t3"))
+    // ALL users (t1 null for view-less ones): n_users = count(*)
+    val v = ev.groupBy($"user_id")
+      .agg(min(when($"event_type" === "view", $"ts_s")).as("t1"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v.filter($"t1".isNotNull), Seq("user_id"))
+      .filter($"ts_s" >= $"t1")
+      .groupBy($"user_id").agg(min($"ts_s").as("t2"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, Seq("user_id"))
+      .filter($"ts_s" >= $"t2")
+      .groupBy($"user_id").agg(min($"ts_s").as("t3"))
+    val staged = v
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
     staged.agg(
       count(lit(1)).as("n_users"),
       count($"t1").as("n_view"),

@@ -471,21 +471,27 @@ object Streams {
     // shingles come from the shNew union below)
     val keptText = keptTable.map(_.select(col(idCol), col(textCol)))
       .getOrElse(corpusText.select(col(idCol), col(textCol)).limit(0))
-    // candidate-ID PUSHDOWN (r16 probe, VERDICT r15 #7): the default
+    // candidate-ID PUSHDOWN (r16, VERDICT r15 #7): the default
     // left_semi join filters the kept text MAP-SIDE but cannot prune
     // the SCAN — every microbatch reads + decodes the full kept
     // corpus's text bytes (O(kept) IO per batch; the growing-index
-    // claim covers the signature probe, not this verify read). With
-    // SPARK_GRAFT_MH_ID_PUSHDOWN=1 the candidate id_old set is
-    // collected (bounded: only when the exact pair count stays under
-    // the literal-list cap) and pushed as an `isin` predicate, which
-    // reaches the parquet footer (row-group + page pruning on the
-    // usually-ordered id column skips the text pages of
-    // non-candidates). Costs one extra job per microbatch (the count
-    // doubles as the cache materializer the checkpoint scan provides
-    // on the default path) — the A/B is in STREAMING.md.
+    // claim covers the signature probe, not this verify read). When
+    // enabled, the candidate id_old set is collected (bounded: only
+    // when the exact pair count stays under the literal-list cap) and
+    // pushed as an `isin` predicate, which reaches the parquet footer
+    // (row-group + page pruning on the usually-ordered id column
+    // skips the text pages of non-candidates). Costs one extra job
+    // per microbatch (the count doubles as the cache materializer the
+    // checkpoint scan provides on the default path); over the cap it
+    // falls back to the semi join. Measured (STREAMING.md r16,
+    // id-sorted parquet corpus): kept=4M/batch=1000 15.0 → 9.8
+    // s/batch; parity at batch=4000 where candidates exceed the cap.
+    // Session conf first (spec-settable), env as the deploy override.
+    val pushdownOn = spark.conf.getOption("spark.graft.mh.idPushdown")
+      .orElse(sys.env.get("SPARK_GRAFT_MH_ID_PUSHDOWN"))
+      .contains("1")
     val pushIds: Option[Array[Any]] =
-      if (!sys.env.get("SPARK_GRAFT_MH_ID_PUSHDOWN").contains("1")) None
+      if (!pushdownOn) None
       else {
         sc.setJobDescription(s"mh[$batchId] candidate count (id-pushdown gate)")
         val cnt = candsAll.count() // materializes the candidate cache

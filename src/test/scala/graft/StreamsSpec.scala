@@ -348,6 +348,39 @@ class StreamsSpec extends SparkSpec {
     assert(sigLens.forall(_ == 64), s"__sig should hold b*r=64 slots per survivor: $sigLens")
   }
 
+  test("minhash sink: candidate-id pushdown path drops exactly what the semi-join path drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while the rain falls " +
+      "gently on the quiet village roofs tonight as winter settles over the valley"
+    val edited = base.replace("quick", "rapid").replace("lazy", "idle")
+      .replace("gently", "softly").replace("winter", "autumn")
+    val novel = "entirely unrelated sentence about spark physical " +
+      "plans and adaptive query execution strategies in distributed engines"
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    def run(pushdown: Boolean): Seq[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-mhpush").toString
+      spark.conf.set("spark.graft.mh.idPushdown", if (pushdown) "1" else "0")
+      try {
+        val ms = MemoryStream[DocIn]
+        val q = Streams.minhashDedupSink(ms.toDF(), corpus, "doc_id", "text",
+          n = 3, b = 32, r = 2, seed = 7L, threshold = 0.62, s"$dir/out", s"$dir/ckpt")
+        ms.addData(
+          DocIn(t("2024-01-01 00:00:00"), 1, edited),
+          DocIn(t("2024-01-01 00:00:01"), 2, novel))
+        q.processAllAvailable()
+        ms.addData( // near-dup of the batch-0 survivor: the read-back index path
+          DocIn(t("2024-01-01 00:00:02"), 3, novel.replace("physical", "logical")))
+        q.processAllAvailable()
+        q.stop()
+        spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().sorted.toSeq
+      } finally spark.conf.unset("spark.graft.mh.idPushdown")
+    }
+    val viaPush = run(pushdown = true)
+    val viaSemi = run(pushdown = false)
+    assert(viaPush == viaSemi && viaSemi == Seq(2L),
+      s"pushdown=$viaPush semi=$viaSemi (both must keep only doc 2)")
+  }
+
   test("foreachBatch sink lands stream microbatches as parquet") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
