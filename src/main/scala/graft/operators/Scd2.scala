@@ -95,8 +95,15 @@ object Scd2 {
     val runs = changes
       .repartition(GlobalRank.rangeWidth(changes), k)
       .withColumn("__chg",
-        when(lag(col(valueCol), 1).over(w).isNull ||
-          lag(col(valueCol), 1).over(w) =!= col(valueCol), 1L).otherwise(0L))
+        // null-safe (r17): a null-valued run must compare equal to a
+        // null predecessor (same run) and unequal to a non-null one —
+        // consistent with `merged`'s <=> below. Plain =!= returns null
+        // on either side null, silently collapsing v→null transitions.
+        // row_number, not lag-isNull, flags the first row: lag is also
+        // null when the PREDECESSOR's value is null.
+        when(row_number().over(w) === 1 ||
+          !(lag(col(valueCol), 1).over(w) <=> col(valueCol)), 1L)
+          .otherwise(0L))
       .withColumn("__lv", sum(col("__chg")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__ds", dateSec)
@@ -136,7 +143,12 @@ object Scd2 {
     val bc: DataFrame => DataFrame =
       if (maxTouchedKeys < Long.MaxValue) broadcast else identity
     val isCur = col("__tch").isNotNull && col("valid_to_s") === Sentinel
-    val merged = col("priority") === col("__fv")
+    // null-safe (r17): with a nullable valueCol, null===null yields
+    // null — mainPass would close the current row (otherwise branch)
+    // while the appended filter `!__merged` evaluates null and drops
+    // the __lv==1 run, losing the interval. <=> makes null continue a
+    // null run, consistent with __chg's run-collapse above.
+    val merged = col("priority") <=> col("__fv")
     val closedOrAbsorbed = when(merged, col("__fto")).otherwise(col("__ffrom"))
     val vtoTouched =
       if (!validate) closedOrAbsorbed

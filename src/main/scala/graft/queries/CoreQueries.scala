@@ -51,24 +51,45 @@ object CoreQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** Star join: facts shuffle on keys, dims (nation/region) broadcast. */
+  /** Star join: facts shuffle on keys, dims (nation/region) broadcast.
+    *
+    * Aggregation is pushed BELOW the joins (r16 sf100skew lesson: the
+    * naive plan shuffled the full-width lineitem⋈orders intermediate on
+    * the zipf-head o_custkey — 17.2 GB disk spill at sf100skew):
+    *  1. lineitem collapses to (l_orderkey, rev, cnt) first; the join
+    *     with orders reuses that hash partitioning, so this costs no
+    *     extra shuffle and the orderkey join probe shrinks ~4×.
+    *  2. revenue re-aggregates per o_custkey BEFORE meeting customer,
+    *     so map-side partial aggregation collapses any hot custkey and
+    *     the custkey shuffle carries ≤ one narrow row per key per
+    *     partition instead of every lineitem row of the head customer.
+    * Joins are key-preserving (o_orderkey / c_custkey unique), so the
+    * two-level sum/count is exactly the flat aggregate.
+    */
   def q2RevenueNation(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
       .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01")) &&
         $"o_orderdate" < to_timestamp(lit("1998-01-01")))
-    val c = Tables.customer(s, d)
+      .select($"o_orderkey", $"o_custkey")
+    val perOrder = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(
+        sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("__rev"),
+        count(lit(1)).as("__cnt"))
+    val perCust = perOrder.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum($"__rev").as("__rev"), sum($"__cnt").as("__cnt"))
+    val c = Tables.customer(s, d).select($"c_custkey", $"c_nationkey")
     val n = Tables.nation(s, d)
     val r = Tables.region(s, d)
-    li.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(c, $"o_custkey" === $"c_custkey")
+    perCust.join(c, $"o_custkey" === $"c_custkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
-        count(lit(1)).as("n_items"))
+        round(sum($"__rev"), 2).as("revenue"),
+        sum($"__cnt").as("n_items"))
       .orderBy($"r_name", $"n_name")
   }
 

@@ -493,13 +493,17 @@ object Streams {
     val pushIds: Option[Array[Any]] =
       if (!pushdownOn) None
       else {
-        sc.setJobDescription(s"mh[$batchId] candidate count (id-pushdown gate)")
-        val cnt = candsAll.count() // materializes the candidate cache
-        if (cnt > 5000L) None // literal-list cap: plan bloat + driver bound
-        else {
-          sc.setJobDescription(s"mh[$batchId] candidate id collect")
-          Some(candsAll.select(col("id_old")).distinct().collect().map(_.get(0)))
-        }
+        sc.setJobDescription(s"mh[$batchId] candidate id collect (id-pushdown gate)")
+        // gate on DISTINCT keeper ids, not raw pair count (r17): many
+        // pairs sharing few keeper ids used to fall back to the semi
+        // join even though the pushed literal list would have been
+        // small. limit(cap+1) bounds the driver regardless of the pair
+        // count; the distinct's full scan of candsAll doubles as the
+        // cache materializer the old count job provided.
+        val cap = 5000
+        val ids = candsAll.select(col("id_old")).distinct().limit(cap + 1).collect()
+        if (ids.length > cap) None // literal-list cap: plan bloat + driver bound
+        else Some(ids.map(_.get(0)))
       }
     val hitTextBase = corpusText.select(col(idCol), col(textCol)).unionByName(keptText)
     val hitText = pushIds match {

@@ -34,7 +34,18 @@ object MinhashBatchProbe {
       // SPARK_GRAFT_STREAM_CORPUS_PARQUET=1: id-sorted parquet corpus
       // (the 100 TB placement — see StreamBench.corpusOf)
       if (sys.env.get("SPARK_GRAFT_STREAM_CORPUS_PARQUET").contains("1")) {
-        val p = "/tmp/graft-mh-corpus" // outside the cleaned scratch dir
+        // per-run temp dir (r17): the old fixed /tmp path leaked GBs
+        // across runs and raced concurrent probes. $SPARK_GRAFT_SCRATCH
+        // overrides; the JVM-unique default is deleted on exit.
+        val p = sys.env.get("SPARK_GRAFT_SCRATCH")
+          .map(s => s"$s/mh-corpus")
+          .getOrElse {
+            val d = java.nio.file.Files
+              .createTempDirectory("graft-mh-corpus").toString
+            sys.addShutdownHook(
+              org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+            d
+          }
         base.repartitionByRange(cpus, col("doc_id")).sortWithinPartitions("doc_id")
           .write.mode("overwrite").parquet(p)
         spark.read.parquet(p)

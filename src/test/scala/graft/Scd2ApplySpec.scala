@@ -12,13 +12,17 @@ class Scd2ApplySpec extends SparkSpec {
   import spark.implicits._
 
   // (key, tiebreak, dateSec, value) change events
-  private def dimOf(events: Seq[(Long, Long, Long, String)]) = {
-    val df = events.toDF("k", "tie", "ds", "v")
+  private def dimOf(events: Seq[(Long, Long, Long, String)]): org.apache.spark.sql.DataFrame =
+    dimOfDf(events.toDF("k", "tie", "ds", "v"))
+
+  private def dimOfDf(df: org.apache.spark.sql.DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"k").orderBy($"ds", $"tie")
     val runs = df
-      .withColumn("chg", when(lag($"v", 1).over(w).isNull ||
-        lag($"v", 1).over(w) =!= $"v", 1L).otherwise(0L))
+      // null-safe run collapse, mirroring the operator's contract: a
+      // null value continues a null run and breaks a non-null one
+      .withColumn("chg", when(row_number().over(w) === 1 ||
+        !(lag($"v", 1).over(w) <=> $"v"), 1L).otherwise(0L))
       .withColumn("version", sum($"chg").over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
     val wl = org.apache.spark.sql.expressions.Window
@@ -89,6 +93,44 @@ class Scd2ApplySpec extends SparkSpec {
     // validate=false trusts the caller (the documented escape hatch)
     assert(Scd2.applyChanges(dimOf(base), tied, "k", $"ds", $"tie", "v",
       validate = false).count() > 0)
+  }
+
+  test("null-valued runs survive merge, close, and append (null-safe <=>)") {
+    // valueCol is nullable: key 1's CURRENT run is null and the first
+    // change continues it (null-merge), then flips to "c"; key 2's
+    // current null run closes against "y". Before r17 the =!= / ===
+    // predicates returned null here — mainPass closed the row while
+    // the appended filter dropped the __lv==1 run, losing an interval.
+    val baseN = Seq(
+      (1L, 1L, 100L, Option("a")), (1L, 2L, 300L, Option.empty[String]),
+      (2L, 3L, 100L, Option.empty[String]))
+    val changesN = Seq(
+      (1L, 4L, 500L, Option.empty[String]), (1L, 5L, 600L, Option("c")),
+      (2L, 6L, 500L, Option("y")))
+    val inc = Scd2.applyChanges(
+      dimOfDf(baseN.toDF("k", "tie", "ds", "v")),
+      changesN.toDF("k", "tie", "ds", "v"), "k", $"ds", $"tie", "v")
+    val rebuilt = dimOfDf((baseN ++ changesN).toDF("k", "tie", "ds", "v"))
+    val proj = inc.select(rebuilt.columns.map(col): _*)
+    assert(proj.except(rebuilt).isEmpty && rebuilt.except(proj).isEmpty,
+      s"null-run increment diverges:\ninc=${proj.orderBy($"k", $"version").collect().mkString("\n")}" +
+        s"\nrebuilt=${rebuilt.orderBy($"k", $"version").collect().mkString("\n")}")
+    // pin the null-merge: key 1's null run absorbed the null change
+    val k1v2 = inc.filter($"k" === 1 && $"version" === 2).collect().head
+    assert(k1v2.getAs[Long]("n_orders") === 2L, "null run must absorb the null change")
+    assert(k1v2.getAs[Long]("valid_to_s") === 600L)
+  }
+
+  test("waived cap (Long.MaxValue) equals the capped path") {
+    // the r16 sf100skew OOM lived on exactly this branch: with the cap
+    // waived the broadcast hint must NOT apply (identity — AQE picks),
+    // and the output must still match the capped path row-for-row.
+    val capped = applied
+    val waived = Scd2.applyChanges(
+      dimOf(base), changes.toDF("k", "tie", "ds", "v"),
+      "k", $"ds", $"tie", "v", maxTouchedKeys = Long.MaxValue)
+    assert(waived.except(capped).isEmpty && capped.except(waived).isEmpty,
+      s"waived-cap path diverges from capped:\n${waived.orderBy($"k", $"version").collect().mkString("\n")}")
   }
 
   test("touched-key cap guards the broadcast") {

@@ -71,6 +71,27 @@ class SourcesPlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("q2 aggregates below the joins: no shuffle carries raw lineitem values") {
+    // the r16 sf100skew scale-killer was the full-width lineitem⋈orders
+    // intermediate shuffling on the zipf-head custkey; the fix collapses
+    // revenue per orderkey then per custkey BEFORE customer, so raw
+    // l_extendedprice/l_discount must never ride an Exchange.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val exec = graft.queries.CoreQueries.q2RevenueNation(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    val shuffles = exec.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.nonEmpty, "expected at least one shuffle in the star join")
+    shuffles.foreach { e =>
+      val cols = e.output.map(_.name).toSet
+      assert(!cols.contains("l_extendedprice") && !cols.contains("l_discount"),
+        s"raw lineitem values ride a shuffle: ${cols.mkString(",")}")
+    }
+  }
+
   test("q1 aggregation is whole-stage codegen with partial aggregation") {
     val plan = graft.queries.CoreQueries.q1PricingSummary(spark, sf)
       .queryExecution.executedPlan.toString
