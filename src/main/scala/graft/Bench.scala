@@ -83,6 +83,37 @@ object Bench {
     def drain(): Unit =
       org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
 
+    // CALIBRATION (r17, VERDICT r16 #6): a fixed-cost, data-independent
+    // probe — one 50M-row synthetic shuffle-agg + one 10M-row sort, no
+    // FS, no SF dependence — timed right after warmup and again after
+    // the suite. Its ratio vs the committed unloaded reference stamps
+    // every capture with its own host-load factor; three rounds of
+    // driver BENCH captures (r14-r16) needed hand-reruns to attribute
+    // uniform 1.6-4.7x inflation to sandbox contention.
+    // The probe is PURE CPU (2e9 codegen'd xxhash64 ops, 64 tasks, no
+    // shuffle, no FS): shuffle-bearing designs probed 3-39 s on the
+    // SAME idle JVM (AQE's 1024-way reduce makes tiny-task scheduling
+    // the measurand), while this shape reads 0.7-1.7 s idle across
+    // sessions. Each reading is a median-of-3 to shed single stalls.
+    // idle in-Bench readings r17 (2026-08-16): 0.55-0.85 across three
+    // sessions — idle captures read load_factor ~0.9-1.3; the r16-style
+    // contended captures would read 3-10+.
+    val calibRefSec = 0.65
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 2000000000L, 1L, 64)
+        .selectExpr("xxhash64(id) % 1000003 AS h") // bounded: ANSI sum must not overflow
+        .select(org.apache.spark.sql.functions.sum("h"))
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibRead(): Double = {
+      val v = Seq(calibOnce(), calibOnce(), calibOnce()).sorted
+      v(1)
+    }
+    calibOnce() // untimed: absorbs the probe's own JIT/codegen
+    val calibStart = calibRead()
+
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, (Double, Io)] = {
       drain()
       val (b0, d0, m0) = (ioBytesRead.get, ioSpillDisk.get, ioSpillMem.get)
@@ -152,6 +183,7 @@ object Bench {
         })
       case other => other
     }
+    val calibEnd = calibRead()
     val okIo = results.collect { case (k, Right(v)) => k -> v }
     val ok = okIo.map { case (k, (v, _)) => k -> v }
     val failed = results.collect { case (k, Left(e)) => k -> e } ++
@@ -188,8 +220,13 @@ object Bench {
       .mkString("{", ",", "}")
     val vio = sys.env.getOrElse("SPARK_GRAFT_VECTORED_IO", "false")
     println(s"""{"metric":"io","unit":"bytes","sf":"$sfDir","vectored_io":$vio,"query_io":$ioqs}""")
+    // load_factor: mean of the two probe readings over the committed
+    // idle reference — 1.0x = solo-run conditions; the r16 driver
+    // capture would have read ~2-4x here.
+    val loadFactor = f3((calibStart + calibEnd) / 2 / calibRefSec)
+    val calib = s""""calib_start_sec":${f3(calibStart)},"calib_end_sec":${f3(calibEnd)},"calib_ref_sec":$calibRefSec,"load_factor":$loadFactor"""
     println(
-      s"""{"queries":$qs,"stream_e2e_queries":$sqs,"failures":$fs,"failure_groups":$fgroups,"n_failed":${failed.size},"sf":"$sfDir","metric":"total","value":${f3(total)},"stream_e2e_total":${f3(streamTotal)},"unit":"sec"}""")
+      s"""{"queries":$qs,"stream_e2e_queries":$sqs,"failures":$fs,"failure_groups":$fgroups,"n_failed":${failed.size},"sf":"$sfDir","metric":"total","value":${f3(total)},"stream_e2e_total":${f3(streamTotal)},"unit":"sec",$calib}""")
     val slow = ok.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     // IO totals + top offenders ride the LAST line so even the driver's
@@ -203,7 +240,7 @@ object Bench {
     val topSpill = allIo.filter(_._2._2.spillDisk > 0).sortBy(-_._2._2.spillDisk).take(5)
       .map { case (k, (_, io)) => "\"" + k + "\":" + io.spillDisk }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"n_failed":${failed.size},"stream_e2e_total":${f3(streamTotal)},"n_stream_e2e":${streamOk.size},"slowest":$slow,"bytes_read_total":$brTotal,"spill_disk_total":$sdTotal,"spill_mem_total":$smTotal,"top_bytes_read":$topBytes,"top_spill_disk":$topSpill}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"n_failed":${failed.size},"stream_e2e_total":${f3(streamTotal)},"n_stream_e2e":${streamOk.size},"slowest":$slow,"bytes_read_total":$brTotal,"spill_disk_total":$sdTotal,"spill_mem_total":$smTotal,"top_bytes_read":$topBytes,"top_spill_disk":$topSpill,$calib}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
