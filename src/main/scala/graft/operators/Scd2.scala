@@ -88,29 +88,34 @@ object Scd2 {
           s"maxTouchedKeys=$maxTouchedKeys — the touched-key broadcast would " +
           "not be batch-bounded; use the full rebuild path (or raise the cap)")
     }
-    // run-collapse the change batch (bounded by contract — a change
-    // batch is a load increment, not a corpus; the full-corpus path
-    // with skew handling is qScd2's SaltedRuns build)
-    val w = Window.partitionBy(k).orderBy(dateSec, tieCol)
-    val runs = changes
-      .repartition(GlobalRank.rangeWidth(changes), k)
-      .withColumn("__chg",
-        // null-safe (r17): a null-valued run must compare equal to a
-        // null predecessor (same run) and unequal to a non-null one —
-        // consistent with `merged`'s <=> below. Plain =!= returns null
-        // on either side null, silently collapsing v→null transitions.
-        // row_number, not lag-isNull, flags the first row: lag is also
-        // null when the PREDECESSOR's value is null.
-        when(row_number().over(w) === 1 ||
-          !(lag(col(valueCol), 1).over(w) <=> col(valueCol)), 1L)
-          .otherwise(0L))
-      .withColumn("__lv", sum(col("__chg")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__ds", dateSec)
-    val wl = Window.partitionBy(k).orderBy(col("__lv"))
-    val newRuns = runs.groupBy(k, col("__lv"), col(valueCol))
-      .agg(min(col("__ds")).as("__from"), count(lit(1)).as("__n"))
-      .withColumn("__to", coalesce(lead(col("__from"), 1).over(wl), lit(Sentinel)))
+    // run-collapse the change batch. SKEW-ADAPTIVE since r17: the
+    // window and the valid_to lead ride SaltedRuns (probe-and-gate — a
+    // 1% sample detects hot keys; with none, the plan is EXACTLY the
+    // old single-level window). The key-count cap bounds KEYS, not
+    // rows: a contract-respecting batch can still carry one zipf-head
+    // key whose stream is an unsplittable window partition (the r16
+    // sf100skew waived seat jstack'd a 548 s single-task sort).
+    // Null-safety rides SaltedRuns' struct-wrapped lag (a lagged
+    // struct is null iff there IS no previous row) + the null-safe
+    // <=> predicate — consistent with `merged` below.
+    val changesDs = changes.withColumn("__ds", dateSec)
+    val hot = SaltedRuns.detectHotKeys(changesDs, keyCol)
+    val runs = SaltedRuns.numbered(changesDs, keyCol, col("__ds"),
+      Seq(tieCol), Seq(col(valueCol)),
+      (p, c) => !(p.getField(valueCol) <=> c.getField(valueCol)),
+      "__lv", buckets = 32, hotOverride = Some(hot))
+    // hot branch only: pinned exchange under the agg (the scd2Of
+    // lesson — salted runs arrive hash(key, bucket) partitioned and
+    // the agg re-exchanges anyway; unpinned reads bytes-coalesce)
+    val gIn = if (hot.nonEmpty)
+      runs.repartition(GlobalRank.rangeWidth(changesDs), k, col("__lv"), col(valueCol))
+    else runs
+    val newRuns = SaltedRuns.chunkedLead(
+      gIn.groupBy(k, col("__lv"), col(valueCol))
+        .agg(min(col("__ds")).as("__from"), count(lit(1)).as("__n")),
+      keyCol, col("__lv"), col("__from"), "__toN", hotOverride = Some(hot))
+      .withColumn("__to", coalesce(col("__toN"), lit(Sentinel)))
+      .drop("__toN")
     // per touched key: its first change run, plus a non-null touch
     // marker (valueCol may be nullable — __fv can't flag the match)
     val first = newRuns.filter(col("__lv") === 1)
@@ -140,8 +145,28 @@ object Scd2 {
     // q_scd2_apply's 15M-key first-run broadcast). Unhinted, AQE
     // broadcasts small batches anyway and shuffles the huge ones —
     // the right plan for a batch that is really a rebuild.
-    val bc: DataFrame => DataFrame =
-      if (maxTouchedKeys < Long.MaxValue) broadcast else identity
+    val waived = maxTouchedKeys == Long.MaxValue
+    val bc: DataFrame => DataFrame = if (!waived) broadcast else identity
+    // The waived path's shuffled left joins put every hot key's
+    // dimension/run rows into ONE SMJ reducer (the r16 sf100skew
+    // stall). The right side of both joins is ≤1 row per key, so its
+    // HOT slice is ≤64 rows (detectHotKeys caps the list): broadcast
+    // that slice and shuffle only cold keys. Exact: keys live wholly
+    // in one branch. Hot keys are probed on BOTH frames — the change
+    // batch (appended join's left) and the dimension (mainPass's
+    // left), whose heads need not coincide.
+    val hotJoin =
+      if (!waived) Nil
+      else (hot ++ SaltedRuns.detectHotKeys(dim, keyCol)).distinct
+    def leftJoin(l: DataFrame, r: DataFrame): DataFrame =
+      if (!waived) l.join(broadcast(r), Seq(keyCol), "left")
+      else if (hotJoin.isEmpty) l.join(r, Seq(keyCol), "left")
+      else {
+        val isHot = coalesce(k.isInCollection(hotJoin), lit(false))
+        l.filter(!isHot).join(r.filter(!isHot), Seq(keyCol), "left")
+          .unionByName(
+            l.filter(isHot).join(broadcast(r.filter(isHot)), Seq(keyCol), "left"))
+      }
     val isCur = col("__tch").isNotNull && col("valid_to_s") === Sentinel
     // null-safe (r17): with a nullable valueCol, null===null yields
     // null — mainPass would close the current row (otherwise branch)
@@ -159,7 +184,7 @@ object Scd2 {
           lit(" (min change date <= the key's folded max valid_from_s); " +
             "late-arriving events need the rebuild path"))))
         .otherwise(closedOrAbsorbed)
-    val mainPass = dim.join(bc(first), Seq(keyCol), "left")
+    val mainPass = leftJoin(dim, first)
       .select(k, col("version"), col("priority"), col("valid_from_s"),
         when(isCur, vtoTouched).otherwise(col("valid_to_s")).as("valid_to_s"),
         when(isCur && merged, col("n_orders") + col("__fn"))
@@ -172,7 +197,7 @@ object Scd2 {
     val curInfo = dim.filter(col("valid_to_s") === Sentinel)
       .join(bc(first), Seq(keyCol))
       .select(k, col("version").as("__cv"), merged.as("__merged"))
-    val appended = newRuns.join(bc(curInfo), Seq(keyCol), "left")
+    val appended = leftJoin(newRuns, curInfo)
       .filter(col("__cv").isNull || !col("__merged") || col("__lv") >= 2)
       .select(k,
         (coalesce(col("__cv"), lit(0L)) +
