@@ -30,7 +30,7 @@ object AsofJoin {
     */
   private def withDirection(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, tieBreakCol: String, valueCols: Seq[String],
-      forward: Boolean): DataFrame = {
+      forward: Boolean, hotThreshold: Long = 1000000L): DataFrame = {
     val leftCols = left.columns.toSeq
     val carryCols = valueCols :+ "__rts"
     val taggedLeft = carryCols.foldLeft(left.withColumn("__side", lit(1))) {
@@ -49,15 +49,24 @@ object AsofJoin {
     // windows are per-row CPU, which AQE's bytes-based coalescing
     // can't see — unpinned, they ran 2-wide over 64 MB at sf10
     val unioned = taggedLeft.select(cols: _*).unionByName(taggedRight.select(cols: _*))
-    val parted = unioned.repartition(
-      graft.operators.GlobalRank.rangeWidth(unioned), col(keyCol))
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(if (forward) col(tsCol).desc else col(tsCol).asc,
-        col("__side"), col(tieBreakCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carryCols.foldLeft(parted) { (d, v) =>
-      d.withColumn(s"asof_$v", last(col(s"__v_$v"), ignoreNulls = true).over(w))
-    }
+    // SKEW-GATED carry (r17, VERDICT r16 #4): the running last() is
+    // SaltedRuns.chunkedCarry — its 1% probe finding no hot keys
+    // yields exactly the old single-level window (repartition-pinned
+    // width + per-key carry), while a zipf-head key's stream splits
+    // into per-key ts-range buckets with an O(buckets) carry-in
+    // repair instead of one unsplittable window partition (measured
+    // 2.3× on q_asof_attribution at sf100skew, the one window-family
+    // member without a gate). Bucketing ordinal: ts as double, negated
+    // for the forward direction (traversal-ascending contract);
+    // within-bucket ordering stays on the exact (ts, side, tie) sort.
+    val ordD = if (forward) negate(col(tsCol).cast("double"))
+      else col(tsCol).cast("double")
+    val orderCols = Seq(
+      if (forward) col(tsCol).desc else col(tsCol).asc,
+      col("__side"), col(tieBreakCol))
+    val carried = SaltedRuns.chunkedCarry(unioned, keyCol, ordD, orderCols,
+      carryCols.map(v => (s"__v_$v", s"asof_$v")), buckets = 32,
+      hotThreshold = hotThreshold)
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++ valueCols.map(v => col(s"asof_$v"))
         :+ col("asof___rts").as("__asof_ts"): _*)
@@ -94,9 +103,11 @@ object AsofJoin {
     */
   def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, tieBreakCol: String, valueCols: Seq[String],
-      toleranceSec: Option[Double] = None): DataFrame =
+      toleranceSec: Option[Double] = None,
+      hotThreshold: Long = 1000000L): DataFrame =
     applyTolerance(
-      withDirection(left, right, keyCol, tsCol, tieBreakCol, valueCols, forward = false),
+      withDirection(left, right, keyCol, tsCol, tieBreakCol, valueCols,
+        forward = false, hotThreshold = hotThreshold),
       tsCol, valueCols, toleranceSec)
 
   /** Forward as-of: the EARLIEST right row at-or-after each left row
@@ -105,9 +116,11 @@ object AsofJoin {
     */
   def asofForward(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, tieBreakCol: String, valueCols: Seq[String],
-      toleranceSec: Option[Double] = None): DataFrame =
+      toleranceSec: Option[Double] = None,
+      hotThreshold: Long = 1000000L): DataFrame =
     applyTolerance(
-      withDirection(left, right, keyCol, tsCol, tieBreakCol, valueCols, forward = true),
+      withDirection(left, right, keyCol, tsCol, tieBreakCol, valueCols,
+        forward = true, hotThreshold = hotThreshold),
       tsCol, valueCols, toleranceSec)
 
   /** Nearest as-of (pandas merge_asof direction="nearest"): per left

@@ -559,6 +559,34 @@ class StreamsSpec extends SparkSpec {
     assert(tolN == Seq((1L, 100L, "a"), (1L, 200L, null), (2L, 50L, "d")))
   }
 
+  test("asof salted path (hot key) equals the plain window, both directions") {
+    import graft.operators.AsofJoin
+    // key 1 is hot (500L+400R rows), keys 2-20 cold; colliding ts
+    // within and across sides exercise the tie rules at bucket
+    // boundaries, and null v values exercise the ignoreNulls carry
+    // across a bucket edge.
+    val lefts = ((1 to 500).map(i => (1L, (i * 7 % 211).toLong, 1000L + i)) ++
+      (2 to 20).flatMap(k => (1 to 5).map(i =>
+        (k.toLong, (i * 13 % 40).toLong, 2000L + k * 10 + i)))).toDF("k", "ts", "id")
+    val rights = ((1 to 400).map(i => (1L, (i * 11 % 197).toLong, 3000L + i,
+        if (i % 7 == 0) null else s"v$i")) ++
+      (2 to 20).flatMap(k => (1 to 3).map(i =>
+        (k.toLong, (i * 17 % 40).toLong, 4000L + k * 10 + i, s"w$k-$i"))))
+      .toDF("k", "ts", "id", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"k", $"ts", $"id").collect().map(_.toSeq).toSeq
+    // hotThreshold=3 → the 1% probe flags key 1 (≈9 sampled rows) and
+    // routes it salted; default threshold keeps everything plain
+    val saltedB = AsofJoin.asofBackward(lefts, rights, "k", "ts", "id", Seq("v"),
+      hotThreshold = 3L)
+    assert(canon(saltedB) ==
+      canon(AsofJoin.asofBackward(lefts, rights, "k", "ts", "id", Seq("v"))))
+    val saltedF = AsofJoin.asofForward(lefts, rights, "k", "ts", "id", Seq("v"),
+      hotThreshold = 3L)
+    assert(canon(saltedF) ==
+      canon(AsofJoin.asofForward(lefts, rights, "k", "ts", "id", Seq("v"))))
+  }
+
   test("multimodal extract keeps schema and batch shape through mapPartitions") {
     val docs = Tables.documents(spark, sf).limit(50)
     val media = Multimodal.mediaFromDocuments(docs)
