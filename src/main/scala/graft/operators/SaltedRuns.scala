@@ -347,7 +347,13 @@ object SaltedRuns {
       val isHot = coalesce(col(key).isInCollection(hot), lit(false))
       val ord = "__sr_ord"
       val bkt = "__sr_b"
+      // MATERIALIZED (r17): the hot slice feeds the per-key split
+      // probe AND the bucket join — unpersisted, each re-executed the
+      // whole upstream pipeline (for AsofJoin that is the full
+      // two-sided union: the first sf100skew capture read 3.8× the
+      // single-level bytes). Bounded: hot-key rows only.
       val hotDf = df.filter(isHot).withColumn(ord, ordExpr.cast("double"))
+        .localCheckpoint()
       val withB = hotDf
         .join(broadcast(perKeySplits(hotDf, key, ord, buckets)), Seq(key))
         .withColumn(bkt,
