@@ -51,14 +51,24 @@ object Scd2EqualityProbe {
     val dim = graft.queries.CoreQueries2
       .scd2Of(spark, all.filter($"o_orderdate" < lit(cutoff))).localCheckpoint()
     val changes = all.filter($"o_orderdate" >= lit(cutoff))
-    // both sides MATERIALIZED (localCheckpoint) so the except compare
-    // times the comparison, not a re-execution of either pipeline
-    val (inc, secApply) = timed(graft.operators.Scd2.applyChanges(
+    // both sides materialized to PARQUET SCRATCH, not localCheckpoint:
+    // at sf100skew the three corpus-scale frames (dim + increment +
+    // rebuild, ~750M rows) as block-manager state GC-froze a 32 GB
+    // driver past the heartbeat timeout (first r17 attempt). Disk is
+    // the right place; the compare then times the comparison alone.
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-scd2eq").toString
+    sys.addShutdownHook(
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch)))
+    val (_, secApply) = timed(graft.operators.Scd2.applyChanges(
       dim, changes, "o_custkey", unix_timestamp($"o_orderdate"),
-      $"o_orderkey", "o_orderpriority",
-      maxTouchedKeys = Long.MaxValue).localCheckpoint())
-    val (rb, secRebuild) = timed(
-      graft.queries.CoreQueries2.scd2Of(spark, all).localCheckpoint())
+      $"o_orderkey", "o_orderpriority", maxTouchedKeys = Long.MaxValue)
+      .write.mode("overwrite").parquet(s"$scratch/inc"))
+    val (_, secRebuild) = timed(
+      graft.queries.CoreQueries2.scd2Of(spark, all)
+        .write.mode("overwrite").parquet(s"$scratch/rb"))
+    val inc = spark.read.parquet(s"$scratch/inc")
+    val rb = spark.read.parquet(s"$scratch/rb")
     val incP = inc.select(rb.columns.map(col): _*)
     val ((nInc, nRb, d1, d2), secCompare) = timed((
       incP.count(), rb.count(),
