@@ -59,8 +59,18 @@ object AsofJoin {
     // member without a gate). Bucketing ordinal: ts as double, negated
     // for the forward direction (traversal-ascending contract);
     // within-bucket ordering stays on the exact (ts, side, tie) sort.
-    val ordD = if (forward) negate(col(tsCol).cast("double"))
-      else col(tsCol).cast("double")
+    // NULL ts must encode its SORT position (r18, ADVICE r17): the
+    // plain window's asc is nulls-FIRST and desc is nulls-LAST, but a
+    // bare null ordinal buckets to 0 (filter(qs, v <= null) is empty)
+    // — i.e. FIRST in traversal either way. Forward (desc_nulls_last)
+    // therefore diverged on hot keys with null timestamps: a null-ts
+    // right row's value leaked into every later bucket's carry-in.
+    // coalesce pins nulls to the traversal extreme the sort uses —
+    // +MaxValue (last bucket) for forward, MinValue (bucket 0) for
+    // backward — satisfying chunkedCarry's null-free-ordinal contract.
+    val ordD = if (forward)
+      coalesce(negate(col(tsCol).cast("double")), lit(Double.MaxValue))
+    else coalesce(col(tsCol).cast("double"), lit(Double.MinValue))
     val orderCols = Seq(
       if (forward) col(tsCol).desc else col(tsCol).asc,
       col("__side"), col(tieBreakCol))

@@ -316,10 +316,13 @@ object SaltedRuns {
     *
     * Hot keys (1% probe, [[detectHotKeys]] contract: none detected ⇒
     * the plain single-level plan) bucket by per-key value-range splits
-    * of `ordExpr` — a numeric expression ASCENDING IN TRAVERSAL ORDER
-    * (callers negate for descending traversals); since bucketing only
-    * needs monotonicity, within-bucket ordering stays on the caller's
-    * exact `orderCols`. Each bucket carries locally; a per-(key,bucket)
+    * of `ordExpr` — a NULL-FREE numeric expression ASCENDING IN
+    * TRAVERSAL ORDER (callers negate for descending traversals, and
+    * must coalesce nulls to the extreme matching `orderCols`' nulls
+    * ordering: a bare null ordinal buckets to 0 = first-in-traversal,
+    * which silently disagrees with a nulls-LAST sort — the r17 forward
+    * as-of defect); since bucketing only needs monotonicity,
+    * within-bucket ordering stays on the caller's exact `orderCols`. Each bucket carries locally; a per-(key,bucket)
     * summary — the bucket's final carry value per column, picked by
     * max_by over the bucket-local row_number — feeds a second window
     * over O(buckets) rows whose last non-null PRECEDING summary is the

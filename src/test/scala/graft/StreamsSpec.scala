@@ -587,6 +587,32 @@ class StreamsSpec extends SparkSpec {
       canon(AsofJoin.asofForward(lefts, rights, "k", "ts", "id", Seq("v"))))
   }
 
+  test("asof salted path with NULL timestamps equals the plain window (ADVICE r17)") {
+    import graft.operators.AsofJoin
+    // hot key 1 with null-ts rows on BOTH sides: the plain window's
+    // desc_nulls_last (forward) / asc_nulls_first (backward) placement
+    // must survive the range bucketing — pre-fix, a bare null ordinal
+    // bucketed FIRST, so forward leaked a null-ts right value into
+    // every later bucket's carry-in.
+    def lts(i: Int): java.lang.Long =
+      if (i % 11 == 0) null else java.lang.Long.valueOf((i * 7 % 211).toLong)
+    val lefts = ((1 to 400).map(i => (1L, lts(i), 1000L + i)) ++
+      (2 to 10).map(k => (k.toLong, lts(k + 1), 2000L + k)))
+      .toDF("k", "ts", "id")
+    val rights = ((1 to 300).map(i => (1L, lts(i + 3), 3000L + i,
+        if (i % 7 == 0) null else s"v$i")) ++
+      (2 to 10).map(k => (k.toLong, lts(k + 2), 4000L + k, s"w$k")))
+      .toDF("k", "ts", "id", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"k", $"ts", $"id").collect().map(_.toSeq).toSeq
+    for (fwd <- Seq(false, true)) {
+      val run = if (fwd) AsofJoin.asofForward _ else AsofJoin.asofBackward _
+      val salted = run(lefts, rights, "k", "ts", "id", Seq("v"), None, 3L)
+      val plain = run(lefts, rights, "k", "ts", "id", Seq("v"), None, 1000000L)
+      assert(canon(salted) == canon(plain), s"forward=$fwd diverged")
+    }
+  }
+
   test("multimodal extract keeps schema and batch shape through mapPartitions") {
     val docs = Tables.documents(spark, sf).limit(50)
     val media = Multimodal.mediaFromDocuments(docs)
