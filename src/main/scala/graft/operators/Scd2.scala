@@ -72,7 +72,8 @@ object Scd2 {
     */
   def applyChanges(dim: DataFrame, changes: DataFrame, keyCol: String,
       dateSec: Column, tieCol: Column, valueCol: String,
-      validate: Boolean = true, maxTouchedKeys: Long = 10000000L): DataFrame = {
+      validate: Boolean = true, maxTouchedKeys: Long = 10000000L,
+      hotOverride: Option[Seq[Any]] = None): DataFrame = {
     val k = col(keyCol)
     // the cap is INDEPENDENT of `validate` (r16): validate governs only
     // the strictly-later contract guard; the broadcast bound protects
@@ -98,8 +99,16 @@ object Scd2 {
     // Null-safety rides SaltedRuns' struct-wrapped lag (a lagged
     // struct is null iff there IS no previous row) + the null-safe
     // <=> predicate — consistent with `merged` below.
+    // `hotOverride` (r18, VERDICT r17 #6): a caller that already
+    // probed a SUPERSET of both frames (qScd2Apply probes the full
+    // orders scan once) skips BOTH sample jobs here — the change-batch
+    // probe and, on the waived path, the dimension probe. The list
+    // must cover the DIMENSION's heads too, not just the batch's: it
+    // feeds the waived-path hot-key-split joins below. Superset lists
+    // are safe over-approximations (per-key cardinality only shrinks
+    // under subsets; false positives pay small bounded overhead).
     val changesDs = changes.withColumn("__ds", dateSec)
-    val hot = SaltedRuns.detectHotKeys(changesDs, keyCol)
+    val hot = hotOverride.getOrElse(SaltedRuns.detectHotKeys(changesDs, keyCol))
     val runs = SaltedRuns.numbered(changesDs, keyCol, col("__ds"),
       Seq(tieCol), Seq(col(valueCol)),
       (p, c) => !(p.getField(valueCol) <=> c.getField(valueCol)),
@@ -157,7 +166,8 @@ object Scd2 {
     // left), whose heads need not coincide.
     val hotJoin =
       if (!waived) Nil
-      else (hot ++ SaltedRuns.detectHotKeys(dim, keyCol)).distinct
+      else hotOverride.getOrElse(
+        (hot ++ SaltedRuns.detectHotKeys(dim, keyCol)).distinct)
     def leftJoin(l: DataFrame, r: DataFrame): DataFrame =
       if (!waived) l.join(broadcast(r), Seq(keyCol), "left")
       else if (hotJoin.isEmpty) l.join(r, Seq(keyCol), "left")

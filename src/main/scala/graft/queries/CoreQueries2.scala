@@ -519,12 +519,19 @@ object CoreQueries2 {
     * (o_custkey, version, priority, valid_from_s, valid_to_s,
     * n_orders), unsorted.
     */
-  private[graft] def scd2Of(s: SparkSession, src: DataFrame): DataFrame = {
+  private[graft] def scd2Of(s: SparkSession, src: DataFrame,
+      hotOverride: Option[Seq[Any]] = None): DataFrame = {
     import s.implicits._
     // ONE hot-key probe on the cheap source scan, shared by every
     // two-level decision below: sampling the collapsed-runs
     // intermediate would execute its whole upstream pipeline just for
-    // the probe. Keys are wholly in one branch, so the whole pipeline
+    // the probe. `hotOverride` (r18, VERDICT r17 #6) lets a caller
+    // that already probed a SUPERSET frame (qScd2Apply probes the full
+    // orders scan once for dimension + changes + applyChanges) skip
+    // even that job — per-key cardinality only shrinks under subsets,
+    // so a superset list is a safe over-approximation (false positives
+    // pay the small repair overhead on <= 64 keys; exactness holds on
+    // both paths). Keys are wholly in one branch, so the whole pipeline
     // (runs → agg → lead) splits per branch and unions at the END —
     // the cold branch keeps the fully-FUSED r13 plan (window, agg and
     // lead all ride ONE hash(o_custkey) exchange: clustering by a
@@ -533,12 +540,18 @@ object CoreQueries2 {
     // operator and unioned between them was measured-rejected: the
     // union's mixed partitionings forced a full-corpus agg re-exchange
     // (+205 MB shuffle, ~4 s of the sf10skew run on COLD rows).
-    val hot = graft.operators.SaltedRuns.detectHotKeys(src, "o_custkey")
+    val hot = hotOverride.getOrElse(
+      graft.operators.SaltedRuns.detectHotKeys(src, "o_custkey"))
     def pipeline(part: DataFrame, hotList: Seq[Any]): DataFrame = {
       val runs = graft.operators.SaltedRuns.numbered(
         part, "o_custkey", unix_timestamp($"o_orderdate"), Seq($"o_orderkey"),
         Seq($"o_orderpriority"),
-        (p, c) => p.getField("o_orderpriority") =!= c.getField("o_orderpriority"),
+        // null-safe (r18, ADVICE r17): =!= yields null for null values,
+        // which falls to otherwise(0) — a null would silently CONTINUE
+        // any run, diverging from applyChanges' <=> run-collapse and
+        // breaking the rebuild-equality contract on a nullable value
+        // column. No-op for the non-null o_orderpriority data.
+        (p, c) => !(p.getField("o_orderpriority") <=> c.getField("o_orderpriority")),
         "version", buckets = 32, hotOverride = Some(hotList))
       // hot branch only: pinned exchange under the agg
       // (REPARTITION_BY_NUM) — the salted runs arrive hash(key, bucket)
@@ -583,12 +596,21 @@ object CoreQueries2 {
     val all = Tables.orders(s, d)
       .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority")
     val cutoff = "1997-01-01"
+    // ONE hot-key probe for the whole scenario (r18, VERDICT r17 #6):
+    // the full orders scan is a superset of the dimension build, the
+    // change batch, AND the stored dimension, so its hot list serves
+    // all of scd2Of's and applyChanges' gates — previously three
+    // separate 1%-sample jobs that put a ~1.4 s floor under the sf0.1
+    // seat. Same list at sf100skew (the zipf head dominates every
+    // slice), so the scale plan is unchanged.
+    val hot = graft.operators.SaltedRuns.detectHotKeys(all, "o_custkey")
     // MATERIALIZED: the scenario's dimension is a STORED table — as a
     // live pipeline it would re-execute once per applyChanges consumer
     // (untouched anti-join, history, current row) and once more per
     // output-sort pass (measured 22.3 s at sf10; checkpointed ~14 s).
     // Eager at construction, like the other fit-shaped queries.
-    val dim = scd2Of(s, all.filter($"o_orderdate" < lit(cutoff))).localCheckpoint()
+    val dim = scd2Of(s, all.filter($"o_orderdate" < lit(cutoff)),
+      hotOverride = Some(hot)).localCheckpoint()
     val changes = all.filter($"o_orderdate" >= lit(cutoff))
     // the seat's "change batch" is a DATE SLICE of the whole corpus —
     // it touches ~every key by construction (that is what makes the
@@ -597,7 +619,7 @@ object CoreQueries2 {
     // sweep is what caught the default cap firing here (14.98M keys)
     graft.operators.Scd2.applyChanges(dim, changes, "o_custkey",
         unix_timestamp($"o_orderdate"), $"o_orderkey", "o_orderpriority",
-        maxTouchedKeys = Long.MaxValue)
+        maxTouchedKeys = Long.MaxValue, hotOverride = Some(hot))
       .orderBy($"o_custkey", $"version")
   }
 

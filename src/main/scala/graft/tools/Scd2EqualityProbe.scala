@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * is the verification arm: it builds the seat's exact scenario
   * (pre-cutoff dimension, post-cutoff change batch, cap waived),
   * computes BOTH the increment and the full rebuild, and compares
-  * them with `except` BOTH WAYS — rows are unique per (key, version),
-  * so the comparison is an exact set equality that shuffles on
-  * full-row hashes (uniform by construction — no global sort, no
-  * per-key mega-partition anywhere).
+  * them with `exceptAll` BOTH WAYS — MULTISET difference (r18, ADVICE
+  * r17: plain `except` is set-based, so duplicate-(key,version) rows —
+  * exactly the defect class an SCD2 increment bug produces — could
+  * cancel across sides and pass). exceptAll keeps the sort-free
+  * full-row-hash shuffle shape (uniform by construction — no global
+  * sort, no per-key mega-partition anywhere).
   *
   * Output: one JSON line {equal, n_inc, n_rebuild, inc_minus_rb,
   * rb_minus_inc, sec_apply, sec_rebuild, sec_compare}.
@@ -72,7 +74,7 @@ object Scd2EqualityProbe {
     val incP = inc.select(rb.columns.map(col): _*)
     val ((nInc, nRb, d1, d2), secCompare) = timed((
       incP.count(), rb.count(),
-      incP.except(rb).count(), rb.except(incP).count()))
+      incP.exceptAll(rb).count(), rb.exceptAll(incP).count()))
     def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     println(s"""{"probe":"scd2_equality","sf":"$sfDir","cutoff":"$cutoff","equal":${d1 == 0 && d2 == 0 && nInc == nRb},"n_inc":$nInc,"n_rebuild":$nRb,"inc_minus_rb":$d1,"rb_minus_inc":$d2,"sec_apply":${f3(secApply)},"sec_rebuild":${f3(secRebuild)},"sec_compare":${f3(secCompare)}}""")
     spark.stop()

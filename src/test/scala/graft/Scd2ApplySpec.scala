@@ -148,6 +148,35 @@ class Scd2ApplySpec extends SparkSpec {
     assert(e2.getMessage.contains("maxTouchedKeys"), e2.getMessage)
   }
 
+  test("waived-path hot-key split: hot arm broadcasts with thresholds off (r16 stall pin)") {
+    // The r16 sf100skew stall was the waived path's shuffled left join
+    // putting every hot key's rows into ONE SMJ reducer sort. The r17
+    // fix splits hot keys onto an explicit-broadcast arm; this pins the
+    // PLAN (VERDICT r17 #8): with both broadcast thresholds disabled —
+    // so nothing broadcasts unless hinted — the waived+hot plan must
+    // still carry a BroadcastHashJoin (the hot arm's hint) alongside
+    // the cold arm's shuffled join, and equal the capped output.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val waivedHot = Scd2.applyChanges(
+        dimOf(base), changes.toDF("k", "tie", "ds", "v"),
+        "k", $"ds", $"tie", "v", maxTouchedKeys = Long.MaxValue,
+        hotOverride = Some(Seq(1L)))
+      val plan = waivedHot.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        "hot arm must ride the explicit broadcast:\n" + plan.take(1500))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "cold arm must stay shuffled (split present):\n" + plan.take(1500))
+      val capped = applied
+      assert(waivedHot.except(capped).isEmpty && capped.except(waivedHot).isEmpty,
+        s"hot-split output diverges:\n${waivedHot.orderBy($"k", $"version").collect().mkString("\n")}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("the dimension rides broadcast joins only — no dimension shuffle") {
     // r16 shape: ONE broadcast LEFT join tags + rewrites touched
     // current rows in the main dimension pass (untouched/history rows
