@@ -83,18 +83,17 @@ object Bench {
     def drain(): Unit =
       org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
 
-    // CALIBRATION (r17, VERDICT r16 #6): a fixed-cost, data-independent
-    // probe — one 50M-row synthetic shuffle-agg + one 10M-row sort, no
-    // FS, no SF dependence — timed right after warmup and again after
-    // the suite. Its ratio vs the committed unloaded reference stamps
-    // every capture with its own host-load factor; three rounds of
-    // driver BENCH captures (r14-r16) needed hand-reruns to attribute
-    // uniform 1.6-4.7x inflation to sandbox contention.
-    // The probe is PURE CPU (2e9 codegen'd xxhash64 ops, 64 tasks, no
-    // shuffle, no FS): shuffle-bearing designs probed 3-39 s on the
-    // SAME idle JVM (AQE's 1024-way reduce makes tiny-task scheduling
-    // the measurand), while this shape reads 0.7-1.7 s idle across
-    // sessions. Each reading is a median-of-3 to shed single stalls.
+    // CALIBRATION (r17, VERDICT r16 #6): fixed-cost, data-independent
+    // probes timed right after warmup and again after the suite; each
+    // ratio vs its committed unloaded reference stamps the capture with
+    // its own host-load factor. Three rounds of driver BENCH captures
+    // (r14-r16) needed hand-reruns to attribute uniform 1.6-4.7x
+    // inflation to sandbox contention.
+    // CPU probe: 2e9 codegen'd xxhash64 ops over 64 tasks — no shuffle,
+    // no FS. Shuffle-bearing designs probed 3-39 s on the SAME idle JVM
+    // (AQE's 1024-way reduce makes tiny-task scheduling the measurand),
+    // while this shape reads 0.7-1.7 s idle across sessions. Each
+    // reading is a median-of-3 to shed single stalls.
     // idle in-Bench readings r17 (2026-08-16): 0.55-0.85 across three
     // sessions — idle captures read load_factor ~0.9-1.3; the r16-style
     // contended captures would read 3-10+.
@@ -111,8 +110,35 @@ object Bench {
       val v = Seq(calibOnce(), calibOnce(), calibOnce()).sorted
       v(1)
     }
+    // IO probe (r18, VERDICT r17 #5): the CPU probe read ~1.0 inside
+    // the r17 skew capture while bit-identical doc-family controls
+    // moved 0.5-2.3x — cold-read/page-cache and task-commit effects it
+    // cannot see. This probe touches the FS with a fixed ~250 MB
+    // footprint: write 16M (id, xxhash64) rows as parquet (hash values
+    // are incompressible — the size is stable), read them back through
+    // a sum. One timing covers write-path + commit + (usually cached)
+    // read + scheduling; median-of-3 like the CPU probe.
+    val ioCalibRefSec = 2.0
+    val ioScratch = java.nio.file.Files
+      .createTempDirectory("graft-bench-iocalib").toString
+    def ioCalibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 16000000L, 1L, 32)
+        .selectExpr("id", "xxhash64(id) AS h")
+        .write.mode("overwrite").parquet(ioScratch + "/p")
+      spark.read.parquet(ioScratch + "/p")
+        .selectExpr("sum(h % 1000003)") // bounded: ANSI sum must not overflow
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def ioCalibRead(): Double = {
+      val v = Seq(ioCalibOnce(), ioCalibOnce(), ioCalibOnce()).sorted
+      v(1)
+    }
     calibOnce() // untimed: absorbs the probe's own JIT/codegen
     val calibStart = calibRead()
+    ioCalibOnce() // untimed: parquet writer/reader JIT + dir creation
+    val ioCalibStart = ioCalibRead()
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, (Double, Io)] = {
       drain()
@@ -184,6 +210,8 @@ object Bench {
       case other => other
     }
     val calibEnd = calibRead()
+    val ioCalibEnd = ioCalibRead()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ioScratch))
     val okIo = results.collect { case (k, Right(v)) => k -> v }
     val ok = okIo.map { case (k, (v, _)) => k -> v }
     val failed = results.collect { case (k, Left(e)) => k -> e } ++
@@ -220,11 +248,27 @@ object Bench {
       .mkString("{", ",", "}")
     val vio = sys.env.getOrElse("SPARK_GRAFT_VECTORED_IO", "false")
     println(s"""{"metric":"io","unit":"bytes","sf":"$sfDir","vectored_io":$vio,"query_io":$ioqs}""")
-    // load_factor: mean of the two probe readings over the committed
+    // Stream-drain phase breakdown (r18, VERDICT r17 #4): the e2e
+    // seconds decompose into prep/stage/sink_build/drain(+b0..bN)/
+    // readback recorded by the harnesses themselves, so a 4x spread
+    // across sessions self-attributes (staging IO vs batch cost vs
+    // harness overhead) without a follow-up probe session.
+    val phaseJson = streamOk.map { case (k, _) =>
+      val ps = graft.streaming.DrainPhases.get(k)
+        .map { case (p, v) => "\"" + p + "\":" + f3(v) }.mkString("{", ",", "}")
+      "\"" + k + "\":" + ps
+    }.mkString("{", ",", "}")
+    if (streamOk.nonEmpty)
+      println(s"""{"metric":"stream_phases","unit":"sec","sf":"$sfDir","phases":$phaseJson}""")
+    // load factors: mean of the two probe readings over the committed
     // idle reference — 1.0x = solo-run conditions; the r16 driver
-    // capture would have read ~2-4x here.
+    // capture would have read ~2-4x on the CPU axis. load_factor stays
+    // the CPU probe (round-over-round comparability); io_load_factor
+    // is the FS-touching probe (r18) that sees the cold-read /
+    // commit-path contention the CPU probe is blind to.
     val loadFactor = f3((calibStart + calibEnd) / 2 / calibRefSec)
-    val calib = s""""calib_start_sec":${f3(calibStart)},"calib_end_sec":${f3(calibEnd)},"calib_ref_sec":$calibRefSec,"load_factor":$loadFactor"""
+    val ioLoadFactor = f3((ioCalibStart + ioCalibEnd) / 2 / ioCalibRefSec)
+    val calib = s""""calib_start_sec":${f3(calibStart)},"calib_end_sec":${f3(calibEnd)},"calib_ref_sec":$calibRefSec,"load_factor":$loadFactor,"io_calib_start_sec":${f3(ioCalibStart)},"io_calib_end_sec":${f3(ioCalibEnd)},"io_calib_ref_sec":$ioCalibRefSec,"io_load_factor":$ioLoadFactor"""
     println(
       s"""{"queries":$qs,"stream_e2e_queries":$sqs,"failures":$fs,"failure_groups":$fgroups,"n_failed":${failed.size},"sf":"$sfDir","metric":"total","value":${f3(total)},"stream_e2e_total":${f3(streamTotal)},"unit":"sec",$calib}""")
     val slow = ok.sortBy(-_._2).take(5)

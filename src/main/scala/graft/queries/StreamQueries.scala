@@ -285,7 +285,7 @@ object StreamQueries {
     * make the outcome deterministic — parity holds at every gated SF.
     */
   def qStreamDedupDrain(s: SparkSession, d: String): DataFrame =
-    drainSurvivors(s, d) { (in, corpus, tmp) =>
+    drainSurvivors(s, d, "q_stream_dedup_drain") { (in, corpus, tmp) =>
       Streams.minhashDedupSink(in, corpus, "doc_id", "text",
         n = 7, b = 32, r = 2, seed = 7L, threshold = 0.62,
         s"$tmp/out", s"$tmp/ckpt")
@@ -302,7 +302,7 @@ object StreamQueries {
     * (q_simhash's oracle formula) makes the two sides bit-identical.
     */
   def qStreamSimhashDrain(s: SparkSession, d: String): DataFrame =
-    drainSurvivors(s, d) { (in, corpus, tmp) =>
+    drainSurvivors(s, d, "q_stream_simhash_drain") { (in, corpus, tmp) =>
       Streams.simhashDedupSink(in, corpus, "doc_id", "text",
         maxDist = 3, bands = 4, s"$tmp/out", s"$tmp/ckpt")
     }
@@ -337,14 +337,17 @@ object StreamQueries {
     // composite key spreads first-appearances across the 3 staged
     // batches (bare user_id saturates in batch 0: 150 users per 1000
     // events at every SF); the cap bounds the oracle's window replay
-    val ev = Tables.events(s, d)
+    import graft.streaming.DrainPhases
+    DrainPhases.reset("q_stream_tws_dedup")
+    val ev = DrainPhases.timed("q_stream_tws_dedup", "prep")(Tables.events(s, d)
       .select($"event_id",
         ($"user_id" * 100 + ascii(substring($"event_type", 1, 1))).as("k"),
         $"value")
       .withColumn("__r", row_number().over(w0)).filter($"__r" <= 3000).drop("__r")
-      .localCheckpoint()
+      .localCheckpoint())
     val tmp = java.nio.file.Files.createTempDirectory("graft-tws-drain").toString
-    val nStaged = stageBatches(ev.select($"event_id", $"k", $"value"), "event_id", tmp, 3)
+    val nStaged = DrainPhases.timed("q_stream_tws_dedup", "stage")(
+      stageBatches(ev.select($"event_id", $"k", $"value"), "event_id", tmp, 3))
     val confs = Seq(
       // transformWithState requires the RocksDB state store; checksum
       // writer + FileContext manager hazards per TransformWithStateSpec
@@ -391,7 +394,7 @@ object StreamQueries {
             }
             .start()
           qId.set(q.id)
-          try {
+          try DrainPhases.timed("q_stream_tws_dedup", "drain") {
             val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
             while (consumed.get < nStaged && System.nanoTime() < deadline)
               Thread.sleep(100)
@@ -400,12 +403,13 @@ object StreamQueries {
           } finally q.stop()
         } finally s.streams.removeListener(listener)
         val wB = org.apache.spark.sql.expressions.Window.orderBy($"__batch_part")
-        s.read.parquet(s"$tmp/out")
-          .withColumn("first_batch", (dense_rank().over(wB) - 1).cast("long"))
-          .groupBy($"k")
-          .agg(min($"first_batch").as("first_batch"), count(lit(1)).as("n_emissions"))
-          .orderBy($"k")
-          .collect().toList
+        DrainPhases.timed("q_stream_tws_dedup", "readback")(
+          s.read.parquet(s"$tmp/out")
+            .withColumn("first_batch", (dense_rank().over(wB) - 1).cast("long"))
+            .groupBy($"k")
+            .agg(min($"first_batch").as("first_batch"), count(lit(1)).as("n_emissions"))
+            .orderBy($"k")
+            .collect().toList)
       } finally {
         saved.foreach {
           case (key, Some(v)) => s.conf.set(key, v)
@@ -443,13 +447,16 @@ object StreamQueries {
   def qStreamTwsStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w0 = org.apache.spark.sql.expressions.Window.orderBy($"event_id")
-    val ev = Tables.events(s, d)
+    import graft.streaming.DrainPhases
+    DrainPhases.reset("q_stream_tws_stats")
+    val ev = DrainPhases.timed("q_stream_tws_stats", "prep")(Tables.events(s, d)
       .select($"event_id", $"user_id".as("k"),
         floor($"value" * 100).cast("double").as("v"))
       .withColumn("__r", row_number().over(w0)).filter($"__r" <= 3000).drop("__r")
-      .localCheckpoint()
+      .localCheckpoint())
     val tmp = java.nio.file.Files.createTempDirectory("graft-tws-stats").toString
-    stageBatches(ev.select($"event_id", $"k", $"v"), "event_id", tmp, 3)
+    DrainPhases.timed("q_stream_tws_stats", "stage")(
+      stageBatches(ev.select($"event_id", $"k", $"v"), "event_id", tmp, 3))
     val confs = Seq(
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -478,14 +485,21 @@ object StreamQueries {
             }
           }
           .start()
-        try q.processAllAvailable() finally q.stop()
+        try DrainPhases.timed("q_stream_tws_stats", "drain")(
+          q.processAllAvailable()) finally {
+          q.recentProgress.filter(_.numInputRows > 0).foreach(p =>
+            DrainPhases.record("q_stream_tws_stats", s"b${p.batchId}",
+              p.durationMs.getOrDefault("triggerExecution", 0L).toDouble / 1e3))
+          q.stop()
+        }
         val wB = org.apache.spark.sql.expressions.Window.orderBy($"__batch_part")
-        s.read.parquet(s"$tmp/out")
-          .withColumn("b", (dense_rank().over(wB) - 1).cast("long"))
-          .select($"k", $"b", $"n", $"total".cast("long").as("total_cents"),
-            $"vmax".cast("long").as("vmax_cents"))
-          .orderBy($"k", $"b")
-          .collect().toList
+        DrainPhases.timed("q_stream_tws_stats", "readback")(
+          s.read.parquet(s"$tmp/out")
+            .withColumn("b", (dense_rank().over(wB) - 1).cast("long"))
+            .select($"k", $"b", $"n", $"total".cast("long").as("total_cents"),
+              $"vmax".cast("long").as("vmax_cents"))
+            .orderBy($"k", $"b")
+            .collect().toList)
       } finally {
         saved.foreach {
           case (key, Some(v)) => s.conf.set(key, v)
@@ -576,9 +590,17 @@ object StreamQueries {
     ns
   }
 
-  private def drainSurvivors(s: SparkSession, d: String)(
+  private def drainSurvivors(s: SparkSession, d: String, name: String)(
       mkSink: (DataFrame, DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
     import s.implicits._
+    import graft.streaming.DrainPhases
+    // PHASE-TIMED (r18, VERDICT r17 #4): the drain seconds mix five
+    // terms — cap+checkpoint prep, staging writes, sink construction
+    // (the corpus index build for the dedup sinks), the microbatches,
+    // and the read-back — and the 4x cross-session spread on unchanged
+    // code was unattributable without the split. Bench emits these
+    // next to the stream_e2e totals.
+    DrainPhases.reset(name)
     // ORACLE-seat cap, 5,000 smallest doc_ids == the whole sf0.1
     // universe, so every gated-SF result is unchanged. Same
     // bounded-sample design as every exact-verify oracle seat
@@ -589,13 +611,14 @@ object StreamQueries {
     // sf10 would be pair-count x100 that). The UNCAPPED sinks at
     // 400k-doc indexes are measured by StreamBench (STREAMING.md).
     val w0 = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
-    val docs = Tables.documents(s, d).select($"doc_id", $"text")
-      .withColumn("__r", row_number().over(w0)).filter($"__r" <= 5000).drop("__r")
-      .localCheckpoint()
+    val docs = DrainPhases.timed(name, "prep")(
+      Tables.documents(s, d).select($"doc_id", $"text")
+        .withColumn("__r", row_number().over(w0)).filter($"__r" <= 5000).drop("__r")
+        .localCheckpoint())
     val corpus = docs.filter($"doc_id" % 2 === 0)
     val stream = docs.filter($"doc_id" % 2 === 1)
     val tmp = java.nio.file.Files.createTempDirectory("graft-drain").toString
-    stageBatches(stream, "doc_id", tmp, 3)
+    DrainPhases.timed(name, "stage")(stageBatches(stream, "doc_id", tmp, 3))
     // local single-JVM safety: FileSystem-based checkpoint manager, no
     // checksum writer (see TransformWithStateSpec's rocksConf rationale)
     val ckptConfs = Seq(
@@ -608,10 +631,16 @@ object StreamQueries {
       try {
         val in = s.readStream.schema(s.read.parquet(s"$tmp/in/b000.parquet").schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
-        val q = mkSink(in, corpus, tmp)
-        try q.processAllAvailable() finally q.stop()
-        s.read.parquet(s"$tmp/out").select($"doc_id").orderBy($"doc_id")
-          .collect().toList
+        val q = DrainPhases.timed(name, "sink_build")(mkSink(in, corpus, tmp))
+        try DrainPhases.timed(name, "drain")(q.processAllAvailable()) finally {
+          q.recentProgress.filter(_.numInputRows > 0).foreach(p =>
+            DrainPhases.record(name, s"b${p.batchId}",
+              p.durationMs.getOrDefault("triggerExecution", 0L).toDouble / 1e3))
+          q.stop()
+        }
+        DrainPhases.timed(name, "readback")(
+          s.read.parquet(s"$tmp/out").select($"doc_id").orderBy($"doc_id")
+            .collect().toList)
       } finally {
         saved.foreach {
           case (k, Some(v)) => s.conf.set(k, v)
