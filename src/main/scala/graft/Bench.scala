@@ -97,47 +97,23 @@ object Bench {
     // idle in-Bench readings r17 (2026-08-16): 0.55-0.85 across three
     // sessions — idle captures read load_factor ~0.9-1.3; the r16-style
     // contended captures would read 3-10+.
-    val calibRefSec = 0.65
-    def calibOnce(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 2000000000L, 1L, 64)
-        .selectExpr("xxhash64(id) % 1000003 AS h") // bounded: ANSI sum must not overflow
-        .select(org.apache.spark.sql.functions.sum("h"))
-        .write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    def calibRead(): Double = {
-      val v = Seq(calibOnce(), calibOnce(), calibOnce()).sorted
-      v(1)
-    }
-    // IO probe (r18, VERDICT r17 #5): the CPU probe read ~1.0 inside
-    // the r17 skew capture while bit-identical doc-family controls
-    // moved 0.5-2.3x — cold-read/page-cache and task-commit effects it
-    // cannot see. This probe touches the FS with a fixed ~250 MB
-    // footprint: write 16M (id, xxhash64) rows as parquet (hash values
-    // are incompressible — the size is stable), read them back through
-    // a sum. One timing covers write-path + commit + (usually cached)
-    // read + scheduling; median-of-3 like the CPU probe.
-    val ioCalibRefSec = 2.0
+    // Both probe shapes live in graft.tools.Calib (r18 — shared with
+    // the dev probes so THEY self-annotate too: the as-of skew probe
+    // read 92.2 s twice and 16.1 s thirty minutes later on one binary,
+    // indistinguishable from a regression without the stamp).
+    // IO probe rationale (r18, VERDICT r17 #5): the CPU probe read
+    // ~1.0 inside the r17 skew capture while bit-identical doc-family
+    // controls moved 0.5-2.3x — cold-read/page-cache and task-commit
+    // effects it cannot see. Fixed ~250 MB parquet write+read.
+    val calibRefSec = graft.tools.Calib.CpuRefSec
+    val ioCalibRefSec = graft.tools.Calib.IoRefSec
     val ioScratch = java.nio.file.Files
       .createTempDirectory("graft-bench-iocalib").toString
-    def ioCalibOnce(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 16000000L, 1L, 32)
-        .selectExpr("id", "xxhash64(id) AS h")
-        .write.mode("overwrite").parquet(ioScratch + "/p")
-      spark.read.parquet(ioScratch + "/p")
-        .selectExpr("sum(h % 1000003)") // bounded: ANSI sum must not overflow
-        .write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    def ioCalibRead(): Double = {
-      val v = Seq(ioCalibOnce(), ioCalibOnce(), ioCalibOnce()).sorted
-      v(1)
-    }
-    calibOnce() // untimed: absorbs the probe's own JIT/codegen
+    def calibRead(): Double = graft.tools.Calib.cpuRead(spark)
+    def ioCalibRead(): Double = graft.tools.Calib.ioRead(spark, ioScratch)
+    graft.tools.Calib.cpuOnce(spark) // untimed: absorbs probe JIT/codegen
     val calibStart = calibRead()
-    ioCalibOnce() // untimed: parquet writer/reader JIT + dir creation
+    graft.tools.Calib.ioOnce(spark, ioScratch) // untimed: writer/reader JIT
     val ioCalibStart = ioCalibRead()
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, (Double, Io)] = {

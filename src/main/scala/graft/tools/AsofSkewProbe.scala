@@ -49,8 +49,12 @@ object AsofSkewProbe {
     run(Long.MaxValue) // warm (JIT + page cache) — untimed
     val ungated = Seq(run(Long.MaxValue), run(Long.MaxValue)).min
     val gated = Seq(run(1000000L), run(1000000L)).min
+    // self-annotating (r18): this probe read gated=92.2 s twice and
+    // 16.1 s in a third session on one binary — host io contention,
+    // not a regression; the stamp makes the next reader's call cheap
+    val (cpuC, ioC) = Calib.readBoth(spark)
     def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    println(s"""{"probe":"asof_skew","sf":"$sfDir","gated_sec":${f3(gated)},"ungated_sec":${f3(ungated)},"gated_over_ungated":${f3(gated / ungated)}}""")
+    println(s"""{"probe":"asof_skew","sf":"$sfDir","gated_sec":${f3(gated)},"ungated_sec":${f3(ungated)},"gated_over_ungated":${f3(gated / ungated)},${Calib.jsonFields(cpuC, ioC)}}""")
     spark.stop()
   }
 }

@@ -70,8 +70,9 @@ object PlantedRecallProbe {
     val collided = pairs.filter(seeds.map(s =>
       Similarity.hyperplaneBucket($"qv", dim, p, s) ===
         Similarity.hyperplaneBucket($"sv", dim, p, s)).reduce(_ || _)).count()
+    val (cpuC, ioC) = Calib.readBoth(spark) // self-annotating (r18)
     def f4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-    println(s"""{"probe":"planted_recall","sf":"$sfDir","n":$n,"n_queries":$nq,"threshold":$threshold,"n_planes":$p,"n_tables":$l,"top3_frac":${f4(found.toDouble / nq)},"collide_frac":${f4(collided.toDouble / nq)},"sec":${f4(sec)}}""")
+    println(s"""{"probe":"planted_recall","sf":"$sfDir","n":$n,"n_queries":$nq,"threshold":$threshold,"n_planes":$p,"n_tables":$l,"top3_frac":${f4(found.toDouble / nq)},"collide_frac":${f4(collided.toDouble / nq)},"sec":${f4(sec)},${Calib.jsonFields(cpuC, ioC)}}""")
     spark.stop()
   }
 }

@@ -75,8 +75,9 @@ object Scd2EqualityProbe {
     val ((nInc, nRb, d1, d2), secCompare) = timed((
       incP.count(), rb.count(),
       incP.exceptAll(rb).count(), rb.exceptAll(incP).count()))
+    val (cpuC, ioC) = Calib.readBoth(spark) // self-annotating (r18)
     def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    println(s"""{"probe":"scd2_equality","sf":"$sfDir","cutoff":"$cutoff","equal":${d1 == 0 && d2 == 0 && nInc == nRb},"n_inc":$nInc,"n_rebuild":$nRb,"inc_minus_rb":$d1,"rb_minus_inc":$d2,"sec_apply":${f3(secApply)},"sec_rebuild":${f3(secRebuild)},"sec_compare":${f3(secCompare)}}""")
+    println(s"""{"probe":"scd2_equality","sf":"$sfDir","cutoff":"$cutoff","equal":${d1 == 0 && d2 == 0 && nInc == nRb},"n_inc":$nInc,"n_rebuild":$nRb,"inc_minus_rb":$d1,"rb_minus_inc":$d2,"sec_apply":${f3(secApply)},"sec_rebuild":${f3(secRebuild)},"sec_compare":${f3(secCompare)},${Calib.jsonFields(cpuC, ioC)}}""")
     spark.stop()
   }
 }
