@@ -307,6 +307,41 @@ object SaltedRuns {
     }
   }
 
+  /** Hot keys AND their per-key split points of `ordExpr`, from ONE 1%
+    * sample scan (cached — the quantile pass re-reads the sampled rows
+    * from memory, not the source). Returns (key, splits) for the ≤64
+    * heaviest keys over `hotThreshold`; a key's splits may be null when
+    * its sampled ord values are all null (its rows then bucket to 0 —
+    * the plain per-key window, exact). Sampled quantiles are a
+    * performance-only approximation of the hot slice's true quantiles:
+    * a hot key carries ≥ hotThreshold·1% ≈ 10k+ sampled values, and
+    * bucketing needs only rough balance, never exactness.
+    */
+  private[graft] def detectHotSplits(df: DataFrame, key: String,
+      ordExpr: Column, buckets: Int, hotThreshold: Long,
+      hotOverride: Option[Seq[Any]]): Seq[(Any, Any)] = {
+    val rate = 0.01
+    val minSampled = math.max(2.0, hotThreshold * rate)
+    val probes = array((1 until buckets).map(i =>
+      lit(i.toDouble / buckets)): _*)
+    val s = df.select(col(key), ordExpr.cast("double").as("__sr_o"))
+      .sample(withReplacement = false, rate, seed = 42L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hot = hotOverride.getOrElse {
+        s.groupBy(col(key)).count()
+          .filter(col("count") >= minSampled)
+          .orderBy(col("count").desc).limit(64)
+          .collect().map(_.get(0)).toSeq
+      }.filter(_ != null)
+      if (hot.isEmpty) Nil
+      else s.filter(coalesce(col(key).isInCollection(hot), lit(false)))
+        .groupBy(col(key))
+        .agg(percentile_approx(col("__sr_o"), probes, lit(10000)).as("__sr_qs"))
+        .collect().map(r => (r.get(0), r.get(1))).toSeq
+    } finally { s.unpersist(); () }
+  }
+
   /** Carry-forward — for each (in, out) pair in `carry`, `out` =
     * `last(in, ignoreNulls=true)` over (partition `key` order
     * `orderCols` ROWS unbounded-preceding..current) — without a
@@ -314,29 +349,41 @@ object SaltedRuns {
     * (r17, VERDICT r16 #4: q_asof_attribution read 2.3× at sf100skew
     * as the one window-family member with no skew gate).
     *
-    * Hot keys (1% probe, [[detectHotKeys]] contract: none detected ⇒
-    * the plain single-level plan) bucket by per-key value-range splits
-    * of `ordExpr` — a NULL-FREE numeric expression ASCENDING IN
-    * TRAVERSAL ORDER (callers negate for descending traversals, and
-    * must coalesce nulls to the extreme matching `orderCols`' nulls
-    * ordering: a bare null ordinal buckets to 0 = first-in-traversal,
-    * which silently disagrees with a nulls-LAST sort — the r17 forward
-    * as-of defect); since bucketing only needs monotonicity,
-    * within-bucket ordering stays on the caller's exact `orderCols`. Each bucket carries locally; a per-(key,bucket)
-    * summary — the bucket's final carry value per column, picked by
-    * max_by over the bucket-local row_number — feeds a second window
-    * over O(buckets) rows whose last non-null PRECEDING summary is the
-    * bucket's carry-in, coalesced under rows whose local carry is
-    * still null. Exact: carry-forward couples a row only to the
-    * latest preceding non-null, which lives either in its own bucket
-    * (local wins) or in a preceding bucket (the summary's value).
+    * Hot keys (1% probe; none detected ⇒ the plain single-level plan)
+    * bucket by per-key value-range splits of `ordExpr` — a NULL-FREE
+    * numeric expression ASCENDING IN TRAVERSAL ORDER (callers negate
+    * for descending traversals, and must coalesce nulls to the extreme
+    * matching `orderCols`' nulls ordering: a bare null ordinal buckets
+    * to 0 = first-in-traversal, which silently disagrees with a
+    * nulls-LAST sort — the r17 forward as-of defect); since bucketing
+    * only needs monotonicity, within-bucket ordering stays on the
+    * caller's exact `orderCols`.
+    *
+    * ONE SCAN, ONE EXCHANGE (r18): the previous shape filtered the
+    * corpus TWICE (cold + hot branches, each re-executing the upstream
+    * scan — for AsofJoin the full two-sided union) plus the probe's
+    * sample scan, and localCheckpointed the hot slice twice; under
+    * cold-page-cache / slow-storage windows the gated as-of read
+    * 16–158 s across four sessions on identical data while the ungated
+    * plan held ~18 s (the r18 stage profile pinned the swing to the
+    * repeated corpus scans). Now EVERY row rides one (key, bucket)
+    * exchange: cold keys take bucket 0 from the broadcast LEFT join's
+    * null splits — a constant bucket, so their window IS the plain
+    * per-key carry — while hot rows bucket by the sampled splits. The
+    * boundary-repair summary is computed from the HOT rows only, as a
+    * second consumer of the SAME exchange (ReuseExchange: scan+shuffle
+    * execute once; only the window re-evaluates, over hot rows), and
+    * the ≤64×buckets carry-in frame broadcast-LEFT-joins back — cold
+    * rows miss it and keep their exact local carry. Exact either way:
+    * carry-forward couples a row only to the latest preceding
+    * non-null, which lives either in its own bucket (local wins) or in
+    * a preceding bucket (the summary's carry-in).
     */
   def chunkedCarry(df: DataFrame, key: String, ordExpr: Column,
       orderCols: Seq[Column], carry: Seq[(String, String)],
       buckets: Int = 16, hotThreshold: Long = 1000000L,
       hotOverride: Option[Seq[Any]] = None): DataFrame = {
     require(buckets >= 1, s"need buckets >= 1, got $buckets")
-    val hot = hotOverride.getOrElse(detectHotKeys(df, key, hotThreshold))
     val wPlain = Window.partitionBy(col(key)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def plain(part: DataFrame): DataFrame =
@@ -344,54 +391,72 @@ object SaltedRuns {
         case (d, (in, out)) =>
           d.withColumn(out, last(col(in), ignoreNulls = true).over(wPlain))
       }
-    if (hot.isEmpty || buckets == 1) plain(df)
-    else {
-      // null-safe split — see [[numbered]]
-      val isHot = coalesce(col(key).isInCollection(hot), lit(false))
-      val ord = "__sr_ord"
-      val bkt = "__sr_b"
-      // MATERIALIZED (r17): the hot slice feeds the per-key split
-      // probe AND the bucket join — unpersisted, each re-executed the
-      // whole upstream pipeline (for AsofJoin that is the full
-      // two-sided union: the first sf100skew capture read 3.8× the
-      // single-level bytes). Bounded: hot-key rows only.
-      val hotDf = df.filter(isHot).withColumn(ord, ordExpr.cast("double"))
-        .localCheckpoint()
-      val withB = hotDf
-        .join(broadcast(perKeySplits(hotDf, key, ord, buckets)), Seq(key))
-        .withColumn(bkt,
-          coalesce(size(filter(col("__sr_qs"), v => v <= col(ord))), lit(0)))
-        .drop("__sr_qs")
-      val w1 = Window.partitionBy(col(key), col(bkt)).orderBy(orderCols: _*)
-      val w1f = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // local carries + bucket-local row position; MATERIALIZED — the
-      // frame feeds the summary AND the final join (see [[numbered]])
-      val localed = carry.foldLeft(
-        withB.repartition(GlobalRank.rangeWidth(withB), col(key), col(bkt))
-          .withColumn("__sr_rn", row_number().over(w1))) {
-        case (d, (in, out)) =>
-          d.withColumn(out, last(col(in), ignoreNulls = true).over(w1f))
-      }.localCheckpoint()
-      // the bucket's FINAL carry per column (its last row's value —
-      // already "last non-null so far", or null if the bucket has none)
-      val aggs = carry.map { case (_, out) =>
-        max_by(col(out), col("__sr_rn")).as(s"__sr_l_$out") }
-      val summ = localed.groupBy(col(key), col(bkt))
-        .agg(aggs.head, aggs.tail: _*)
-      val w2 = Window.partitionBy(col(key)).orderBy(col(bkt))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val fix = carry.foldLeft(summ) { case (d, (_, out)) =>
-        d.withColumn(s"__sr_ci_$out",
-          last(col(s"__sr_l_$out"), ignoreNulls = true).over(w2))
-      }.select((col(key) +: col(bkt) +: carry.map { case (_, out) =>
-        col(s"__sr_ci_$out") }): _*)
-      // broadcast: hot keys × buckets rows — bounded by the 64-key cap
-      val hotOut = carry.foldLeft(localed.join(broadcast(fix), Seq(key, bkt))) {
-        case (d, (_, out)) =>
-          d.withColumn(out, coalesce(col(out), col(s"__sr_ci_$out")))
-      }.drop((Seq(bkt, ord, "__sr_rn") ++ carry.map { case (_, out) =>
-        s"__sr_ci_$out" }): _*)
-      plain(df.filter(!isHot)).unionByName(hotOut)
+    if (buckets == 1) return plain(df)
+    val hotSplits = detectHotSplits(df, key, ordExpr, buckets, hotThreshold,
+      hotOverride)
+    if (hotSplits.isEmpty) return plain(df)
+    val spark = df.sparkSession
+    val ord = "__sr_ord"
+    val bkt = "__sr_b"
+    val keyType = df.schema(key).dataType
+    val splitsDf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(hotSplits.map { case (k, qs) =>
+        org.apache.spark.sql.Row(k, qs) }).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(key, keyType),
+        org.apache.spark.sql.types.StructField("__sr_qs",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    // LEFT join: cold keys (and hot keys whose sampled ords were all
+    // null) get null splits — filter() over a null array yields null,
+    // so their bucket coalesces to the constant 0
+    val withB = df.withColumn(ord, ordExpr.cast("double"))
+      .join(broadcast(splitsDf), Seq(key), "left")
+      .withColumn(bkt,
+        coalesce(size(filter(col("__sr_qs"), v => v <= col(ord))), lit(0)))
+      .drop("__sr_qs")
+    // explicit width (REPARTITION_BY_NUM, exempt from AQE coalescing):
+    // the ONE exchange of the whole operator. Width from the INPUT
+    // frame — rangeWidth(withB) would see the broadcast join's
+    // multiplied sizeInBytes estimate and saturate the 1024 cap
+    // (measured: 1024-task window stages vs the plain path's 345 on
+    // the same bytes — tiny-task scheduling overhead, contention-
+    // amplified)
+    val pinned = withB.repartition(GlobalRank.rangeWidth(df), col(key), col(bkt))
+    val w1 = Window.partitionBy(col(key), col(bkt)).orderBy(orderCols: _*)
+    val w1f = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localed = carry.foldLeft(pinned) { case (d, (in, out)) =>
+      d.withColumn(out, last(col(in), ignoreNulls = true).over(w1f))
     }
+    // hot-rows-only summary: the bucket's FINAL carry per column (its
+    // last row's value — already "last non-null so far", or null if
+    // the bucket has none), picked by max_by over the bucket-local
+    // row_number. Filtering whole KEYS before a window partitioned by
+    // (key, bucket) is safe — groups stay intact.
+    val isHot = coalesce(
+      col(key).isInCollection(hotSplits.map(_._1)), lit(false))
+    val hotLocal = carry.foldLeft(
+      pinned.filter(isHot).withColumn("__sr_rn", row_number().over(w1))) {
+      case (d, (in, out)) =>
+        d.withColumn(out, last(col(in), ignoreNulls = true).over(w1f))
+    }
+    val aggs = carry.map { case (_, out) =>
+      max_by(col(out), col("__sr_rn")).as(s"__sr_l_$out") }
+    val summ = hotLocal.groupBy(col(key), col(bkt))
+      .agg(aggs.head, aggs.tail: _*)
+    val w2 = Window.partitionBy(col(key)).orderBy(col(bkt))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fix = carry.foldLeft(summ) { case (d, (_, out)) =>
+      d.withColumn(s"__sr_ci_$out",
+        last(col(s"__sr_l_$out"), ignoreNulls = true).over(w2))
+    }.select((col(key) +: col(bkt) +: carry.map { case (_, out) =>
+      col(s"__sr_ci_$out") }): _*)
+    // broadcast LEFT: hot keys × buckets rows — bounded by the 64-key
+    // cap; cold rows miss and keep their exact local carry
+    carry.foldLeft(localed.join(broadcast(fix), Seq(key, bkt), "left")) {
+      case (d, (_, out)) =>
+        d.withColumn(out, coalesce(col(out), col(s"__sr_ci_$out")))
+    }.drop((Seq(bkt, ord) ++ carry.map { case (_, out) =>
+      s"__sr_ci_$out" }): _*)
   }
 }

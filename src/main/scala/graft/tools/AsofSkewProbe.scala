@@ -47,14 +47,19 @@ object AsofSkewProbe {
       (System.nanoTime() - t0) / 1e9
     }
     run(Long.MaxValue) // warm (JIT + page cache) — untimed
-    val ungated = Seq(run(Long.MaxValue), run(Long.MaxValue)).min
-    val gated = Seq(run(1000000L), run(1000000L)).min
-    // self-annotating (r18): this probe read gated=92.2 s twice and
-    // 16.1 s in a third session on one binary — host io contention,
-    // not a regression; the stamp makes the next reader's call cheap
+    // INTERLEAVED (r18): the original U,U,G,G order confounded the
+    // comparison with host io weather that swings 4-20x within minutes
+    // on this sandbox (one session read gated 92.2 s where another read
+    // 16.1 s on the same binary); alternating U,G,U,G puts both paths
+    // under the same weather, and the min-of-2 sheds one bad window.
+    val u1 = run(Long.MaxValue); val g1 = run(1000000L)
+    val u2 = run(Long.MaxValue); val g2 = run(1000000L)
+    val ungated = math.min(u1, u2)
+    val gated = math.min(g1, g2)
+    // self-annotating (r18): host load stamp on both axes
     val (cpuC, ioC) = Calib.readBoth(spark)
     def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    println(s"""{"probe":"asof_skew","sf":"$sfDir","gated_sec":${f3(gated)},"ungated_sec":${f3(ungated)},"gated_over_ungated":${f3(gated / ungated)},${Calib.jsonFields(cpuC, ioC)}}""")
+    println(s"""{"probe":"asof_skew","sf":"$sfDir","gated_sec":${f3(gated)},"ungated_sec":${f3(ungated)},"gated_over_ungated":${f3(gated / ungated)},"runs":{"u1":${f3(u1)},"g1":${f3(g1)},"u2":${f3(u2)},"g2":${f3(g2)}},${Calib.jsonFields(cpuC, ioC)}}""")
     spark.stop()
   }
 }

@@ -21,9 +21,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Calib {
 
-  /** Committed idle references (this sandbox, measured solo). */
+  /** Committed idle references (this sandbox, measured solo).
+    * IoRefSec: 0.583 idle in-probe reading 2026-08-16 (the 2.0 first
+    * guess read io_load_factor 0.29 on an idle box); contended
+    * sessions the same day read 3.7-10.5 s — the axis swings ~20×.
+    */
   val CpuRefSec = 0.65
-  val IoRefSec = 2.0
+  val IoRefSec = 0.6
 
   def cpuOnce(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
