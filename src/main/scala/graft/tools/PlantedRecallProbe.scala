@@ -48,7 +48,12 @@ object PlantedRecallProbe {
       .localCheckpoint()
     val n = corpus.count()
     val (p, l) = Similarity.planesFor(n, threshold)
-    val qOff = 2000000000L
+    // query-id offset must clear the ACTUAL id space (r18): the fixed
+    // 2e9 collided with ScaleReplicate's per-replica +k*1e9 offsets at
+    // sf>=1, aliasing query ids onto replica>=2 corpus ids (the first
+    // sf1 run read top3_frac 1.18 — impossible — because corpus rows
+    // passed the query-id filter and duplicate ids corrupted the join)
+    val qOff = corpus.agg(max($"id")).head().getLong(0) + 1000000000L
     val queries = corpus.filter($"id" % every === 0)
       .select(($"id" + qOff).as("id"),
         concat(array(element_at($"v", 1) + lit(0.25)),
