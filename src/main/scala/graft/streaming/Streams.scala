@@ -505,6 +505,12 @@ object Streams {
         if (ids.length > cap) None // literal-list cap: plan bloat + driver bound
         else Some(ids.map(_.get(0)))
       }
+    // engagement is otherwise invisible from outside (r18: the 4M A/B
+    // could not tell "engaged, no win" from "fell back") — one line
+    // per batch, only when the opt-in knob is on
+    if (pushdownOn) println(s"mh[$batchId] id-pushdown " +
+      pushIds.map(i => s"ENGAGED n_keeper_ids=${i.length}")
+        .getOrElse("FALLBACK: distinct keeper ids > cap"))
     val hitTextBase = corpusText.select(col(idCol), col(textCol)).unionByName(keptText)
     val hitText = pushIds match {
       case Some(ids) if ids.isEmpty => hitTextBase.filter(lit(false))
