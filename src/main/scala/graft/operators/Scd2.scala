@@ -119,12 +119,27 @@ object Scd2 {
     val gIn = if (hot.nonEmpty)
       runs.repartition(GlobalRank.rangeWidth(changesDs), k, col("__lv"), col(valueCol))
     else runs
+    // CACHED (r18): the collapsed-runs frame has THREE consumers below
+    // (`first` → mainPass, `curInfo`'s join build, and `appended`'s
+    // left side), and exchange reuse does NOT collapse them — an r18
+    // sf100skew stage profile showed the change-batch scan + window
+    // pipeline executing FOUR times inside the one action (four ~48-task
+    // scan stages writing 1.4-1.8 GB of shuffle each, plus duplicated
+    // window stages), the dominant wall term of the waived seat and a
+    // 3× amplifier of any disk-throughput dip. persist (columnar,
+    // MEMORY_AND_DISK) turns the three plan copies into one
+    // InMemoryRelation computed once — still lazy (no eager barrier),
+    // and bounded: O(runs in the change batch) rows, the operator's
+    // own contract size (a batch too big to cache belongs on the
+    // rebuild path). The ContextCleaner reclaims the blocks once the
+    // returned frame is unreferenced.
     val newRuns = SaltedRuns.chunkedLead(
       gIn.groupBy(k, col("__lv"), col(valueCol))
         .agg(min(col("__ds")).as("__from"), count(lit(1)).as("__n")),
       keyCol, col("__lv"), col("__from"), "__toN", hotOverride = Some(hot))
       .withColumn("__to", coalesce(col("__toN"), lit(Sentinel)))
       .drop("__toN")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per touched key: its first change run, plus a non-null touch
     // marker (valueCol may be nullable — __fv can't flag the match)
     val first = newRuns.filter(col("__lv") === 1)
