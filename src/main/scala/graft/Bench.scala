@@ -244,7 +244,12 @@ object Bench {
     // commit-path contention the CPU probe is blind to.
     val loadFactor = f3((calibStart + calibEnd) / 2 / calibRefSec)
     val ioLoadFactor = f3((ioCalibStart + ioCalibEnd) / 2 / ioCalibRefSec)
-    val calib = s""""calib_start_sec":${f3(calibStart)},"calib_end_sec":${f3(calibEnd)},"calib_ref_sec":$calibRefSec,"load_factor":$loadFactor,"io_calib_start_sec":${f3(ioCalibStart)},"io_calib_end_sec":${f3(ioCalibEnd)},"io_calib_ref_sec":$ioCalibRefSec,"io_load_factor":$ioLoadFactor"""
+    // driver heap rides the capture (r18): a q_scd2/q_scd2_apply chunk
+    // silently run at the 16g default read 2x the 32g reference seat
+    // (memory spill 18->37 GB) and cost a session of regression-hunting
+    // — the heap is part of the measurement conditions, so stamp it.
+    val heapGb = f3(Runtime.getRuntime.maxMemory / 1e9)
+    val calib = s""""calib_start_sec":${f3(calibStart)},"calib_end_sec":${f3(calibEnd)},"calib_ref_sec":$calibRefSec,"load_factor":$loadFactor,"io_calib_start_sec":${f3(ioCalibStart)},"io_calib_end_sec":${f3(ioCalibEnd)},"io_calib_ref_sec":$ioCalibRefSec,"io_load_factor":$ioLoadFactor,"heap_gb":$heapGb"""
     println(
       s"""{"queries":$qs,"stream_e2e_queries":$sqs,"failures":$fs,"failure_groups":$fgroups,"n_failed":${failed.size},"sf":"$sfDir","metric":"total","value":${f3(total)},"stream_e2e_total":${f3(streamTotal)},"unit":"sec",$calib}""")
     val slow = ok.sortBy(-_._2).take(5)

@@ -73,10 +73,16 @@ object Calib {
     }
   }
 
-  /** JSON fragment (no braces) a probe appends to its output line. */
+  /** JSON fragment (no braces) a probe appends to its output line.
+    * Carries the driver heap too (r18): a probe run at the 16g default
+    * instead of the 32g reference seat doubled q_scd2_apply's memory
+    * spill and read 2× — the heap is a measurement condition exactly
+    * like host load, so every self-annotating line states it.
+    */
   def jsonFields(cpuSec: Double, ioSec: Double): String = {
     def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     s""""calib_cpu_sec":${f3(cpuSec)},"calib_io_sec":${f3(ioSec)},""" +
-      s""""cpu_load_factor":${f3(cpuSec / CpuRefSec)},"io_load_factor":${f3(ioSec / IoRefSec)}"""
+      s""""cpu_load_factor":${f3(cpuSec / CpuRefSec)},"io_load_factor":${f3(ioSec / IoRefSec)},""" +
+      s""""heap_gb":${f3(Runtime.getRuntime.maxMemory / 1e9)}"""
   }
 }
