@@ -1828,21 +1828,39 @@ object DocQueries {
       .select($"doc_id", $"source", TextFunctions.tokens($"text").as("tk"))
     val uni = docsTk.select(explode($"tk").as("w"))
       .groupBy(xxhash64($"w").as("h")).agg(count(lit(1)).as("c1")).localCheckpoint()
-    val inst = docsTk
+    // JOIN AT THE VOCAB GRAIN, NOT THE INSTANCE GRAIN (r18): the
+    // previous shape ran THREE hash joins at bigram-INSTANCE grain
+    // (h12, then h1, then h2 — each shuffling every bigram occurrence
+    // in the corpus) and executed the tokenize+explode pipeline twice
+    // (once for the bigram-count aggregate, once for the join input) —
+    // the suite's slowest sf100skew seat (324.6 s, 2.9 GB disk +
+    // 15 GB memory spill). Now: ONE partial-agg shuffle collapses
+    // instances to per-(doc, bigram) counts `k` (repeated bigrams in a
+    // doc combine map-side), persisted because it has two consumers
+    // (the vocab aggregate below and the per-doc join — exchange reuse
+    // does not collapse multi-consumer plans; the r18 scd2 lesson).
+    // The NLL term depends only on the bigram, so the c1/c2/c12 joins
+    // ride the distinct-bigram vocab frame, and c12 itself is sum(k) —
+    // the separate corpus-wide bigram-count pass is gone entirely.
+    val instDoc = docsTk
       .select($"doc_id", $"source", explode(TextFunctions.wordNgramsOf($"tk", 2)).as("bg"))
       .select($"doc_id", $"source", xxhash64($"bg").as("h12"),
         xxhash64(split($"bg", " ").getItem(0)).as("h1"),
         xxhash64(split($"bg", " ").getItem(1)).as("h2"))
-    val biC = inst.groupBy($"h12").agg(count(lit(1)).as("c12")).localCheckpoint()
+      .groupBy($"doc_id", $"source", $"h12", $"h1", $"h2")
+      .agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = uni.agg(sum($"c1").cast("double").as("n"))
-    val perDoc = inst
-      .join(biC, "h12")
+    val vocab = instDoc.groupBy($"h12", $"h1", $"h2").agg(sum($"k").as("c12"))
       .join(uni.select($"h".as("h1"), $"c1"), "h1")
       .join(uni.select($"h".as("h2"), $"c1".as("c2")), "h2")
       .crossJoin(broadcast(tot))
+      .select($"h12", $"h1", $"h2",
+        (-log(lit(0.75) * $"c12" / $"c1" + lit(0.25) * $"c2" / $"n")).as("term"))
+    // instance-weighted mean == the old per-instance avg: Σk·term / Σk
+    val perDoc = instDoc.join(vocab, Seq("h12", "h1", "h2"))
       .groupBy($"doc_id", $"source")
-      .agg((round(avg(-log(lit(0.75) * $"c12" / $"c1" + lit(0.25) * $"c2" / $"n")), 6)
-        + lit(0.0)).as("nll"))
+      .agg((round(sum($"k" * $"term") / sum($"k"), 6) + lit(0.0)).as("nll"))
     perDoc.groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         r4(avg($"nll")).as("avg_nll"),
