@@ -17,17 +17,21 @@ import org.apache.spark.sql.functions._
   * The fix is TWO-LEVEL only where it pays. A 1% sample detects hot
   * keys (one cheap job, O(sampled keys) driver state); with none — the
   * uniform case, and every gated SF — the plan is EXACTLY the
-  * single-level window with its r13 width pin, zero overhead. Hot-key
-  * rows alone take the salted path: bucket the key's stream into
-  * contiguous ranges of the order key (global range splits — rows with
-  * equal order values share a bucket, so bucketing respects the total
-  * order), number runs LOCALLY per (key, bucket) window, then repair
-  * bucket boundaries with a second window over O(buckets)-per-key
-  * summaries: a bucket's first local run merges with the previous
-  * bucket's last run iff the user predicate says the boundary pair
-  * does not start a new run, and run numbers shift by the running sum
-  * of preceding buckets' effective run counts. The decomposition is
-  * exact, not approximate — run numbering couples only ADJACENT rows.
+  * single-level window with its r13 width pin, zero overhead. With hot
+  * keys, EVERY row rides one (key, bucket) exchange (r18, the
+  * [[chunkedCarry]] shape): hot keys bucket their stream into
+  * contiguous ranges of the order key (sampled per-key range splits —
+  * rows with equal order values share a bucket, so bucketing respects
+  * the total order) while cold keys take the constant bucket 0, whose
+  * (key, 0) window IS the plain per-key numbering. Runs number LOCALLY
+  * per (key, bucket) window, then bucket boundaries repair via a
+  * second window over O(buckets)-per-HOT-key summaries: a bucket's
+  * first local run merges with the previous bucket's last run iff the
+  * user predicate says the boundary pair does not start a new run, and
+  * run numbers shift by the running sum of preceding buckets'
+  * effective run counts; cold rows miss the broadcast repair frame and
+  * keep their local numbers. The decomposition is exact, not
+  * approximate — run numbering couples only ADJACENT rows.
   * An r14 measured rejection shaped this design: unconditionally
   * bucketing EVERY key (no hot-key gate) ran uniform sf10 q_scd2 at
   * 20.7 s vs 6.0 s — the boundary repair over keys×buckets summary
@@ -99,54 +103,101 @@ object SaltedRuns {
       .agg(percentile_approx(col(ord), probes, lit(10000)).as("__sr_qs"))
   }
 
-  /** The salted sub-window + boundary-repair path, applied to a frame
-    * that is ENTIRELY hot keys (the caller splits).
+  /** The salted sub-window + boundary-repair path in the ONE-SCAN,
+    * ONE-EXCHANGE shape [[chunkedCarry]] pioneered (r18): EVERY row —
+    * cold keys included — rides one (key, bucket) exchange. Cold keys
+    * take bucket 0 from the broadcast LEFT join's null splits (a
+    * constant bucket, so their local window IS the plain per-key run
+    * numbering), hot rows bucket by sampled per-key range splits of
+    * the order key. The boundary-repair summary computes from the HOT
+    * rows only as a second consumer of the SAME exchange
+    * (ReuseExchange: scan + shuffle execute once; only the window
+    * re-evaluates, over hot rows), and the ≤64-keys × buckets repair
+    * frame broadcast-LEFT-joins back — cold rows miss it and keep
+    * their exact local numbering (base 0, merge 0). The pre-r18 shape
+    * filtered the corpus TWICE (cold + hot branches, each re-executing
+    * the upstream scan), ran an exact per-key quantile aggregate as a
+    * THIRD full pass, and localCheckpointed the hot slice — the same
+    * 3-scan io-weather amplifier the as-of gate measured 16–158 s
+    * swings from (SCALING.md r18).
+    *
+    * buckets stays CALLER-FIXED (16 default) — an r15 measured
+    * rejection: flooring it at the hot frame's range width to chase
+    * the 40%-head factor rise made every query WORSE (q_scd2 17.2 →
+    * 18.1 s on sf10skew40): the rise is TOTAL-WORK, not bucket
+    * starvation, so finer buckets only add probe/summary overhead.
+    *
+    * Exactness: run numbering couples only ADJACENT rows; rows with
+    * equal order values share a bucket (sampled splits are values of
+    * the order key, bucketing by `v <= ord` respects the total order);
+    * duplicate split values just leave bucket-number gaps, which the
+    * repair's lag-over-present-buckets window never notices. A hot key
+    * whose sampled ords were all null gets null splits → all its rows
+    * bucket 0 → plain numbering (repair over one bucket is identity).
+    * Null ordinals bucket to 0 = first-in-traversal, consistent with
+    * the window's asc_nulls_first default ordering.
     */
-  private def saltedRuns(df: DataFrame, key: String, ord: String,
-      ordCols: Seq[Column], cur: Column, newRun: (Column, Column) => Column,
-      outCol: String, buckets: Int): DataFrame = {
-    // buckets stays CALLER-FIXED (16 default) — an r15 measured
-    // rejection: flooring it at the hot frame's range width to chase
-    // the 40%-head factor rise (2.1× → 2.8× on q_scd2 as the head
-    // doubled) made every query WORSE (q_scd2 17.2 → 18.1 s,
-    // q_moving_avg 6.9 → 8.4, q_sessionize 5.5 → 6.5 on sf10skew40):
-    // the rise is TOTAL-WORK — twice the mass pays the two-level
-    // machinery (extra shuffle + checkpoint + repair) — not bucket
-    // starvation, so finer buckets only add probe/summary overhead.
-    // The honest bound (SCALING.md): factor grows with the mass on the
-    // two-level path, ~2.8× at a 40% head vs single-level's ~13×.
-    //
-    // per-key range splits (broadcast: ≤ 64 hot keys, buckets-1 doubles
-    // each); rows with equal order values share a bucket, so bucketing
-    // respects the per-key total order — duplicate split values just
-    // leave bucket-number gaps, which the boundary repair's lag-over-
-    // present-buckets window never notices
+  private def saltedRuns(df: DataFrame, key: String,
+      hotSplits: Seq[(Any, Any)], ordExpr: Column, tieCols: Seq[Column],
+      cur: Column, newRun: (Column, Column) => Column,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val ord = "__sr_ord"
     val bkt = "__sr_b"
-    val withB = df.join(broadcast(perKeySplits(df, key, ord, buckets)), Seq(key))
+    val ordCols = col(ord) +: tieCols
+    val keyType = df.schema(key).dataType
+    val splitsDf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(hotSplits.map { case (k, qs) =>
+        org.apache.spark.sql.Row(k, qs) }).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(key, keyType),
+        org.apache.spark.sql.types.StructField("__sr_qs",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    // LEFT join: cold keys (and hot keys whose sampled ords were all
+    // null) get null splits — filter() over a null array yields null,
+    // so their bucket coalesces to the constant 0
+    val withB = df.withColumn(ord, ordExpr.cast("double"))
+      .join(broadcast(splitsDf), Seq(key), "left")
       .withColumn(bkt,
         coalesce(size(filter(col("__sr_qs"), v => v <= col(ord))), lit(0)))
       .drop("__sr_qs")
+    // explicit width (REPARTITION_BY_NUM, exempt from AQE coalescing):
+    // the ONE exchange of the whole operator. Width from the INPUT
+    // frame — rangeWidth(withB) would see the broadcast join's
+    // multiplied sizeInBytes estimate and saturate the 1024 cap (the
+    // chunkedCarry lesson: 3× the tasks on the same bytes)
+    val pinned = withB.repartition(GlobalRank.rangeWidth(df), col(key), col(bkt))
     val w1 = Window.partitionBy(col(key), col(bkt)).orderBy(ordCols: _*)
-    val pinned = withB.repartition(GlobalRank.rangeWidth(withB), col(key), col(bkt))
-    // MATERIALIZED: the flagged frame feeds the boundary-repair summary
-    // AND the final join — unpersisted, both consumers recomputed the
-    // whole salted window pipeline (a duplicated stage pair on every
-    // sf10skew profile). Bounded: hot-key rows only, and the checkpoint
-    // is reclaimed by the ContextCleaner once unreferenced.
-    val flagged = pinned
+    def flagged(part: DataFrame): DataFrame = part
       .withColumn("__sr_prev", lag(cur, 1).over(w1))
       .withColumn("__sr_chg",
         when(col("__sr_prev").isNull || newRun(col("__sr_prev"), cur), 1L).otherwise(0L))
       .withColumn("__sr_lv", sum(col("__sr_chg")).over(
         w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .localCheckpoint()
-    // O(buckets) rows per key: boundary repair + cumulative offsets.
-    // min_by/max_by pick each bucket's first/last carry struct under
-    // the same total order the window used.
-    val summ = flagged.groupBy(col(key), col(bkt))
+    // O(buckets) rows per hot key: boundary repair + cumulative
+    // offsets. The summary aggregates the SAME windowed exchange the
+    // final join consumes and keeps hot keys via a filter on an
+    // AGGREGATE OUTPUT (__sr_ih), not on the grouping key: a grouping-
+    // key filter pushes below the window and the repartition, FORKING
+    // the exchange into a hot-only copy that re-executes the whole
+    // upstream — measured 2-4× on the nested scd2 pipeline (q_scd2
+    // 62.5 s vs 15.4 under load at sf10skew) before this form. An
+    // agg-output filter cannot push below the Aggregate, the agg
+    // itself rides the (key, bucket) clustering with no exchange, and
+    // ReuseExchange makes the shuffle files the shared materialization
+    // point — the side-channel costs one extra window pass over the
+    // exchange output, never a re-scan. min_by/max_by pick each
+    // bucket's first/last carry struct under the same total order the
+    // window used.
+    val isHot = coalesce(
+      col(key).isInCollection(hotSplits.map(_._1)), lit(false))
+    val summ = flagged(pinned).groupBy(col(key), col(bkt))
       .agg(min_by(cur, struct(ordCols: _*)).as("__sr_first"),
         max_by(cur, struct(ordCols: _*)).as("__sr_last"),
-        max(col("__sr_lv")).as("__sr_runs"))
+        max(col("__sr_lv")).as("__sr_runs"),
+        max(when(isHot, lit(1)).otherwise(lit(0))).as("__sr_ih"))
+      .filter(col("__sr_ih") === 1).drop("__sr_ih")
     val w2 = Window.partitionBy(col(key)).orderBy(col(bkt))
     val fix = summ
       .withColumn("__sr_pl", lag(col("__sr_last"), 1).over(w2))
@@ -156,10 +207,12 @@ object SaltedRuns {
       .withColumn("__sr_base", coalesce(sum(col("__sr_eff")).over(
         w2.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(key), col(bkt), col("__sr_merge"), col("__sr_base"))
-    // broadcast: hot keys × buckets rows — bounded by the 64-key cap
-    flagged.join(broadcast(fix), Seq(key, bkt))
-      .withColumn(outCol, col("__sr_base") + col("__sr_lv") - col("__sr_merge"))
-      .drop(bkt, "__sr_prev", "__sr_chg", "__sr_lv", "__sr_merge", "__sr_base")
+    // broadcast LEFT: hot keys × buckets rows — bounded by the 64-key
+    // cap; cold (and null-key) rows miss and keep their local numbers
+    flagged(pinned).join(broadcast(fix), Seq(key, bkt), "left")
+      .withColumn(outCol, coalesce(col("__sr_base"), lit(0L)) + col("__sr_lv")
+        - coalesce(col("__sr_merge"), lit(0L)))
+      .drop(bkt, ord, "__sr_prev", "__sr_chg", "__sr_lv", "__sr_merge", "__sr_base")
   }
 
   /** Append `outCol` = 1-based global run number per `key`, where a new
@@ -183,25 +236,17 @@ object SaltedRuns {
       hotOverride: Option[Seq[Any]] = None): DataFrame = {
     require(buckets >= 1, s"need buckets >= 1, got $buckets")
     val ord = "__sr_ord"
-    val withOrd = df.withColumn(ord, ordExpr.cast("double"))
     val cur = struct(carryCols: _*)
-    val ordCols = col(ord) +: tieCols
-    val hot = hotOverride.getOrElse(detectHotKeys(withOrd, key, hotThreshold))
-    val out =
-      if (hot.isEmpty || buckets == 1)
-        singleLevelRuns(withOrd, key, ordCols, cur, newRun, outCol)
-      else {
-        // per-key split: keys live wholly in one branch, so numbering
-        // never crosses the union. NULL-SAFE: bare isInCollection is
-        // null for a null key, which both branch filters drop — null-
-        // key rows would silently VANISH (r15 find; the plain window
-        // keeps nulls as a group). coalesce routes them cold.
-        val isHot = coalesce(col(key).isInCollection(hot), lit(false))
-        singleLevelRuns(withOrd.filter(!isHot), key, ordCols, cur, newRun, outCol)
-          .unionByName(saltedRuns(withOrd.filter(isHot), key, ord, ordCols,
-            cur, newRun, outCol, buckets))
-      }
-    out.drop(ord)
+    def plain(): DataFrame =
+      singleLevelRuns(df.withColumn(ord, ordExpr.cast("double")), key,
+        col(ord) +: tieCols, cur, newRun, outCol).drop(ord)
+    if (buckets == 1) return plain()
+    // hot keys AND their sampled splits from ONE 1% sample scan —
+    // with a caller-supplied empty hot list this costs zero jobs
+    val hotSplits = detectHotSplits(df, key, ordExpr, buckets, hotThreshold,
+      hotOverride)
+    if (hotSplits.isEmpty) plain()
+    else saltedRuns(df, key, hotSplits, ordExpr, tieCols, cur, newRun, outCol)
   }
 
   /** A sliding ROWS-frame window aggregate —
@@ -274,36 +319,52 @@ object SaltedRuns {
       hotOverride: Option[Seq[Any]] = None): DataFrame = {
     require(chunkSize >= 2, s"need chunkSize >= 2, got $chunkSize")
     val hot = hotOverride.getOrElse(detectHotKeys(df, key, hotThreshold))
-    val wPlain = Window.partitionBy(col(key)).orderBy(seqCol)
-    def plain(part: DataFrame): DataFrame =
-      part.repartition(GlobalRank.rangeWidth(part), col(key))
+    if (hot.isEmpty) {
+      val wPlain = Window.partitionBy(col(key)).orderBy(seqCol)
+      df.repartition(GlobalRank.rangeWidth(df), col(key))
         .withColumn(outCol, lead(valueCol, 1).over(wPlain))
-    if (hot.isEmpty) plain(df)
-    else {
-      // null-safe split — see [[numbered]]
+    } else {
+      // ONE SCAN, ONE EXCHANGE (r18, the [[chunkedCarry]] shape):
+      // every row rides one (key, chunk) exchange — cold keys (nulls
+      // included: isInCollection is null for a null key, coalesced
+      // cold) take the CONSTANT chunk 0, so their window IS the plain
+      // per-key lead; hot keys chunk by seqCol ranges. The pre-r18
+      // shape filtered the input twice (cold + hot branches) and
+      // localCheckpointed the hot slice.
       val isHot = coalesce(col(key).isInCollection(hot), lit(false))
       val ck = "__sr_ck"
-      val hotDf = df.filter(isHot).withColumn(ck, floor(seqCol / lit(chunkSize)))
+      val withCk = df.withColumn(ck,
+        when(isHot, floor(seqCol / lit(chunkSize))).otherwise(lit(0L)))
+      // width from the INPUT frame — see [[saltedRuns]]
+      val pinned = withCk.repartition(GlobalRank.rangeWidth(df), col(key), col(ck))
       val w1 = Window.partitionBy(col(key), col(ck)).orderBy(seqCol)
       // lead rides struct(valueCol): the struct is non-null iff a NEXT
       // ROW exists, so the boundary coalesce below dispatches on
       // row-existence only — a null valueCol on a mid-chunk row stays
       // null (plain-lead semantics) instead of being conflated with
       // "last row of chunk" and patched with the next chunk's first
-      // value. Materialized for the same two-consumer reason as
-      // [[numbered]]'s flagged frame (chunk summary + final join).
-      val pinned = hotDf.repartition(GlobalRank.rangeWidth(hotDf), col(key), col(ck))
+      // value.
+      val led = pinned
         .withColumn("__sr_ld", lead(struct(valueCol.as("v")), 1).over(w1))
-        .localCheckpoint()
+      // O(chunks) rows per hot key. Hot keys are kept via a filter on
+      // an AGGREGATE OUTPUT (__sr_ih) — a grouping-key filter would
+      // push below the repartition and fork the exchange into a
+      // hot-only copy re-executing the whole upstream (see
+      // [[saltedRuns]]); this way the agg rides the (key, chunk)
+      // clustering and ReuseExchange shares the one shuffle with the
+      // window consumer.
       val cs = pinned.groupBy(col(key), col(ck))
-        .agg(min_by(struct(valueCol.as("v")), seqCol).as("__sr_cf"))
+        .agg(min_by(struct(valueCol.as("v")), seqCol).as("__sr_cf"),
+          max(when(isHot, lit(1)).otherwise(lit(0))).as("__sr_ih"))
+        .filter(col("__sr_ih") === 1)
       val w2 = Window.partitionBy(col(key)).orderBy(col(ck))
       val nf = cs.withColumn("__sr_nf", lead(col("__sr_cf"), 1).over(w2))
         .select(col(key), col(ck), col("__sr_nf"))
-      val hotOut = pinned.join(broadcast(nf), Seq(key, ck))
+      // broadcast LEFT: cold rows miss — their last row keeps lead's
+      // null, every other row its local lead
+      led.join(broadcast(nf), Seq(key, ck), "left")
         .withColumn(outCol, coalesce(col("__sr_ld"), col("__sr_nf")).getField("v"))
         .drop(ck, "__sr_ld", "__sr_nf")
-      plain(df.filter(!isHot)).unionByName(hotOut)
     }
   }
 

@@ -531,18 +531,26 @@ object CoreQueries2 {
     // even that job — per-key cardinality only shrinks under subsets,
     // so a superset list is a safe over-approximation (false positives
     // pay the small repair overhead on <= 64 keys; exactness holds on
-    // both paths). Keys are wholly in one branch, so the whole pipeline
-    // (runs → agg → lead) splits per branch and unions at the END —
-    // the cold branch keeps the fully-FUSED r13 plan (window, agg and
-    // lead all ride ONE hash(o_custkey) exchange: clustering by a
-    // grouping-key subset), while only the head keys' rows pay the
-    // salted machinery. The intermediate design that split inside each
-    // operator and unioned between them was measured-rejected: the
-    // union's mixed partitionings forced a full-corpus agg re-exchange
-    // (+205 MB shuffle, ~4 s of the sf10skew run on COLD rows).
+    // both paths). History of the shape: r14 split per OPERATOR and
+    // unioned between them (measured-rejected: mixed partitionings
+    // forced a full-corpus agg re-exchange, +205 MB / ~4 s on cold
+    // sf10skew rows); r14-r17 split the whole PIPELINE per branch
+    // (cold kept the fused one-exchange plan, at the price of
+    // executing the source scan once per branch); r18 runs one
+    // pipeline over one scan — see the note inside `pipeline`.
     val hot = hotOverride.getOrElse(
       graft.operators.SaltedRuns.detectHotKeys(src, "o_custkey"))
     def pipeline(part: DataFrame, hotList: Seq[Any]): DataFrame = {
+      // r18: SaltedRuns.numbered/chunkedLead are ONE-SCAN, ONE-EXCHANGE
+      // internally now (cold keys ride the constant bucket 0 of the
+      // same (key, bucket) exchange the hot keys split over), so the
+      // pipeline runs ONCE over the full frame — the previous top-level
+      // cold/hot split (which kept the cold branch's window+agg+lead
+      // fused on one hash(key) exchange at the price of executing the
+      // source scan twice) is gone. The trade moves the cold mass's
+      // agg onto a (runs-grain, partial-agg'd) re-exchange and in
+      // return deletes a full corpus scan — A/B'd at sf10skew, see
+      // OPTIMIZATION_r18.md.
       val runs = graft.operators.SaltedRuns.numbered(
         part, "o_custkey", unix_timestamp($"o_orderdate"), Seq($"o_orderkey"),
         Seq($"o_orderpriority"),
@@ -568,10 +576,7 @@ object CoreQueries2 {
       graft.operators.SaltedRuns.chunkedLead(g, "o_custkey", $"version",
         $"valid_from_s", "__vt", hotOverride = Some(hotList))
     }
-    val led =
-      if (hot.isEmpty) pipeline(src, Nil)
-      else pipeline(src.filter(!$"o_custkey".isInCollection(hot)), Nil)
-        .unionByName(pipeline(src.filter($"o_custkey".isInCollection(hot)), hot))
+    val led = pipeline(src, hot)
     led
       .withColumn("valid_to_s", coalesce($"__vt", lit(253402300800L)))
       .select($"o_custkey", $"version", $"o_orderpriority".as("priority"),
