@@ -1912,9 +1912,16 @@ object DocQueries {
     // with nClusters ∝ √n (spec'd), where cluster size — and so the
     // pair work per cluster — stays bounded as n grows.
     // repartition after the cap — limit() collapses to one partition,
-    // which would serialize the within-cluster pair work
+    // which would serialize the within-cluster pair work.
+    // localCheckpoint (r18, the qAnnLsh discipline): the capped frame
+    // feeds THREE consumers (the centroid take, the assignment scan,
+    // and semDedupWithCentroids' join-back side) — unmaterialized,
+    // each re-ran the parquet scan + global sort-limit (the suite's
+    // slowest seat at 4.5-5.2 s was ~0.9 s of re-executed TakeOrdered
+    // chains). Bounded by the 2000-row cap.
     val v = Tables.embeddings(s, d).orderBy($"vec_id").limit(2000)
       .repartition(s.sparkContext.defaultParallelism, $"vec_id")
+      .localCheckpoint()
     val cents = v.orderBy($"vec_id").limit(8)
       .select($"vec_id".as("cid"), $"embedding".as("ce"))
     Similarity.semDedupWithCentroids(v, "vec_id", "embedding", cents, "cid", "ce", 0.35)

@@ -545,7 +545,21 @@ object Similarity {
     * and the bounded result is checkpointed so the cache releases here.
     */
   private def keepRule(assignedIn: DataFrame, threshold: Double): DataFrame = {
+    // explicit width before the persist (r18; the r13 bytes-blind
+    // lesson): the assigned frame arrives through a tiny-bytes
+    // aggregate exchange that AQE coalesces to ONE partition, and the
+    // within-cluster pair join broadcasts one side — so ALL of the
+    // O(Σ cluster²) cosine work ran on the cached frame's single
+    // partition (stage-profiled at sf0.1: one 4.6 s single-task stage
+    // = 70% of q_semdedup_audit). Pair work is per-row CPU, not
+    // bytes; REPARTITION_BY_NUM is exempt from AQE coalescing. Width
+    // is 2× cores, NOT rangeWidth: the frame sits above a broadcast
+    // join whose multiplied sizeInBytes estimate saturates the 1024
+    // cap (measured: six 1024-task stages of scheduling overhead on
+    // 2000 rows — the chunkedCarry width lesson).
+    val width = 2 * assignedIn.sparkSession.sparkContext.defaultParallelism
     val assigned = assignedIn
+      .repartition(width, col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cluster_id"), col("id").as("id_a"),
       col("v").as("va"), col("centroid_cos").as("ca"))
