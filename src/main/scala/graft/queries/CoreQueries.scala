@@ -26,10 +26,22 @@ object CoreQueries {
       .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02")))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
+        // sum_qty / sum_base_price stay double: integer and 2-dp-grid
+        // sums rounded at 2 dp are exact/identity in both engines at
+        // any addition order. The two PRODUCT sums ride exact decimals
+        // (4-dp / 6-dp grids): a double sum is 1-ulp order-sensitive
+        // and a regenerated corpus puts a group total exactly on a
+        // .xx5 half-boundary with ~1%/value odds — the q2 defect class
+        // (see q2RevenueNation; q2 hit it at a regenerated sf0.001).
         round(sum($"l_quantity"), 2).as("sum_qty"),
         round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2).as("sum_charge"),
+        round(sum($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1).cast("decimal(8,2)") - $"l_discount".cast("decimal(8,2)"))), 2)
+          .cast("double").as("sum_disc_price"),
+        round(sum($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1).cast("decimal(8,2)") - $"l_discount".cast("decimal(8,2)")) *
+          (lit(1).cast("decimal(8,2)") + $"l_tax".cast("decimal(8,2)"))), 2)
+          .cast("double").as("sum_charge"),
         round(avg($"l_quantity"), 4).as("avg_qty"),
         round(avg($"l_extendedprice"), 4).as("avg_price"),
         round(avg($"l_discount"), 4).as("avg_disc"),
@@ -41,8 +53,8 @@ object CoreQueries {
     """SELECT l_returnflag, l_linestatus,
       | round(sum(l_quantity),2) AS sum_qty,
       | round(sum(l_extendedprice),2) AS sum_base_price,
-      | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-      | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+      | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))*(1-CAST(l_discount AS DECIMAL(8,2)))),2) AS DOUBLE) AS sum_disc_price,
+      | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))*(1-CAST(l_discount AS DECIMAL(8,2)))*(1+CAST(l_tax AS DECIMAL(8,2)))),2) AS DOUBLE) AS sum_charge,
       | round(avg(l_quantity),4) AS avg_qty,
       | round(avg(l_extendedprice),4) AS avg_price,
       | round(avg(l_discount),4) AS avg_disc,
@@ -72,10 +84,22 @@ object CoreQueries {
       .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01")) &&
         $"o_orderdate" < to_timestamp(lit("1998-01-01")))
       .select($"o_orderkey", $"o_custkey")
+    // DECIMAL revenue arithmetic (r18): prices/discounts are exact
+    // 2-dp values, so the per-item product is an exact 4-dp decimal
+    // and decimal sums are order-independent — a double sum is 1-ulp
+    // order-sensitive, and this query's pre-aggregation (r17) sums in
+    // a different order than the streaming oracle, which split a true
+    // .xx5 half-boundary at a regenerated sf0.001 (NATION_16 revenue
+    // = exactly 5032261.5750: Spark's double sum rounded .58, DuckDB's
+    // .57 — and .58 is the CORRECT half-up of the exact value). Both
+    // engines now sum the exact decimal; the boundary class is dead at
+    // any SF/regeneration, not dodged.
     val perOrder = Tables.lineitem(s, d)
       .groupBy($"l_orderkey")
       .agg(
-        sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("__rev"),
+        sum($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1).cast("decimal(8,2)") - $"l_discount".cast("decimal(8,2)")))
+          .as("__rev"),
         count(lit(1)).as("__cnt"))
     val perCust = perOrder.join(o, $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_custkey")
@@ -88,14 +112,14 @@ object CoreQueries {
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
-        round(sum($"__rev"), 2).as("revenue"),
+        round(sum($"__rev"), 2).cast("double").as("revenue"),
         sum($"__cnt").as("n_items"))
       .orderBy($"r_name", $"n_name")
   }
 
   val q2Oracle: String =
     """SELECT r_name, n_name,
-      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))),2) AS DOUBLE) AS revenue,
       | count(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
