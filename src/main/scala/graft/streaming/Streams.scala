@@ -282,10 +282,20 @@ object Streams {
       .filter(!col("__in_batch") || col("c_id") < col("s_id"))
       .filter(bit_count(col("s_sh").bitwiseXOR(col("c_sh"))) <= maxDist)
       .select(col("s_id").as(idCol))
+    // repartition(1) before the write (r18, guide §6): the anti-join
+    // leaves the batch-bounded survivors on the verify pipeline's wide
+    // partitioning, so every microbatch appended ~O(width) tiny files
+    // that every LATER batch's kept-index scan re-reads — the drain
+    // profile showed the write stage growing 116 → 181 tasks in three
+    // batches. One shuffled partition writes one file per batch
+    // (file count O(batches), the partitionBy contract's floor) while
+    // the shuffle barrier keeps the upstream join width intact;
+    // survivors are bounded by the microbatch size.
     batch.join(dropped, Seq(idCol), "left_anti")
       .withColumn("__sh", graft.dedup.Dedup.simhash60(col(textCol)))
       .withColumn("batch_id", lit(batchId))
       .withColumn("__batch_part", lit(batchId))
+      .repartition(1)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch_part")
@@ -585,10 +595,15 @@ object Streams {
     // overwrite, same replay contract as before). No distinct on
     // `dropped`: the anti-join's build side dedups in its hash relation
     sc.setJobDescription(s"mh[$batchId] verify + survivors write")
+    // repartition(1): see simhashDedupBatch — one file per batch
+    // instead of O(verify width) tiny files whose count every later
+    // batch's kept-table scan pays; the shuffle barrier keeps the
+    // verify join's pinned width intact upstream.
     batch.join(dropped, Seq(idCol), "left_anti")
       .join(sigNew.select(col("id").as(idCol), col("sig").as("__sig")), Seq(idCol), "left")
       .withColumn("batch_id", lit(batchId))
       .withColumn("__batch_part", lit(batchId))
+      .repartition(1)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch_part")
