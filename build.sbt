@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout RAW: sbt's default LoggedOutput
+// prefixes every line with "[info] ", which breaks any consumer parsing
+// the one-line JSON contract from Bench/Verify stdout (the driver's
+// PERF comparison parsed nothing for two rounds because of it).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

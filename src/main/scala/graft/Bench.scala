@@ -219,11 +219,34 @@ object Bench {
     // truncates from the front, so putting it before the queries line
     // keeps the per-query-seconds surface in the driver capture intact;
     // full-stdout sweep captures (bench_r*_sf*.json) carry every line.
+    // Contract hardening (r19, VERDICT r18 #1): the driver's PERF
+    // comparison parsed NOTHING for two rounds because sbt's logger
+    // prefixed every stdout line with "[info] " (fixed in build.sbt via
+    // run/outputStrategy := StdoutOutput) and its capture truncates the
+    // tail. Belt and braces: every JSON line is ALSO written to a
+    // sibling file next to the working directory — bench_summary.json
+    // (the final one-line summary), bench_queries.json (the full
+    // per-query line), bench_output.jsonl (every line, in order) — so
+    // the numbers survive any stdout mangling. Files are .gitignored.
+    def emitFile(name: String, line: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(name),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () } // emit must never fail the bench
+    def emit(line: String, file: Option[String]): Unit = {
+      println(line)
+      file.foreach(emitFile(_, line))
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_output.jsonl"),
+        (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => () }
+    }
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("bench_output.jsonl"))
     def ioJson(io: Io) = s"""{"br":${io.bytesRead},"sd":${io.spillDisk},"sm":${io.spillMem}}"""
     val ioqs = (okIo ++ streamOkIo).map { case (k, (_, io)) => "\"" + k + "\":" + ioJson(io) }
       .mkString("{", ",", "}")
     val vio = sys.env.getOrElse("SPARK_GRAFT_VECTORED_IO", "false")
-    println(s"""{"metric":"io","unit":"bytes","sf":"$sfDir","vectored_io":$vio,"query_io":$ioqs}""")
+    emit(s"""{"metric":"io","unit":"bytes","sf":"$sfDir","vectored_io":$vio,"query_io":$ioqs}""", None)
     // Stream-drain phase breakdown (r18, VERDICT r17 #4): the e2e
     // seconds decompose into prep/stage/sink_build/drain(+b0..bN)/
     // readback recorded by the harnesses themselves, so a 4x spread
@@ -235,7 +258,7 @@ object Bench {
       "\"" + k + "\":" + ps
     }.mkString("{", ",", "}")
     if (streamOk.nonEmpty)
-      println(s"""{"metric":"stream_phases","unit":"sec","sf":"$sfDir","phases":$phaseJson}""")
+      emit(s"""{"metric":"stream_phases","unit":"sec","sf":"$sfDir","phases":$phaseJson}""", None)
     // load factors: mean of the two probe readings over the committed
     // idle reference — 1.0x = solo-run conditions; the r16 driver
     // capture would have read ~2-4x on the CPU axis. load_factor stays
@@ -250,8 +273,9 @@ object Bench {
     // — the heap is part of the measurement conditions, so stamp it.
     val heapGb = f3(Runtime.getRuntime.maxMemory / 1e9)
     val calib = s""""calib_start_sec":${f3(calibStart)},"calib_end_sec":${f3(calibEnd)},"calib_ref_sec":$calibRefSec,"load_factor":$loadFactor,"io_calib_start_sec":${f3(ioCalibStart)},"io_calib_end_sec":${f3(ioCalibEnd)},"io_calib_ref_sec":$ioCalibRefSec,"io_load_factor":$ioLoadFactor,"heap_gb":$heapGb"""
-    println(
-      s"""{"queries":$qs,"stream_e2e_queries":$sqs,"failures":$fs,"failure_groups":$fgroups,"n_failed":${failed.size},"sf":"$sfDir","metric":"total","value":${f3(total)},"stream_e2e_total":${f3(streamTotal)},"unit":"sec",$calib}""")
+    emit(
+      s"""{"queries":$qs,"stream_e2e_queries":$sqs,"failures":$fs,"failure_groups":$fgroups,"n_failed":${failed.size},"sf":"$sfDir","metric":"total","value":${f3(total)},"stream_e2e_total":${f3(streamTotal)},"unit":"sec",$calib}""",
+      Some("bench_queries.json"))
     val slow = ok.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     // IO totals + top offenders ride the LAST line so even the driver's
@@ -264,8 +288,9 @@ object Bench {
       .map { case (k, (_, io)) => "\"" + k + "\":" + io.bytesRead }.mkString("{", ",", "}")
     val topSpill = allIo.filter(_._2._2.spillDisk > 0).sortBy(-_._2._2.spillDisk).take(5)
       .map { case (k, (_, io)) => "\"" + k + "\":" + io.spillDisk }.mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"n_failed":${failed.size},"stream_e2e_total":${f3(streamTotal)},"n_stream_e2e":${streamOk.size},"slowest":$slow,"bytes_read_total":$brTotal,"spill_disk_total":$sdTotal,"spill_mem_total":$smTotal,"top_bytes_read":$topBytes,"top_spill_disk":$topSpill,$calib}""")
+    emit(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"n_failed":${failed.size},"stream_e2e_total":${f3(streamTotal)},"n_stream_e2e":${streamOk.size},"slowest":$slow,"bytes_read_total":$brTotal,"spill_disk_total":$sdTotal,"spill_mem_total":$smTotal,"top_bytes_read":$topBytes,"top_spill_disk":$topSpill,$calib}""",
+      Some("bench_summary.json"))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
