@@ -71,6 +71,35 @@ object SaltedRuns {
       .collect().map(_.get(0)).filter(_ != null).toSeq
   }
 
+  /** Column-pruning guard for the boundary-summary aggregates (r19;
+    * found by the ADVICE-r18 executed-plan spec): the one-exchange
+    * guarantee rests on AQE stage reuse, which needs the summary's and
+    * the final consumer's exchange subtrees CANONICALLY IDENTICAL —
+    * but Catalyst prunes the payload columns the summary never reads
+    * out of its branch's Project, silently de-canonicalizing the two
+    * exchanges whenever the input carries any column outside
+    * {key, ord, ties, carry}. The fork re-executes the whole upstream
+    * (scan included) per consumer — the exact 2-4x regression class
+    * the __sr_ih agg-output filter killed for grouping-key filters.
+    * The guard: one max(xxhash64(payload…)) aggregate referencing
+    * EVERY input column (8-byte buffer per group, one codegen'd hash
+    * per row on the summary pass), kept alive by a semantics-neutral
+    * isNotNull filter (Catalyst drops an unused aggregate expression,
+    * and the pruning returns with it). Map-typed columns are skipped
+    * (xxhash64 rejects them) — a map payload column would still fork.
+    */
+  private def pruneGuard(df: DataFrame): Column = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val hashable = df.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+    if (hashable.isEmpty) max(lit(0L)) else max(xxhash64(hashable.toIndexedSeq: _*))
+  }
+
   private def singleLevelRuns(df: DataFrame, key: String, ordCols: Seq[Column],
       cur: Column, newRun: (Column, Column) => Column, outCol: String): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(ordCols: _*)
@@ -140,7 +169,7 @@ object SaltedRuns {
   private def saltedRuns(df: DataFrame, key: String,
       hotSplits: Seq[(Any, Any)], ordExpr: Column, tieCols: Seq[Column],
       cur: Column, newRun: (Column, Column) => Column,
-      outCol: String): DataFrame = {
+      outCol: String, keepHotCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val ord = "__sr_ord"
     val bkt = "__sr_b"
@@ -196,8 +225,13 @@ object SaltedRuns {
       .agg(min_by(cur, struct(ordCols: _*)).as("__sr_first"),
         max_by(cur, struct(ordCols: _*)).as("__sr_last"),
         max(col("__sr_lv")).as("__sr_runs"),
-        max(when(isHot, lit(1)).otherwise(lit(0))).as("__sr_ih"))
-      .filter(col("__sr_ih") === 1).drop("__sr_ih")
+        max(when(isHot, lit(1)).otherwise(lit(0))).as("__sr_ih"),
+        pruneGuard(df).as("__sr_guard"))
+      // __sr_guard.isNotNull is an identity filter (max over a
+      // non-empty group) whose only job is keeping the guard aggregate
+      // alive — see [[pruneGuard]]
+      .filter(col("__sr_ih") === 1 && col("__sr_guard").isNotNull)
+      .drop("__sr_ih", "__sr_guard")
     val w2 = Window.partitionBy(col(key)).orderBy(col(bkt))
     val fix = summ
       .withColumn("__sr_pl", lag(col("__sr_last"), 1).over(w2))
@@ -208,10 +242,19 @@ object SaltedRuns {
         w2.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(key), col(bkt), col("__sr_merge"), col("__sr_base"))
     // broadcast LEFT: hot keys × buckets rows — bounded by the 64-key
-    // cap; cold (and null-key) rows miss and keep their local numbers
-    flagged(pinned).join(broadcast(fix), Seq(key, bkt), "left")
+    // cap; cold (and null-key) rows miss and keep their local numbers.
+    // keepHotCol (r19, chunkedRowsAgg): expose join-match presence as
+    // a hotness flag column. A downstream filter on it rewrites to
+    // IsNotNull on the broadcast side's columns, which pushes only
+    // into the TINY fix frame (EliminateOuterJoin makes that branch's
+    // join inner) — never below the window/exchange, so the one-scan
+    // guarantee survives, unlike a raw isInCollection(key) predicate
+    // that Catalyst pushes to the scan and forks the exchange with.
+    val joined = flagged(pinned).join(broadcast(fix), Seq(key, bkt), "left")
       .withColumn(outCol, coalesce(col("__sr_base"), lit(0L)) + col("__sr_lv")
         - coalesce(col("__sr_merge"), lit(0L)))
+    keepHotCol.fold(joined)(h =>
+        joined.withColumn(h, col("__sr_base").isNotNull))
       .drop(bkt, ord, "__sr_prev", "__sr_chg", "__sr_lv", "__sr_merge", "__sr_base")
   }
 
@@ -235,18 +278,36 @@ object SaltedRuns {
       outCol: String, buckets: Int = 16, hotThreshold: Long = 1000000L,
       hotOverride: Option[Seq[Any]] = None): DataFrame = {
     require(buckets >= 1, s"need buckets >= 1, got $buckets")
-    val ord = "__sr_ord"
-    val cur = struct(carryCols: _*)
-    def plain(): DataFrame =
-      singleLevelRuns(df.withColumn(ord, ordExpr.cast("double")), key,
-        col(ord) +: tieCols, cur, newRun, outCol).drop(ord)
-    if (buckets == 1) return plain()
+    if (buckets == 1)
+      return numberedWithSplits(df, key, ordExpr, tieCols, carryCols, newRun,
+        outCol, Nil, None)
     // hot keys AND their sampled splits from ONE 1% sample scan —
     // with a caller-supplied empty hot list this costs zero jobs
     val hotSplits = detectHotSplits(df, key, ordExpr, buckets, hotThreshold,
       hotOverride)
-    if (hotSplits.isEmpty) plain()
-    else saltedRuns(df, key, hotSplits, ordExpr, tieCols, cur, newRun, outCol)
+    numberedWithSplits(df, key, ordExpr, tieCols, carryCols, newRun, outCol,
+      hotSplits, None)
+  }
+
+  /** [[numbered]] with the hot keys' sampled splits supplied by the
+    * caller — so an operator that already paid [[detectHotSplits]]'s
+    * sample scan (e.g. [[chunkedRowsAgg]]) never probes twice.
+    * `keepHotCol`: optionally retain a boolean hotness column derived
+    * from the repair join's match (see [[saltedRuns]]) — the only
+    * filter-safe hotness carrier on the one-exchange path.
+    */
+  private[graft] def numberedWithSplits(df: DataFrame, key: String,
+      ordExpr: Column, tieCols: Seq[Column], carryCols: Seq[Column],
+      newRun: (Column, Column) => Column, outCol: String,
+      hotSplits: Seq[(Any, Any)], keepHotCol: Option[String]): DataFrame = {
+    val ord = "__sr_ord"
+    val cur = struct(carryCols: _*)
+    if (hotSplits.isEmpty) {
+      val plain = singleLevelRuns(df.withColumn(ord, ordExpr.cast("double")),
+        key, col(ord) +: tieCols, cur, newRun, outCol).drop(ord)
+      keepHotCol.fold(plain)(h => plain.withColumn(h, lit(false)))
+    } else saltedRuns(df, key, hotSplits, ordExpr, tieCols, cur, newRun,
+      outCol, keepHotCol)
   }
 
   /** A sliding ROWS-frame window aggregate —
@@ -268,7 +329,6 @@ object SaltedRuns {
       hotThreshold: Long = 1000000L,
       hotOverride: Option[Seq[Any]] = None): DataFrame = {
     require(k >= 0 && chunkSize > k, s"need 0 <= k < chunkSize, got k=$k chunk=$chunkSize")
-    val hot = hotOverride.getOrElse(detectHotKeys(df, key, hotThreshold))
     def plain(part: DataFrame): DataFrame = {
       val w = Window.partitionBy(col(key))
         .orderBy((ordExpr +: tieCols): _*)
@@ -277,30 +337,58 @@ object SaltedRuns {
       part.repartition(GlobalRank.rangeWidth(part), col(key))
         .withColumn(outCol, aggFn(w))
     }
-    if (hot.isEmpty) plain(df)
+    // hot keys AND their splits from ONE 1% sample scan (the pre-r19
+    // shape probed twice: detectHotKeys here + detectHotSplits inside
+    // the numbered call on the hot slice)
+    val hotSplits = detectHotSplits(df, key, ordExpr, buckets = 16,
+      hotThreshold, hotOverride)
+    if (hotSplits.isEmpty) plain(df)
     else {
-      // null-safe split — see [[numbered]]
-      val isHot = coalesce(col(key).isInCollection(hot), lit(false))
+      // ONE SCAN (r19; VERDICT r18 #2 — the last family member on the
+      // pre-r18 two-branch shape, which filtered the corpus twice and
+      // re-executed `numbered` for the hot slice): EVERY row — cold
+      // keys included — takes the per-key row number from ONE
+      // [[numbered]] pass (always-true run predicate ⇒ run number =
+      // row number; cold keys ride its constant bucket 0, so their
+      // numbering window IS the plain per-key window). Chunks then
+      // derive from the row number: hot keys get dense `chunkSize`
+      // chunks, cold keys the constant chunk 0 — whose (key, 0) ROWS
+      // window is exactly the plain single-level frame — and each hot
+      // chunk's last k rows replicate into the next chunk as
+      // context-only rows, same exactness argument as before. The
+      // hotness carrier is the repair join's match flag
+      // (keepHotCol), NOT isInCollection(key): the context filter
+      // must not be splittable into a key predicate Catalyst would
+      // push below the numbering exchange and fork it (the __sr_ih
+      // lesson, q_scd2 62.5 s vs 15.4). Cost shape: the one (key,
+      // bucket) numbering exchange + one (key, chunk) exchange for
+      // the frame evaluation; base and context are two consumers of
+      // the numbering exchange (ReuseExchange — window re-evaluates
+      // over shuffle files, the scan never re-executes).
       val rn = "__sr_rn"; val ck = "__sr_ck"; val ctx = "__sr_ctx"
-      val hotRn = numbered(df.filter(isHot), key, ordExpr, tieCols,
+      val ih = "__sr_ihot"
+      val rnDf = numberedWithSplits(df, key, ordExpr, tieCols,
         Seq(lit(1L).as("__sr_one")), (_, _) => lit(true), rn,
-        hotOverride = Some(hot))
+        hotSplits, keepHotCol = Some(ih))
         .drop("__sr_one")
-      val base = hotRn
-        .withColumn(ck, floor((col(rn) - 1) / lit(chunkSize)))
+      val base = rnDf
+        .withColumn(ck, when(col(ih),
+          floor((col(rn) - 1) / lit(chunkSize))).otherwise(lit(0L)))
         .withColumn(ctx, lit(false))
+      // single non-splittable predicate: cold rows read -1 (never a
+      // context candidate; chunkSize > k keeps the bound positive)
       val context = base
-        .filter((col(rn) - 1) % lit(chunkSize) >= lit(chunkSize - k))
+        .filter(when(col(ih), (col(rn) - 1) % lit(chunkSize))
+          .otherwise(lit(-1L)) >= lit(chunkSize - k))
         .withColumn(ck, col(ck) + 1)
         .withColumn(ctx, lit(true))
       val w1 = Window.partitionBy(col(key), col(ck)).orderBy(col(rn))
         .rowsBetween(-k, Window.currentRow)
-      val hotOut = base.unionByName(context)
-        .repartition(GlobalRank.rangeWidth(base), col(key), col(ck))
+      base.unionByName(context)
+        .repartition(GlobalRank.rangeWidth(df), col(key), col(ck))
         .withColumn(outCol, aggFn(w1))
         .filter(!col(ctx))
-        .drop(rn, ck, ctx)
-      plain(df.filter(!isHot)).unionByName(hotOut)
+        .drop(rn, ck, ctx, ih)
     }
   }
 
@@ -355,8 +443,11 @@ object SaltedRuns {
       // window consumer.
       val cs = pinned.groupBy(col(key), col(ck))
         .agg(min_by(struct(valueCol.as("v")), seqCol).as("__sr_cf"),
-          max(when(isHot, lit(1)).otherwise(lit(0))).as("__sr_ih"))
-        .filter(col("__sr_ih") === 1)
+          max(when(isHot, lit(1)).otherwise(lit(0))).as("__sr_ih"),
+          pruneGuard(df).as("__sr_guard"))
+        // identity filter keeping the column-pruning guard alive — see
+        // [[pruneGuard]]
+        .filter(col("__sr_ih") === 1 && col("__sr_guard").isNotNull)
       val w2 = Window.partitionBy(col(key)).orderBy(col(ck))
       val nf = cs.withColumn("__sr_nf", lead(col("__sr_cf"), 1).over(w2))
         .select(col(key), col(ck), col("__sr_nf"))
@@ -486,25 +577,31 @@ object SaltedRuns {
     val pinned = withB.repartition(GlobalRank.rangeWidth(df), col(key), col(bkt))
     val w1 = Window.partitionBy(col(key), col(bkt)).orderBy(orderCols: _*)
     val w1f = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val localed = carry.foldLeft(pinned) { case (d, (in, out)) =>
-      d.withColumn(out, last(col(in), ignoreNulls = true).over(w1f))
-    }
-    // hot-rows-only summary: the bucket's FINAL carry per column (its
-    // last row's value — already "last non-null so far", or null if
-    // the bucket has none), picked by max_by over the bucket-local
-    // row_number. Filtering whole KEYS before a window partitioned by
-    // (key, bucket) is safe — groups stay intact.
-    val isHot = coalesce(
-      col(key).isInCollection(hotSplits.map(_._1)), lit(false))
-    val hotLocal = carry.foldLeft(
-      pinned.filter(isHot).withColumn("__sr_rn", row_number().over(w1))) {
+    // __sr_rn rides the SAME window pass as the carries (one sort) so
+    // the summary below can aggregate the IDENTICAL windowed frame the
+    // final join consumes — the pre-r19 shape filtered isHot on pinned
+    // before its own window, a grouping-key filter that pushed below
+    // the repartition and FORKED the exchange into a hot-only copy
+    // re-executing the whole upstream (the residual "2 scans" of the
+    // r18 as-of A/B). Cost: cold rows now ride the summary aggregate
+    // too (discarded post-agg via the __sr_ih agg-output filter — the
+    // measured saltedRuns trade).
+    val localed = carry.foldLeft(
+      pinned.withColumn("__sr_rn", row_number().over(w1))) {
       case (d, (in, out)) =>
         d.withColumn(out, last(col(in), ignoreNulls = true).over(w1f))
     }
+    val isHot = coalesce(
+      col(key).isInCollection(hotSplits.map(_._1)), lit(false))
     val aggs = carry.map { case (_, out) =>
-      max_by(col(out), col("__sr_rn")).as(s"__sr_l_$out") }
-    val summ = hotLocal.groupBy(col(key), col(bkt))
+      max_by(col(out), col("__sr_rn")).as(s"__sr_l_$out") } ++ Seq(
+      max(when(isHot, lit(1)).otherwise(lit(0))).as("__sr_ih"),
+      pruneGuard(df).as("__sr_guard"))
+    val summ = localed.groupBy(col(key), col(bkt))
       .agg(aggs.head, aggs.tail: _*)
+      // identity guard filter — see [[pruneGuard]]
+      .filter(col("__sr_ih") === 1 && col("__sr_guard").isNotNull)
+      .drop("__sr_ih", "__sr_guard")
     val w2 = Window.partitionBy(col(key)).orderBy(col(bkt))
       .rowsBetween(Window.unboundedPreceding, -1)
     val fix = carry.foldLeft(summ) { case (d, (_, out)) =>
@@ -517,7 +614,7 @@ object SaltedRuns {
     carry.foldLeft(localed.join(broadcast(fix), Seq(key, bkt), "left")) {
       case (d, (_, out)) =>
         d.withColumn(out, coalesce(col(out), col(s"__sr_ci_$out")))
-    }.drop((Seq(bkt, ord) ++ carry.map { case (_, out) =>
+    }.drop((Seq(bkt, ord, "__sr_rn") ++ carry.map { case (_, out) =>
       s"__sr_ci_$out" }): _*)
   }
 }

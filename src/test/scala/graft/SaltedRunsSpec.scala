@@ -188,4 +188,94 @@ class SaltedRunsSpec extends SparkSpec {
     assert(!coldPlan.contains("__sr_b"),
       "cold path must carry no salting machinery")
   }
+
+  // ADVICE r18: the one-exchange guarantee rests on ReuseExchange
+  // canonicalizing the independently-built consumer subtrees of the
+  // (key, bucket) shuffle; if a future edit de-canonicalizes one
+  // consumer, the whole upstream silently re-executes per consumer —
+  // the measured 2-4x fork (q_scd2 62.5 s vs 15.4 at sf10skew). These
+  // executed-plan assertions guard it.
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+  import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+
+  private def shuffleStages(df: org.apache.spark.sql.DataFrame): Seq[ShuffleQueryStageExec] = {
+    df.collect() // finalize the adaptive plan
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // query stages are leaf nodes — recurse into their plans (the
+    // reused instance of the one exchange typically sits under the
+    // boundary-repair BROADCAST stage's subtree)
+    def rec(p: SparkPlan): Seq[QueryStageExec] = {
+      val here = p.collect { case s: QueryStageExec => s }
+      here ++ here.flatMap(s => rec(s.plan))
+    }
+    rec(root).collect { case s: ShuffleQueryStageExec => s }
+  }
+
+  test("one-exchange contract: numbered's hot path runs ONE real shuffle + ReusedExchange") {
+    val df = mkRows(2000, seed = 21).toDF("k", "ord", "tie", "v")
+    val out = SaltedRuns.numbered(df, "k", $"ord", Seq($"tie"), Seq($"v"),
+      (p, c) => p.getField("v") =!= c.getField("v"), "run",
+      buckets = 8, hotThreshold = 50L)
+    val stages = shuffleStages(out)
+    val real = stages.map(_.plan).collect { case e: ShuffleExchangeLike => e }
+    val reused = stages.map(_.plan).collect { case r: ReusedExchangeExec => r }
+    // exactly ONE data exchange — (key, __sr_b) — plus the O(hot keys ×
+    // buckets) summary-repair window's own tiny key exchange
+    assert(real.count(_.outputPartitioning.toString.contains("__sr_b")) == 1,
+      s"hot path must run exactly ONE (key, bucket) data shuffle:\n${real.mkString("\n")}")
+    assert(real.size == 2,
+      s"hot path must run one data + one summary shuffle, got ${real.size}: ${real.map(_.nodeName)}")
+    assert(reused.exists(_.outputPartitioning.toString.contains("__sr_b")),
+      "boundary-repair summary must REUSE the (key, bucket) exchange, not fork it")
+  }
+
+  test("one-exchange contract: chunkedRowsAgg's hot path runs TWO real shuffles, numbering reused") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 1500).map { i =>
+      val key = if (rnd.nextBoolean()) 1L else 2L + rnd.nextInt(3)
+      (key, (rnd.nextInt(300) + 1).toLong, i.toLong, rnd.nextInt(100).toDouble)
+    }.toDF("k", "ord", "tie", "v")
+    val out = SaltedRuns.chunkedRowsAgg(rows, "k", $"ord", Seq($"tie"), k = 3,
+      wd => avg($"v").over(wd), "mavg", chunkSize = 64L, hotThreshold = 50L)
+    val stages = shuffleStages(out)
+    val real = stages.map(_.plan).collect { case e: ShuffleExchangeLike => e }
+    val reused = stages.map(_.plan).collect { case r: ReusedExchangeExec => r }
+    // exactly ONE (key, __sr_b) numbering exchange + the (key, __sr_ck)
+    // chunk exchange + the summary-repair window's tiny key exchange
+    assert(real.count(_.outputPartitioning.toString.contains("__sr_b")) == 1,
+      s"chunked ROWS agg must run exactly ONE numbering data shuffle:\n${real.mkString("\n")}")
+    assert(real.size == 3,
+      s"chunked ROWS agg must run numbering + chunk + summary shuffles, got ${real.size}")
+    assert(reused.exists(_.outputPartitioning.toString.contains("__sr_b")),
+      "base/context/summary must REUSE the numbering exchange, not fork it")
+  }
+
+  test("one-exchange contract: chunkedCarry's hot path reuses its (key, bucket) exchange") {
+    // payload column `p` is read by neither the carry nor the order —
+    // exactly the column-pruning fork trigger the guard exists for
+    val rows = (1 to 1500).map { i =>
+      val key = if (i % 3 == 0) 2L else 1L
+      (key, i.toLong, if (i % 5 == 0) Some(i.toDouble) else None, s"payload$i")
+    }.toDF("k", "ts", "x", "p")
+    val out = SaltedRuns.chunkedCarry(rows, "k", $"ts", Seq($"ts"),
+      Seq("x" -> "x_c"), buckets = 8, hotThreshold = 50L)
+    val stages = shuffleStages(out)
+    val real = stages.map(_.plan).collect { case e: ShuffleExchangeLike => e }
+    val reused = stages.map(_.plan).collect { case r: ReusedExchangeExec => r }
+    assert(real.count(_.outputPartitioning.toString.contains("__sr_b")) == 1,
+      s"chunkedCarry must run exactly ONE (key, bucket) data shuffle:\n${real.mkString("\n")}")
+    assert(reused.exists(_.outputPartitioning.toString.contains("__sr_b")),
+      "carry summary must REUSE the (key, bucket) exchange, not fork it")
+    // exactness with the unreferenced payload column present
+    val w = Window.partitionBy($"k").orderBy($"ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = rows.withColumn("x_c", last($"x", ignoreNulls = true).over(w))
+    assert(out.select($"k", $"ts", $"x_c").except(
+      expected.select($"k", $"ts", $"x_c")).isEmpty,
+      "chunkedCarry diverges from the plain carry window")
+  }
 }
