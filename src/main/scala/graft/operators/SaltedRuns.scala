@@ -310,6 +310,72 @@ object SaltedRuns {
       outCol, keepHotCol)
   }
 
+  /** Per-key 1-based row numbers in the one-exchange salted shape —
+    * the always-true-newRun special case of [[numberedWithSplits]]
+    * with the machinery that case never needs stripped out:
+    * `row_number()` instead of lag + carry-struct + running sum (one
+    * window function, no struct projection), and a HASH-aggregable
+    * summary (count + flags) instead of the min_by/max_by struct
+    * SortAggregate — boundary repair for plain numbering is just the
+    * running count of preceding buckets (a run never merges). The
+    * summary aggregates the exchange DIRECTLY (not the windowed
+    * frame), so its branch skips the window evaluation entirely.
+    */
+  private[graft] def numberedRowsWithSplits(df: DataFrame, key: String,
+      ordExpr: Column, tieCols: Seq[Column], outCol: String,
+      hotSplits: Seq[(Any, Any)], keepHotCol: Option[String]): DataFrame = {
+    val ord = "__sr_ord"
+    val bkt = "__sr_b"
+    if (hotSplits.isEmpty) {
+      val w = Window.partitionBy(col(key))
+        .orderBy((col(ord) +: tieCols): _*)
+      val plain = df.withColumn(ord, ordExpr.cast("double"))
+        .repartition(GlobalRank.rangeWidth(df), col(key))
+        .withColumn(outCol, row_number().over(w).cast("long"))
+        .drop(ord)
+      return keepHotCol.fold(plain)(h => plain.withColumn(h, lit(false)))
+    }
+    val spark = df.sparkSession
+    val ordCols = col(ord) +: tieCols
+    val keyType = df.schema(key).dataType
+    val splitsDf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(hotSplits.map { case (k, qs) =>
+        org.apache.spark.sql.Row(k, qs) }).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(key, keyType),
+        org.apache.spark.sql.types.StructField("__sr_qs",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val withB = df.withColumn(ord, ordExpr.cast("double"))
+      .join(broadcast(splitsDf), Seq(key), "left")
+      .withColumn(bkt,
+        coalesce(size(filter(col("__sr_qs"), v => v <= col(ord))), lit(0)))
+      .drop("__sr_qs")
+    val pinned = withB.repartition(GlobalRank.rangeWidth(df), col(key), col(bkt))
+    val w1 = Window.partitionBy(col(key), col(bkt)).orderBy(ordCols: _*)
+    val isHot = coalesce(
+      col(key).isInCollection(hotSplits.map(_._1)), lit(false))
+    val summ = pinned.groupBy(col(key), col(bkt))
+      .agg(count(lit(1)).as("__sr_n"),
+        max(when(isHot, lit(1)).otherwise(lit(0))).as("__sr_ih"),
+        pruneGuard(df).as("__sr_guard"))
+      // identity guard filter — see [[pruneGuard]]
+      .filter(col("__sr_ih") === 1 && col("__sr_guard").isNotNull)
+      .drop("__sr_ih", "__sr_guard")
+    val w2 = Window.partitionBy(col(key)).orderBy(col(bkt))
+    val fix = summ
+      .withColumn("__sr_base", coalesce(sum(col("__sr_n")).over(
+        w2.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(key), col(bkt), col("__sr_base"))
+    val joined = pinned
+      .withColumn("__sr_lv", row_number().over(w1).cast("long"))
+      .join(broadcast(fix), Seq(key, bkt), "left")
+      .withColumn(outCol, coalesce(col("__sr_base"), lit(0L)) + col("__sr_lv"))
+    keepHotCol.fold(joined)(h =>
+        joined.withColumn(h, col("__sr_base").isNotNull))
+      .drop(bkt, ord, "__sr_lv", "__sr_base")
+  }
+
   /** A sliding ROWS-frame window aggregate —
     * `aggFn over (partition key order ord ROWS BETWEEN k PRECEDING AND
     * CURRENT ROW)` — without a per-key mega-partition. Exact by
@@ -367,10 +433,8 @@ object SaltedRuns {
       // over shuffle files, the scan never re-executes).
       val rn = "__sr_rn"; val ck = "__sr_ck"; val ctx = "__sr_ctx"
       val ih = "__sr_ihot"
-      val rnDf = numberedWithSplits(df, key, ordExpr, tieCols,
-        Seq(lit(1L).as("__sr_one")), (_, _) => lit(true), rn,
+      val rnDf = numberedRowsWithSplits(df, key, ordExpr, tieCols, rn,
         hotSplits, keepHotCol = Some(ih))
-        .drop("__sr_one")
       val base = rnDf
         .withColumn(ck, when(col(ih),
           floor((col(rn) - 1) / lit(chunkSize))).otherwise(lit(0L)))

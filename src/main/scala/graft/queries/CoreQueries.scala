@@ -26,21 +26,37 @@ object CoreQueries {
       .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02")))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        // sum_qty / sum_base_price stay double: integer and 2-dp-grid
-        // sums rounded at 2 dp are exact/identity in both engines at
-        // any addition order. The two PRODUCT sums ride exact decimals
-        // (4-dp / 6-dp grids): a double sum is 1-ulp order-sensitive
-        // and a regenerated corpus puts a group total exactly on a
-        // .xx5 half-boundary with ~1%/value odds — the q2 defect class
-        // (see q2RevenueNation; q2 hit it at a regenerated sf0.001).
+        // sum_qty stays double: integer-valued sums are exact at any
+        // addition order below 2^53. The three MONEY sums are exact
+        // and order-independent (the .xx5 half-boundary class killed
+        // in r18 — see q2RevenueNation), with the per-row arithmetic
+        // in exact LONG units (r19): prices/discounts/taxes are exact
+        // 2-dp values, so round(x*100) recovers the exact integer and
+        // the per-item product is an exact integer count of 10^-4 /
+        // 10^-6 units — pure codegen primitives instead of per-row
+        // BigDecimal multiply chains (measured: the r18 all-decimal
+        // form cost q1 +0.35 s at sf0.1). ONE narrowing cast to
+        // decimal feeds each sum; the sums stay decimal because the
+        // (flag, status) grain overflows long at 100 TB row counts
+        // (the r18 cents-as-long rejection). Dividing the unit count
+        // back out happens once per GROUP, exactly (decimal scale 6 >
+        // the 4/6-dp grid). sum_base_price joined the exact class in
+        // r19 (ADVICE r18): a 2-dp-grid double sum is exact only
+        // while accumulated FP error stays under the 0.005 rounding
+        // margin, which thins at larger SFs; the exact sum is
+        // identical on every currently-green corpus by construction.
         round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice".cast("decimal(18,2)") *
-          (lit(1).cast("decimal(8,2)") - $"l_discount".cast("decimal(8,2)"))), 2)
+        round(sum(round($"l_extendedprice" * 100).cast("long")
+          .cast("decimal(28,0)")) / 100, 2)
+          .cast("double").as("sum_base_price"),
+        round(sum((round($"l_extendedprice" * 100).cast("long") *
+          (lit(100L) - round($"l_discount" * 100).cast("long")))
+          .cast("decimal(30,0)")) / 10000, 2)
           .cast("double").as("sum_disc_price"),
-        round(sum($"l_extendedprice".cast("decimal(18,2)") *
-          (lit(1).cast("decimal(8,2)") - $"l_discount".cast("decimal(8,2)")) *
-          (lit(1).cast("decimal(8,2)") + $"l_tax".cast("decimal(8,2)"))), 2)
+        round(sum((round($"l_extendedprice" * 100).cast("long") *
+          (lit(100L) - round($"l_discount" * 100).cast("long")) *
+          (lit(100L) + round($"l_tax" * 100).cast("long")))
+          .cast("decimal(32,0)")) / 1000000, 2)
           .cast("double").as("sum_charge"),
         round(avg($"l_quantity"), 4).as("avg_qty"),
         round(avg($"l_extendedprice"), 4).as("avg_price"),
@@ -52,7 +68,7 @@ object CoreQueries {
   val q1Oracle: String =
     """SELECT l_returnflag, l_linestatus,
       | round(sum(l_quantity),2) AS sum_qty,
-      | round(sum(l_extendedprice),2) AS sum_base_price,
+      | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_base_price,
       | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))*(1-CAST(l_discount AS DECIMAL(8,2)))),2) AS DOUBLE) AS sum_disc_price,
       | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))*(1-CAST(l_discount AS DECIMAL(8,2)))*(1+CAST(l_tax AS DECIMAL(8,2)))),2) AS DOUBLE) AS sum_charge,
       | round(avg(l_quantity),4) AS avg_qty,
@@ -94,13 +110,24 @@ object CoreQueries {
     // .57 — and .58 is the CORRECT half-up of the exact value). Both
     // engines now sum the exact decimal; the boundary class is dead at
     // any SF/regeneration, not dodged.
+    // r19: the per-item product and the per-ORDER sum ride exact LONG
+    // 4-dp units — an order's few items × < 10^10 units each can never
+    // overflow, so the only aggregation that touches every lineitem
+    // row is codegen'd primitive arithmetic (the r18 all-decimal form
+    // cost q2 +0.64 s at sf0.1 / +2.9 s at sf10skew in per-row
+    // BigDecimal multiplies). ONE cast to decimal per ORDER row feeds
+    // the custkey/nation sums, which stay decimal: those grains
+    // overflow long at 100 TB row counts (the r18 rejection). The
+    // division back to money happens once per GROUP at decimal scale
+    // 6 — exact on the 4-dp grid, so the result is bit-identical to
+    // the all-decimal form and the oracle is unchanged.
     val perOrder = Tables.lineitem(s, d)
       .groupBy($"l_orderkey")
       .agg(
-        sum($"l_extendedprice".cast("decimal(18,2)") *
-          (lit(1).cast("decimal(8,2)") - $"l_discount".cast("decimal(8,2)")))
-          .as("__rev"),
+        sum(round($"l_extendedprice" * 100).cast("long") *
+          (lit(100L) - round($"l_discount" * 100).cast("long"))).as("__rev4"),
         count(lit(1)).as("__cnt"))
+      .select($"l_orderkey", $"__rev4".cast("decimal(38,0)").as("__rev"), $"__cnt")
     val perCust = perOrder.join(o, $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_custkey")
       .agg(sum($"__rev").as("__rev"), sum($"__cnt").as("__cnt"))
@@ -112,7 +139,7 @@ object CoreQueries {
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
-        round(sum($"__rev"), 2).cast("double").as("revenue"),
+        round(sum($"__rev") / 10000, 2).cast("double").as("revenue"),
         sum($"__cnt").as("n_items"))
       .orderBy($"r_name", $"n_name")
   }

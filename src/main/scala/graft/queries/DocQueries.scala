@@ -865,22 +865,33 @@ object DocQueries {
     // sf0.1): the ORACLE side is an all-pairs NOT-EXISTS quadratic in
     // DuckDB, so the oracle seat stays bounded; the operator itself is
     // the banded corpus-scale path
+    // the capped subset is CHECKPOINTED once (r19; VERDICT r18 #6 —
+    // the ~40-stage pipeline's variance class was stage count × host
+    // load): without it the global sort-limit + exchange re-executed
+    // under every downstream consumer (both shingle persists, both
+    // sides of the digest join, the final count — ~5 runs of the
+    // documents scan + TakeOrdered chain); bounded by the 2500-row cap
     val sub = Tables.documents(s, d).filter($"doc_id" % 10 === 0)
       .orderBy($"doc_id").limit(2500)
       .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+      .localCheckpoint()
     val oldB = sub.filter($"doc_id" % 20 === 0)
     val newB = sub.filter($"doc_id" % 20 =!= 0)
-    // both id frames feed their own count AND the union — checkpoint
-    // the (batch-bounded) ids so the digest join and the banded
-    // near-dup join run ONCE each, not once per consumer (measured 2×
-    // on the near join without it: 5.2 → ~2.6 s at sf0.1)
+    // the exact-id frame feeds its own count AND the union — checkpoint
+    // the (batch-bounded) ids so the digest join runs ONCE, not once
+    // per consumer (measured 2× on the near join without it: 5.2 →
+    // ~2.6 s at sf0.1)
     val exactIds = newB.select($"doc_id", md5($"text").as("dg"))
       .join(oldB.select(md5($"text").as("dg")).distinct(), Seq("dg"), "left_semi")
       .select($"doc_id").distinct().localCheckpoint()
+    // no checkpoint on nearIds (r19): the banded operator already
+    // returns a localCheckpoint of the verified pairs, so this frame's
+    // two consumers each re-run only a tiny distinct over checkpointed
+    // rows — the extra checkpoint action cost more than it saved
     val nearIds = Dedup.minhashNearDupBipartiteBanded(
         newB, oldB, "doc_id", "text", n = 7, b = 63, r = 2, seed = 42L,
         threshold = 0.62)
-      .select($"id_new".as("doc_id")).distinct().localCheckpoint()
+      .select($"id_new".as("doc_id")).distinct()
     val flagged = exactIds.unionByName(nearIds).distinct()
     newB.agg(count(lit(1)).as("n_new"))
       .crossJoin(broadcast(exactIds.agg(count(lit(1)).as("n_exact_dup"))))

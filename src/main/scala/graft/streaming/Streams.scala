@@ -290,7 +290,13 @@ object Streams {
     // batches. One shuffled partition writes one file per batch
     // (file count O(batches), the partitionBy contract's floor) while
     // the shuffle barrier keeps the upstream join width intact;
-    // survivors are bounded by the microbatch size.
+    // survivors are bounded by the microbatch size. THE BOUND (ADVICE
+    // r18): every deployed source here runs maxFilesPerTrigger=1 —
+    // one staged file per trigger — so even a replay/backfill drains
+    // file-at-a-time and the single write task stays a few MB. A
+    // deployment that raises the per-trigger cap should widen this
+    // repartition with it (file-count slope trades against write
+    // parallelism at O(batch) rows, not O(corpus)).
     batch.join(dropped, Seq(idCol), "left_anti")
       .withColumn("__sh", graft.dedup.Dedup.simhash60(col(textCol)))
       .withColumn("batch_id", lit(batchId))
